@@ -1,0 +1,7 @@
+from .readers import (  # noqa: F401
+    load_testdata,
+    read_descriptions_csv,
+    read_descriptions_dir,
+    read_request_jsonl,
+    read_response_jsonl,
+)

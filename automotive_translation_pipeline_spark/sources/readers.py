@@ -1,0 +1,103 @@
+"""Scan operators (SURVEY §2.1: R-1..R-5).
+
+Every reader takes an explicit schema and pushes filters/projections into
+the scan — at 100 TB the difference between "scan 2 columns with a pushed
+predicate" and "scan everything then filter" is the whole job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import BATCH_RESPONSE, DESCRIPTIONS, TESTDATA_TABLES
+
+
+def read_descriptions_csv(spark: SparkSession, path: str) -> DataFrame:
+    """R-1: descriptions CSV scan with header and fixed 2-col schema.
+
+    Reference: ``auto_translate.py:267-275`` (csv.reader, skip header).
+    Explicit schema keeps ``P0001``-style ids as strings; no inference.
+    """
+    return spark.read.schema(DESCRIPTIONS).option("header", True).csv(path)
+
+
+def read_descriptions_dir(spark: SparkSession, directory: str) -> DataFrame:
+    """R-5: directory scan — all ``*.csv`` in a folder, with file lineage.
+
+    Reference: ``batch_auto_translate.py:199-202`` enumerates files and
+    fans out a subprocess per file; in Spark the fan-out disappears into
+    tasks and per-file grouping comes back via ``input_file_name()``.
+    """
+    return (
+        spark.read.schema(DESCRIPTIONS)
+        .option("header", True)
+        .csv(f"{directory}/*.csv")
+        .withColumn("source_file", F.input_file_name())
+    )
+
+
+def read_request_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """R-3: request JSONL scan → (custom_id, payload map) rows.
+
+    Reference: ``old_functionalities/batch_translator.py:44-68`` re-reads
+    the request file and regexes the user content to recover the
+    batch→ids mapping. Here the user message is parsed back into a
+    ``map<string,string>`` with ``from_json`` — no regex needed for the
+    v2 JSON-map format.
+    """
+    raw = spark.read.json(path)
+    user_content = F.element_at(F.col("body.messages"), -1).getField("content")
+    return raw.select(
+        F.col("custom_id"),
+        F.from_json(user_content, "map<string,string>").alias("payload"),
+    )
+
+
+def read_response_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """R-4: response JSONL scan → (custom_id, status_code, content, error).
+
+    Reference: ``parse_output_jsonl`` (``auto_translate.py:392-407``) —
+    extracts ``response.body.choices[0].message.content`` with a
+    catch-all → None. Malformed lines land in ``_corrupt_record``
+    instead of killing the scan (permissive mode).
+    """
+    raw = (
+        spark.read.schema(BATCH_RESPONSE)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return raw.select(
+        "custom_id",
+        F.col("response.status_code").alias("status_code"),
+        F.element_at(F.col("response.body.choices"), 1)
+        .getField("message")
+        .getField("content")
+        .alias("content"),
+        "error",
+        "_corrupt_record",
+    )
+
+
+# Columns written as parquet TIMESTAMP(NANOS), which Spark only reads via
+# the nanosAsLong escape hatch; converted back to TimestampType below.
+_NANO_TS_COLS = {
+    "events": ("ts",),
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables and register them as temp views."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for c in _NANO_TS_COLS.get(name, ()):
+            if dict(df.dtypes).get(c) == "bigint":
+                df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
