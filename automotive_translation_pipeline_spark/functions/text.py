@@ -1,0 +1,139 @@
+"""Text-analysis functions — the F-18 generalization plus the
+training-data-pipeline extensions mandated by BASELINE.json (language ID,
+quality scoring, token counting, fingerprinting, shingling).
+
+Everything here is a pure column expression so it runs inside codegen at
+scan speed; nothing needs Python for 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- token counting (F-2) -------------------------------------------------
+
+# BPE-ish segmentation: word pieces, numbers, and single punctuation marks —
+# a deterministic stand-in for tiktoken (not in this container), same
+# contract as the reference's count_tokens (auto_translate.py:259-260).
+_BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def bpe_token_count(c: Column) -> Column:
+    """BPE-ish token count: regexp segmentation + a length/4 correction
+    for long words (tiktoken splits long words into ~4-char pieces)."""
+    words = F.split(F.trim(c), r"\s+")
+    return F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + F.greatest(F.lit(1), F.ceil(F.length(w) / 4).cast("int")),
+    )
+
+
+def estimated_cost(c: Column, output_factor: float = 1.8) -> Column:
+    """R-17 packing cost: input tokens + expected output tokens
+    (EXPECTED_OUTPUT_FACTOR=1.8, reference auto_translate.py:32,289)."""
+    toks = bpe_token_count(c)
+    return (toks + toks * F.lit(output_factor)).cast("double")
+
+
+# --- script / language (F-18 generalized) ---------------------------------
+
+_SCRIPT_RANGES = [
+    ("telugu", r"[ఀ-౿]"),
+    ("devanagari", r"[ऀ-ॿ]"),
+    ("arabic", r"[؀-ۿ]"),
+    ("cjk", r"[一-鿿]"),
+    ("cyrillic", r"[Ѐ-ӿ]"),
+    ("greek", r"[Ͱ-Ͽ]"),
+    ("hangul", r"[가-힯]"),
+    ("latin", r"[A-Za-z]"),
+]
+
+
+def script_of(c: Column) -> Column:
+    """F-18 generalized: dominant unicode script of a string, by
+    first-matching range (reference checked only Telugu,
+    old_functionalities/testing.py:16-19)."""
+    expr = F.lit("unknown")
+    for name, pattern in reversed(_SCRIPT_RANGES):
+        expr = F.when(c.rlike(pattern), F.lit(name)).otherwise(expr)
+    return expr
+
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic and SQL-expressible → oracle-checkable.
+_LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "von"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "una"),
+    "fr": ("le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"),
+}
+
+
+def lang_id(c: Column) -> Column:
+    """Stopword-hit language ID: the language with the most stopword hits
+    among the text's words; 'und' (undetermined) when no list hits."""
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    scores = [
+        (
+            lang,
+            F.size(F.filter(words, lambda w: w.isin(*stops))),  # noqa: B023
+        )
+        for lang, stops in _LANG_STOPWORDS.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    # Ties resolve to the first language in declaration order.
+    for lang, score in reversed(scores):
+        expr = F.when((best > 0) & (score == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+# --- quality scoring ------------------------------------------------------
+
+
+def quality_score(c: Column) -> Column:
+    """Heuristic document quality in [0,1]: rewards moderate length,
+    low punctuation ratio, and stopword presence — the standard cheap
+    pretraining-corpus filter shape."""
+    t = F.trim(c)
+    n_chars = F.length(t)
+    words = F.split(t, r"\s+")
+    n_words = F.size(words)
+    punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
+    stop_hits = F.size(F.filter(words, lambda w: F.lower(w).isin(*_LANG_STOPWORDS["en"])))
+    len_score = F.least(F.lit(1.0), n_words / F.lit(50.0))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 4)
+    stop_score = F.least(F.lit(1.0), stop_hits / F.greatest(n_words * F.lit(0.05), F.lit(1.0)))
+    return F.round((len_score + punct_score + stop_score) / 3, 4)
+
+
+# --- fingerprinting / shingling -------------------------------------------
+
+
+def normalized_text(c: Column) -> Column:
+    """Canonical form for dedup: lowercase, collapse whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def doc_fingerprint(c: Column) -> Column:
+    """Exact-dup fingerprint: md5 of the normalized text. md5 (not
+    xxhash) so the DuckDB oracle computes the identical value."""
+    return F.md5(normalized_text(c).cast("binary"))
+
+
+def word_shingles(c: Column, k: int = 3) -> Column:
+    """k-word shingles of the normalized text (for Jaccard / MinHash)."""
+    words = F.split(normalized_text(c), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+    # sequence(1, x) counts DOWN for x < 1 — guard short docs explicitly.
+    return F.when(n >= k, shingles).otherwise(F.array().cast("array<string>"))

@@ -1,0 +1,231 @@
+"""Deduplication operators — R-12 from the reference plus the
+training-data-pipeline dedup family (exact, MinHash/LSH, SimHash,
+n-gram Jaccard, embedding near-dup) mandated by BASELINE.json.
+
+Scale notes: every variant here is shuffle-bounded by design —
+exact dedup shuffles once on the fingerprint; MinHash/LSH shuffles on
+band buckets (candidate pairs only, never the n² cross join); embedding
+near-dup blocks by LSH bucket before the pairwise check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint, normalized_text, word_shingles
+
+
+def anti_join_dedup(
+    full: DataFrame, done: DataFrame, key: str = "description_id"
+) -> DataFrame:
+    """R-12: drop rows whose key already appears in the done table
+    (reference ``preprocessing/duplicate_remove.py:11-21`` — pandas
+    ``~isin``). Broadcast-anti-join when `done` is small; shuffles on
+    the key otherwise."""
+    return full.join(done.select(key).distinct(), key, "left_anti")
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup by content fingerprint: keep the lowest-id row per
+    normalized-text hash. One shuffle on the 128-bit fingerprint —
+    uniformly distributed, no skew, scales linearly."""
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        df.withColumn("fingerprint", doc_fingerprint(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
+    """MinHash signature as an array of per-seed minima over k-word
+    shingles. Uses lexicographic min of md5(seed||shingle) — a valid
+    min-wise hash family that both Spark and the DuckDB oracle compute
+    identically (portable, unlike xxhash64)."""
+    shingles = word_shingles(text, k)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s: F.md5(F.concat(F.lit(f"{i}:"), s).cast("binary")),  # noqa: B023
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash + LSH banding: docs sharing any band bucket become
+    candidate pairs (id_a < id_b). The self-join is on the band bucket —
+    cost scales with bucket occupancy, not n²."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """n-gram Jaccard near-dup: explode shingles, join on shingle,
+    |intersection| per pair, Jaccard = inter / (|A|+|B|-inter).
+
+    The shingle join only pairs docs that share at least one shingle —
+    with a hot-shingle guard this is the standard scalable formulation.
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh")
+    )
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # Hot-shingle guard: a shingle shared by a large fraction of docs
+    # creates quadratic pair blowup while carrying no dedup signal.
+    doc_count = df.count()
+    hot_cut = max(50, int(doc_count * 0.05))
+    rare = shingled.join(
+        shingled.groupBy("sh").agg(F.count("*").alias("df_sh")).filter(F.col("df_sh") <= hot_cut),
+        "sh",
+    ).select(id_col, "sh")
+    a, b = rare.alias("a"), rare.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(text: Column, k: int = 1) -> Column:
+    """64-bit SimHash over word (k=1) shingles: per-bit majority vote of
+    xxhash64(shingle) bits. Native bitwise exprs only — xxhash64 is
+    Spark-side (not oracle-portable; verified by unit tests instead)."""
+    shingles = word_shingles(text, k)
+    h = F.transform(shingles, lambda s: F.xxhash64(s))
+    bits = [
+        F.when(
+            F.size(F.filter(h, lambda v: v.bitwiseAND(F.lit(1 << b)) != 0))  # noqa: B023
+            * 2
+            > F.size(h),
+            F.lit(1 << b),
+        ).otherwise(F.lit(0))
+        for b in range(63)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a similarity threshold.
+
+    Brute-force within optional blocks; see ``similarity.py`` for the
+    LSH-bucketed scale path that bounds the pairwise work.
+    """
+    norm = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("norm"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    a, b = norm.alias("a"), norm.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(f"a.{vec_col}"),
+            F.col(f"b.{vec_col}"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(dot / (F.col("a.norm") * F.col("b.norm")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

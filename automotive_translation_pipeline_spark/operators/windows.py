@@ -1,0 +1,76 @@
+"""Window / ordered-neighbor operators (SURVEY §2.6: R-25..R-29).
+
+All windows partition by a key (batch_id / user_id / job_id) — never a
+global order — so they scale: each partition's window evaluates
+independently after one shuffle on the partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def last_wins(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """R-25: collapse duplicate keys keeping the LAST occurrence in
+    ``order_col`` order — the reference's dict-overwrite contract
+    (``auto_translate.py:514-518``). ``dropDuplicates`` would keep an
+    arbitrary row; the explicit window keeps the contract."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shift_flags(
+    df: DataFrame,
+    batch_col: str = "batch_id",
+    order_col: str = "seq",
+    failed_col: str = "is_failed",
+) -> DataFrame:
+    """R-26 + R-27: flag likely off-by-one ("shifted") translations.
+
+    Reference (``auto_translate.py:1012-1032``): within a batch in input
+    order, a failed row followed by a clean row — or a failed *last* row
+    preceded by a clean row — suggests the LLM shifted ids by one.
+    """
+    w = Window.partitionBy(batch_col).orderBy(order_col)
+    failed = F.col(failed_col)
+    next_ok = ~F.coalesce(F.lead(failed).over(w), F.lit(True))
+    prev_ok = ~F.coalesce(F.lag(failed).over(w), F.lit(True))
+    is_last = F.row_number().over(
+        Window.partitionBy(batch_col).orderBy(F.col(order_col).desc())
+    ) == 1
+    return df.withColumn(
+        "shift_suspect",
+        (failed & next_ok) | (failed & is_last & prev_ok),
+    )
+
+
+def topk_recent(df: DataFrame, ts_col: str, k: int = 5, tiebreak: str | None = None) -> DataFrame:
+    """R-28: most-recent-k rows (reference ``batch_tracker.py:132-140``).
+    Spark turns orderBy+limit into TakeOrderedAndProject — a per-partition
+    top-k plus a k-row merge, no global sort. A tiebreak column keeps the
+    result deterministic when timestamps collide."""
+    order: list[Column] = [F.col(ts_col).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).desc())
+    return df.orderBy(*order).limit(k)
+
+
+def sequence_check(
+    df: DataFrame,
+    batch_col: str,
+    order_col: str,
+    number_col: str,
+) -> DataFrame:
+    """R-29: per batch, parsed line numbers must equal 1..n in order
+    (reference ``old_functionalities/check_and_process.py:296-310``).
+    Emits the violating rows with the expected number."""
+    w = Window.partitionBy(batch_col).orderBy(order_col)
+    return (
+        df.withColumn("expected_number", F.row_number().over(w))
+        .filter(F.col(number_col) != F.col("expected_number"))
+    )

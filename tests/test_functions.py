@@ -1,0 +1,103 @@
+"""Scalar function library tests (cleaning, predicates, text analysis)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from automotive_translation_pipeline_spark.functions.cleaning import (
+    clean_md_aggressive,
+    clean_md_basic,
+    clean_md_multiline,
+    strip_numbering,
+)
+from automotive_translation_pipeline_spark.functions.predicates import (
+    is_suspicious,
+)
+from automotive_translation_pipeline_spark.functions.text import (
+    bpe_token_count,
+    doc_fingerprint,
+    lang_id,
+    script_of,
+    token_count,
+    word_shingles,
+)
+
+
+def _one(spark, expr_fn, value):
+    df = spark.createDataFrame([(value,)], "v string")
+    return df.select(expr_fn(F.col("v")).alias("out")).first()["out"]
+
+
+def test_clean_md_basic(spark):
+    assert _one(spark, clean_md_basic, '```json\n{"a": "b"}\n```') == '{"a": "b"}'
+    assert _one(spark, clean_md_basic, '```\nxyz\n```') == "xyz"
+    assert _one(spark, clean_md_basic, "no fences") == "no fences"
+
+
+def test_clean_md_aggressive(spark):
+    blob = "```javascript\ncode here\n```"
+    assert _one(spark, clean_md_aggressive, blob) == "code here"
+
+
+def test_clean_md_multiline(spark):
+    blob = 'prefix noise\n```\n{"a": "b"}\n{"c": "d"}\n```\nsuffix'
+    assert _one(spark, clean_md_multiline, blob) == '{"a": "b"}\n{"c": "d"}'
+
+
+def test_strip_numbering(spark):
+    assert _one(spark, strip_numbering, "12. hello") == "hello"
+    assert _one(spark, strip_numbering, "no number") == "no number"
+
+
+def test_is_suspicious(spark):
+    cases = {
+        "null": True,
+        "error": True,
+        "```x": True,
+        "<html>": True,
+        "{json}": True,
+        "ab": True,
+        "1234": True,
+        "a real translation": False,
+        "కూలెంట్ తనిఖీ": False,
+    }
+    for text, want in cases.items():
+        assert _one(spark, is_suspicious, text) == want, text
+    # NULL input is suspicious (reference returns True for non-str).
+    df = spark.createDataFrame([(None,)], "v string")
+    assert df.select(is_suspicious(F.col("v")).alias("o")).first()["o"] is True
+
+
+def test_token_counts(spark):
+    assert _one(spark, token_count, "a b c") == 3
+    # 'hello' → ceil(5/4)=2; 'hi' → 1
+    assert _one(spark, bpe_token_count, "hello hi") == 3
+
+
+def test_script_of(spark):
+    assert _one(spark, script_of, "hello world") == "latin"
+    assert _one(spark, script_of, "కూలెంట్") == "telugu"
+    assert _one(spark, script_of, "двигатель") == "cyrillic"
+    assert _one(spark, script_of, "空调") == "cjk"
+    assert _one(spark, script_of, "12345") == "unknown"
+
+
+def test_lang_id(spark):
+    assert _one(spark, lang_id, "the engine of the car is broken") == "en"
+    assert _one(spark, lang_id, "der motor ist nicht gut und die bremse") == "de"
+    assert _one(spark, lang_id, "el motor de la puerta es bueno y la rueda") == "es"
+    assert _one(spark, lang_id, "xyzzy plugh") == "und"
+
+
+def test_fingerprint_normalization(spark):
+    a = _one(spark, doc_fingerprint, "Hello   World")
+    b = _one(spark, doc_fingerprint, "hello world")
+    c = _one(spark, doc_fingerprint, "different")
+    assert a == b != c
+
+
+def test_word_shingles(spark):
+    got = _one(spark, lambda c: word_shingles(c, 3), "a b c d")
+    assert got == ["a b c", "b c d"]
+    # Shorter than k → no shingles.
+    assert _one(spark, lambda c: word_shingles(c, 3), "a b") == []
