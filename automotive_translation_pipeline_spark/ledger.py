@@ -1,0 +1,139 @@
+"""Batch-tracking ledger (SURVEY §1.6, §2.1 R-6c, §7 Milestone 4).
+
+The reference keeps a mutable CSV it rewrites in full for every status
+update (``update_batch_status``, ``auto_translate.py:159-205``) — a
+pattern that cannot survive concurrent writers or scale. The engine
+replaces it with the append-only design its own guide claims
+(BATCH_TRACKING_GUIDE.md:196-201):
+
+* every status transition is an APPENDED event row;
+* the "current" table is a latest-wins VIEW
+  (``row_number() OVER (PARTITION BY job_id ORDER BY ts DESC) = 1``);
+* on a real deployment the parquet append becomes a Delta/Iceberg
+  MERGE — the read semantics stay identical.
+
+All reader operations from the reference's ``batch_tracker.py`` CLI are
+provided: filtered scan (R-8), point lookup (R-9), status counts (R-22),
+language counts (R-23), recent top-k (R-28).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .schemas import LEDGER
+
+# Terminal + transient states (BATCH_TRACKING_GUIDE.md:169-182).
+TERMINAL_STATUSES = ("completed", "failed", "download_failed")
+
+
+class Ledger:
+    """Append-only ledger over a parquet directory."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- writes (append-only; R-6c) ------------------------------------
+
+    def append(self, rows: list[dict]) -> None:
+        """Append event rows. ``timestamp`` defaults to now (unix s)."""
+        now = int(time.time())
+        normalized = [
+            {
+                "batch_id": r["batch_id"],
+                "input_file": r.get("input_file"),
+                "job_id": r["job_id"],
+                "status": r["status"],
+                "timestamp": int(r.get("timestamp", now)),
+                "target_language": r.get("target_language"),
+                "output_file": r.get("output_file"),
+            }
+            for r in rows
+        ]
+        self.spark.createDataFrame(normalized, LEDGER).write.mode("append").parquet(
+            self.path
+        )
+
+    def update_status(
+        self, job_id: str, status: str, output_file: str | None = None
+    ) -> None:
+        """Status transition = append a new event for the job (the
+        reference's read-all/rewrite-all is deliberately NOT ported)."""
+        current = self.get(job_id)
+        if current is None:
+            raise KeyError(f"unknown job_id: {job_id}")
+        row = current.asDict()
+        row.update(
+            status=status,
+            timestamp=int(time.time()),
+            output_file=output_file or row.get("output_file"),
+        )
+        self.append([row])
+
+    # -- reads (all through the latest-wins view) ----------------------
+
+    def events(self) -> DataFrame:
+        """The raw append log (full history — the audit trail the
+        reference loses when it rewrites the file)."""
+        return self.spark.read.schema(LEDGER).parquet(self.path)
+
+    def current(self) -> DataFrame:
+        """Latest-wins view: one row per job_id, newest event wins.
+        This is the ONLY read path — never scan the log directly for
+        current state."""
+        return latest_wins_view(self.events())
+
+    def list(self, status: str | None = None) -> DataFrame:
+        """R-8: filtered scan (None = all), reference
+        ``list_batch_records`` (auto_translate.py:221-235)."""
+        df = self.current()
+        return df.filter(F.col("status") == status) if status else df
+
+    def get(self, job_id: str):
+        """R-9: point lookup, reference ``get_batch_record``
+        (auto_translate.py:208-218). Returns Row or None."""
+        rows = self.current().filter(F.col("job_id") == job_id).limit(1).collect()
+        return rows[0] if rows else None
+
+    # -- reports (batch_tracker.py CLI equivalents) --------------------
+
+    def status_counts(self) -> DataFrame:
+        """R-22 (batch_tracker.py:110-115)."""
+        return self.current().groupBy("status").agg(F.count("*").alias("n"))
+
+    def language_counts(self) -> DataFrame:
+        """R-23 (batch_tracker.py:117-120)."""
+        return (
+            self.current().groupBy("target_language").agg(F.count("*").alias("n"))
+        )
+
+    def recent(self, k: int = 5) -> DataFrame:
+        """R-28 (batch_tracker.py:132-140)."""
+        return (
+            self.current()
+            .orderBy(F.col("timestamp").desc(), F.col("job_id").desc())
+            .limit(k)
+        )
+
+    def pending(self) -> DataFrame:
+        """Jobs still in flight — the poll set for the streaming side."""
+        return self.current().filter(~F.col("status").isin(*TERMINAL_STATUSES))
+
+
+def latest_wins_view(events: DataFrame, key: str = "job_id") -> DataFrame:
+    """R-25 applied to the ledger: newest event per key, ties broken by
+    status ordinal so a terminal state beats a transient one written in
+    the same second."""
+    ordinal = F.when(F.col("status").isin(*TERMINAL_STATUSES), 1).otherwise(0)
+    w = Window.partitionBy(key).orderBy(
+        F.col("timestamp").desc(), ordinal.desc(), F.col("status").desc()
+    )
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (BASELINE.json extension
+surface; background: REPOSE ICDE'21 / Odyssey VLDB'23 in PAPERS.md).
+
+Two paths:
+
+* ``cosine_topk_bruteforce`` — exact top-k: broadcast the (small) query
+  set against the corpus, JVM-side ``zip_with``/``aggregate`` dot
+  product, per-query window top-k. At 100 TB the corpus side stays
+  partitioned; each partition scores locally and the window reduces
+  k·|Q| rows — no corpus shuffle at all.
+* ``cosine_topk_lsh`` — approximate: random-hyperplane (SRP) bucketing
+  prunes the corpus to same-bucket candidates before exact scoring.
+  The classic recall/cost trade; bucket width = ``n_planes`` bits.
+
+Everything is native column expressions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: for every query vector, the k nearest corpus
+    vectors (self-matches excluded when ids collide).
+
+    Returns (query_id, vec_id, cosine) with deterministic tie-break on
+    vec_id.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__cvec"), _norm(F.col(vec_col)).alias("__cnorm")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q.withColumn("__qnorm", _norm(F.col("__qvec")))))
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn(
+            "cosine",
+            _dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qnorm") * F.col("__cnorm")),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(query_id_col, id_col, "cosine")
+    )
+
+
+def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Signed-random-projection bucket id: one bit per hyperplane
+    (sign of the dot product), packed into a long."""
+    out = F.lit(0)
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out
+
+
+def _deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Pseudo-random hyperplanes from a fixed LCG — deterministic across
+    runs/engines without numpy state."""
+    planes, seed = [], 0x2545F491
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            seed = (seed * 1103515245 + 12345) % (1 << 31)
+            row.append(seed / float(1 << 31) - 0.5)
+        planes.append(row)
+    return planes
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k: SRP-bucket both sides, score only
+    same-bucket pairs. Recall < 1.0 by design; the scale path when the
+    corpus is too big to brute-force per query."""
+    planes = _deterministic_planes(n_planes, dim)
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        srp_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cvec"),
+        srp_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__bucket")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn(
+            "cosine",
+            _dot(F.col("__qvec"), F.col("__cvec"))
+            / (_norm(F.col("__qvec")) * _norm(F.col("__cvec"))),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(query_id_col, id_col, "cosine")
+    )

@@ -560,3 +560,759 @@ def f19_strip_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["documents"].select(
         "doc_id", strip_numbering(numbered).alias("stripped")
     )
+
+
+# =========================================================================
+# §3.1 the flagship pipeline, oracle-checked end to end
+# =========================================================================
+
+# DuckDB replica of the ENTIRE mock pipeline. Every stage mirrors the
+# Spark plan deterministically:
+# - dedup: doc_id % 7 == 0 rows are "already translated" (R-12);
+# - pack: per-language prefix-sum batches, limit 4000 (R-17);
+# - mock translate: format index = sum(ascii(custom_id)) % 4; the
+#   truncated format (idx 2) loses its LAST entry (by id string sort)
+#   when the batch has >= 2 rows — exactly what repair recovers (F-10);
+# - parse: values failing the R-10 suspicious predicate are dropped;
+# - rejoin: missing -> NULL translation (R-13);
+# - flags: suspicious + lead/lag shift detection (R-26/R-27).
+_SUSPICIOUS_SQL = """(
+    {v} IS NULL
+    OR lower(trim({v})) IN ('[translation_failed]','plaintext','text','code',
+        'output','none','null','undefined','error','failed','missing',
+        'empty','json','translation','response','content','message',
+        'system','user')
+    OR trim({v}) LIKE '``%'
+    OR trim({v}) LIKE '<%'
+    OR trim({v}) LIKE '{{%'
+    OR trim({v}) LIKE '[%'
+    OR length(trim({v})) < 3
+    OR regexp_full_match(trim({v}), '\\d+'))"""
+
+_PIPELINE_SQL_BASE = f"""
+    WITH docs AS (
+        SELECT cast(doc_id AS varchar) AS description_id,
+               trim(text) AS sentence, lang AS shard, doc_id AS seq
+        FROM documents
+        WHERE length(trim(text)) > 0
+    ), todo AS (
+        SELECT * FROM docs WHERE seq % 7 <> 0
+    ), costed AS (
+        SELECT *, {_DUCK_BPE.format(c="sentence")}
+                  + {_DUCK_BPE.format(c="sentence")} * 1.8 AS cost
+        FROM todo
+    ), assigned AS (
+        SELECT description_id, sentence, shard, seq,
+               shard || '-' || cast(cast(floor(
+                   (sum(cost) OVER (PARTITION BY shard ORDER BY seq
+                                    ROWS UNBOUNDED PRECEDING) - 1e-9) / 4000
+               ) as bigint) as varchar) AS batch_id
+        FROM costed
+    ), fmt AS (
+        SELECT batch_id,
+               list_sum(list_transform(string_split(batch_id, ''),
+                                       ch -> ascii(ch))) % 4 AS fmt_idx,
+               count(*) AS n_rows
+        FROM assigned GROUP BY batch_id
+    ), ranked AS (
+        SELECT a.*, f.fmt_idx, f.n_rows,
+               row_number() OVER (PARTITION BY a.batch_id
+                                  ORDER BY a.description_id DESC) AS rn_desc
+        FROM assigned a JOIN fmt f USING (batch_id)
+    ), joined AS (
+        SELECT batch_id, description_id, sentence AS english_sentence, seq,
+               CASE WHEN fmt_idx = 2 AND n_rows >= 2 AND rn_desc = 1 THEN NULL
+                    WHEN {_SUSPICIOUS_SQL.format(v="reverse(sentence)")} THEN NULL
+                    ELSE reverse(sentence) END AS translation
+        FROM ranked
+    ), flagged AS (
+        SELECT *, translation IS NULL AS is_failed,
+               {_SUSPICIOUS_SQL.format(v="translation")} AS is_suspicious
+        FROM joined
+    ), shifted AS (
+        SELECT *,
+               (is_failed AND NOT coalesce(lead(is_failed) OVER w, TRUE))
+               OR (is_failed
+                   AND row_number() OVER (PARTITION BY batch_id
+                                          ORDER BY seq DESC) = 1
+                   AND NOT coalesce(lag(is_failed) OVER w, TRUE))
+                   AS shift_suspect
+        FROM flagged
+        WINDOW w AS (PARTITION BY batch_id ORDER BY seq)
+    )
+"""
+
+
+@register(
+    "pipeline_rows",
+    _PIPELINE_SQL_BASE
+    + """
+    SELECT batch_id, description_id, english_sentence, translation,
+           is_failed, is_suspicious, shift_suspect
+    FROM shifted
+    """,
+)
+def pipeline_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline (SURVEY §3.1), row level: every stage of
+    scan→dedup→pack→translate→parse/repair→rejoin→flags checked against
+    a pure-SQL replica of the mock."""
+    from .plans.pipeline import translation_pipeline
+
+    return translation_pipeline(spark, sf_dir).select(
+        "batch_id",
+        "description_id",
+        "english_sentence",
+        "translation",
+        "is_failed",
+        "is_suspicious",
+        "shift_suspect",
+    )
+
+
+@register(
+    "pipeline_summary",
+    _PIPELINE_SQL_BASE
+    + """
+    SELECT count(*) AS total_rows,
+           count(*) - count(CASE WHEN is_failed THEN 1 END) AS successful,
+           count(CASE WHEN is_failed THEN 1 END) AS failed,
+           count(CASE WHEN is_suspicious THEN 1 END) AS suspicious,
+           count(CASE WHEN shift_suspect THEN 1 END) AS shift_suspects,
+           round((count(*) - count(CASE WHEN is_failed THEN 1 END))
+                 * 100.0 / count(*), 2) AS success_rate_pct
+    FROM shifted
+    """,
+)
+def pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-20: the flagship run summary — the entry() DataFrame."""
+    from .plans.pipeline import translation_pipeline_summary
+
+    return translation_pipeline_summary(spark, sf_dir)
+
+
+# =========================================================================
+# TPC-H-style headline queries (bench workload; classic shuffle/join/agg
+# shapes the engine must plan well at 100 TB)
+# =========================================================================
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with partial aggregation.
+    Filter + 6-column projection push into the parquet scan."""
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT o_orderkey, round(revenue, 2) AS revenue_r, o_orderdate FROM (
+        SELECT l.l_orderkey AS o_orderkey,
+               sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+               o.o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate)
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → broadcast join chain →
+    agg → top-k. Customer side broadcasts; lineitem never shuffles for
+    the join, only for the final agg."""
+    t = load_testdata(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t["orders"].filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = t["lineitem"].filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(li.l_orderkey.alias("o_orderkey"), "o_orderdate")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", F.round("revenue", 2).alias("revenue_r"), "o_orderdate")
+    )
+
+
+@register(
+    "tpch_q5_local_suppliers",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join with two broadcast dims and a
+    region filter that prunes most of the star before the fact shuffle."""
+    t = load_testdata(spark, sf_dir)
+    n = t["nation"].alias("n")
+    r = t["region"].filter(F.col("r_name") == "ASIA").alias("r")
+    s = t["supplier"].alias("s")
+    c = t["customer"].alias("c")
+    o = t["orders"].alias("o")
+    li = t["lineitem"].alias("l")
+    dims = F.broadcast(
+        s.join(n, F.col("s.s_nationkey") == F.col("n.n_nationkey"))
+        .join(r, F.col("n.n_regionkey") == F.col("r.r_regionkey"))
+        .select("s.s_suppkey", "s.s_nationkey", "n.n_name")
+    )
+    return (
+        li.join(F.broadcast(o), F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        .join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"))
+        .join(
+            dims,
+            (F.col("l.l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c.c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# =========================================================================
+# Extension surface: dedup / similarity / text analysis / semi-structured
+# (BASELINE.json mandate; SURVEY §7 Milestone 6)
+# =========================================================================
+
+# Normalized text + distinct 3-word shingles, DuckDB side.
+_DUCK_NORM = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+_DUCK_SHINGLE_CTE = f"""
+    WITH d AS (
+        SELECT doc_id, {_DUCK_NORM.format(c="text")} AS nt FROM documents
+    ), w AS (
+        SELECT doc_id, string_split(nt, ' ') AS words FROM d
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(words) - 1), i ->
+                   array_to_string(list_slice(words, i, i + 2), ' '))) AS shingles
+        FROM w WHERE len(words) >= 3
+    )
+"""
+
+
+@register(
+    "dedup_exact_groups",
+    f"""
+    SELECT md5({_DUCK_NORM.format(c="text")}) AS fingerprint,
+           min(doc_id) AS keeper, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-content fingerprint,
+    keeping the lowest id (one uniform shuffle on the 128-bit hash)."""
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy(doc_fingerprint(F.col("text")).alias("fingerprint"))
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_minhash_candidates",
+    _DUCK_SHINGLE_CTE
+    + """
+    , sig AS (
+        SELECT doc_id,
+               list_transform(range(0, 16), i ->
+                   list_min(list_transform(shingles, s -> md5(i || ':' || s)))
+               ) AS sig
+        FROM sh
+    ), banded AS (
+        SELECT doc_id, b.band,
+               array_to_string(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4),
+                               '|') AS bucket
+        FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands): near-dup candidate pairs. The md5-based
+    min-wise family is engine-portable, so the DuckDB oracle verifies the
+    full signature→band→bucket-join path."""
+    from .operators.dedup import minhash_lsh_candidates
+
+    t = load_testdata(spark, sf_dir)
+    return minhash_lsh_candidates(
+        t["documents"], text_col="text", id_col="doc_id", num_hashes=16, bands=4, k=3
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _DUCK_SHINGLE_CTE
+    + """
+    , ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    dfreq AS (SELECT s, count(*) AS c FROM ex GROUP BY s),
+    rare AS (SELECT e.doc_id, e.s FROM ex e
+             JOIN dfreq ON e.s = dfreq.s AND dfreq.c <= 50),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+        FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), sz AS (SELECT doc_id, len(shingles) AS ns FROM sh)
+    SELECT id_a, id_b,
+           round(ni * 1.0 / (sa.ns + sb.ns - ni), 4) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE ni * 1.0 / (sa.ns + sb.ns - ni) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs >= 0.8 via shingle-join, with the
+    hot-shingle guard (doc-frequency cap) that keeps the join linear."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    t = load_testdata(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        t["documents"], text_col="text", id_col="doc_id", k=3, threshold=0.8
+    )
+
+
+_DUCK_EMB_CTE = """
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, emb,
+               sqrt(list_sum(list_transform(emb, v -> v * v))) AS nrm
+        FROM e
+    )
+"""
+
+
+@register(
+    "dedup_embedding_pairs",
+    _DUCK_EMB_CTE
+    + """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(list_zip(a.emb, b.emb),
+                                         x -> x[1] * x[2]))
+                 / (a.nrm * b.nrm), 4) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.emb, b.emb), x -> x[1] * x[2]))
+          / (a.nrm * b.nrm) >= 0.4
+    """,
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above 0.4 (testdata has no planted
+    embedding dups; 0.4 exercises the operator with a non-empty result)."""
+    from .operators.dedup import embedding_near_dup
+
+    t = load_testdata(spark, sf_dir)
+    return embedding_near_dup(t["embeddings"], threshold=0.4)
+
+
+@register(
+    "ann_cosine_topk",
+    _DUCK_EMB_CTE
+    + """
+    , scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               list_sum(list_transform(list_zip(q.emb, c.emb), x -> x[1] * x[2]))
+               / (q.nrm * c.nrm) AS cosine
+        FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, vec_id, round(cosine, 4) AS cosine_r FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored)
+    WHERE rk <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search baseline: exact cosine top-10 for 5 query
+    vectors, brute force (corpus stays partitioned; queries broadcast)."""
+    from .operators.similarity import cosine_topk_bruteforce
+
+    t = load_testdata(spark, sf_dir)
+    emb = t["embeddings"]
+    out = cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine_r")
+    )
+
+
+@register(
+    "text_lang_id_counts",
+    """
+    SELECT lang_pred, count(*) AS n FROM (
+        SELECT CASE
+            WHEN best = 0 THEN 'und'
+            WHEN s_en = best THEN 'en'
+            WHEN s_de = best THEN 'de'
+            WHEN s_es = best THEN 'es'
+            WHEN s_fr = best THEN 'fr'
+            ELSE 'und' END AS lang_pred
+        FROM (
+            SELECT greatest(s_en, s_de, s_es, s_fr) AS best, *
+            FROM (
+                SELECT
+                  len(list_filter(words, w -> w IN ('the','and','of','to','a',
+                      'in','is','it','that','for'))) AS s_en,
+                  len(list_filter(words, w -> w IN ('der','die','das','und',
+                      'ist','nicht','ein','mit','auf','von'))) AS s_de,
+                  len(list_filter(words, w -> w IN ('el','la','de','que','y',
+                      'en','un','por','con','una'))) AS s_es,
+                  len(list_filter(words, w -> w IN ('le','la','de','et','les',
+                      'des','est','un','une','dans'))) AS s_fr
+                FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+')
+                          AS words FROM documents))))
+    GROUP BY lang_pred
+    """,
+)
+def text_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword hits), rolled up. Priority order
+    en > de > es > fr on ties, matching functions.text.lang_id."""
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "text_quality_scores",
+    """
+    SELECT doc_id, round((len_score + punct_score + stop_score) / 3, 4) AS quality
+    FROM (
+        SELECT doc_id,
+               least(1.0, n_words / 50.0) AS len_score,
+               greatest(0.0, 1.0 - (punct * 1.0 / greatest(n_chars, 1)) * 4)
+                   AS punct_score,
+               least(1.0, stop_hits / greatest(n_words * 0.05, 1.0)) AS stop_score
+        FROM (
+            SELECT doc_id,
+                   length(trim(text)) AS n_chars,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+                   length(regexp_replace(trim(text),
+                       '[^!-/:-@\\[-`{-~]', '', 'g')) AS punct,
+                   len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       w -> lower(w) IN ('the','and','of','to','a','in','is',
+                                         'it','that','for'))) AS stop_hits
+            FROM documents))
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score (length/punctuation/stopword mix) —
+    the cheap pretraining-corpus filter."""
+    t = load_testdata(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+
+
+@register(
+    "text_fingerprints",
+    f"""
+    SELECT doc_id, md5({_DUCK_NORM.format(c="text")}) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized content."""
+    t = load_testdata(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+@register(
+    "r4_json_props_extract",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def r4_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-4-style semi-structured extraction: JSON props column → typed
+    field via from_json (auto_translate.py:392-407's nested pull)."""
+    t = load_testdata(spark, sf_dir)
+    return t["events"].select(
+        "event_id",
+        F.from_json(F.col("props"), "struct<k:bigint>").getField("k").alias("k_value"),
+    )
+
+
+@register(
+    "r16_stem_pairing",
+    """
+    SELECT l.stem, l.csv_file, r.jsonl_file FROM
+        (SELECT DISTINCT source || '.csv' AS csv_file,
+                source AS stem FROM documents) l
+    JOIN
+        (SELECT DISTINCT source || '.jsonl' AS jsonl_file,
+                source AS stem FROM documents WHERE source <> 'src0') r
+    USING (stem)
+    """,
+)
+def r16_stem_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-16: pair files by basename stem; unmatched stems drop out
+    (old_functionalities/batch_translator.py:172-180)."""
+    from .operators.joins import pair_by_stem
+
+    t = load_testdata(spark, sf_dir)
+    left = t["documents"].select(
+        F.concat_ws(".", "source", F.lit("csv")).alias("csv_file")
+    ).distinct()
+    right = (
+        t["documents"]
+        .filter(F.col("source") != "src0")
+        .select(F.concat_ws(".", "source", F.lit("jsonl")).alias("jsonl_file"))
+        .distinct()
+    )
+    return pair_by_stem(left, right, "csv_file", "jsonl_file").select(
+        "stem", "csv_file", "jsonl_file"
+    )
+
+
+# =========================================================================
+# Streaming semantics, batch-checked (SURVEY §2.11; the streaming plans in
+# streaming/jobs.py are identical — Structured Streaming runs the same
+# logical plan incrementally)
+# =========================================================================
+
+
+@register(
+    "stream_tumbling_counts",
+    """
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute windowed counts — the engine's watermark agg
+    (streaming/jobs.py:event_window_counts) on the batch path."""
+    from .streaming import event_window_counts
+
+    t = load_testdata(spark, sf_dir)
+    return event_window_counts(t["events"], window="10 minutes").select(
+        "window_start", "event_type", "n", "total_value"
+    )
+
+
+@register(
+    "stream_session_windows",
+    """
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 5 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM (
+        SELECT user_id, ts,
+               sum(CASE WHEN new_sess THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM (
+            SELECT user_id, ts, event_id,
+                   coalesce(ts - lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                            > INTERVAL 5 MINUTE, TRUE) AS new_sess
+            FROM events))
+    GROUP BY user_id, sess_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (5-minute gap) — the
+    session_window plan (streaming/jobs.py:event_session_windows),
+    oracle-checked against the classic gaps-and-islands SQL."""
+    from .streaming import event_session_windows
+
+    t = load_testdata(spark, sf_dir)
+    return event_session_windows(t["events"], gap="5 minutes").select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
+# =========================================================================
+# §2.5 / §2.8 extension coverage: rollup, pivot, exact distinct, set ops
+# =========================================================================
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT lang, source, count(*) AS n
+    FROM documents GROUP BY ROLLUP(lang, source)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup — the built-in generalization of the
+    reference's hand-accumulated multi-level summary (R-21)."""
+    t = load_testdata(spark, sf_dir)
+    return t["documents"].rollup("lang", "source").agg(F.count("*").alias("n"))
+
+
+@register(
+    "agg_pivot",
+    """
+    SELECT lang,
+           count(*) FILTER (event_or_src = 'src0') AS src0,
+           count(*) FILTER (event_or_src = 'src1') AS src1,
+           count(*) FILTER (event_or_src = 'src2') AS src2
+    FROM (SELECT lang, source AS event_or_src FROM documents)
+    GROUP BY lang
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list → stable schema, no extra pass)."""
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .pivot("source", ["src0", "src1", "src2"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+@register(
+    "agg_exact_distinct",
+    """
+    SELECT count(DISTINCT user_id) AS n_users,
+           count(DISTINCT event_type) AS n_types
+    FROM events
+    """,
+)
+def agg_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (the approx_count_distinct twin is
+    rows-only checked — sketches aren't oracle-reproducible)."""
+    t = load_testdata(spark, sf_dir)
+    return t["events"].agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@register(
+    "setop_except_intersect",
+    """
+    SELECT 'only_events' AS side, user_id FROM
+        (SELECT DISTINCT user_id FROM events
+         EXCEPT SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'both' AS side, user_id FROM
+        (SELECT DISTINCT user_id FROM events
+         INTERSECT SELECT c_custkey FROM customer)
+    """,
+)
+def setop_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 set operations: EXCEPT / INTERSECT / UNION ALL in one plan."""
+    t = load_testdata(spark, sf_dir)
+    ev = t["events"].select(F.col("user_id")).distinct()
+    cust = t["customer"].select(F.col("c_custkey").alias("user_id"))
+    only = ev.exceptAll(cust.distinct()).select(
+        F.lit("only_events").alias("side"), "user_id"
+    )
+    both = ev.intersect(cust).select(F.lit("both").alias("side"), "user_id")
+    return only.unionAll(both)
+
+
+# =========================================================================
+# Rows-only checks (not oracle-expressible: engine-specific hashes /
+# approximate sketches)
+# =========================================================================
+
+
+@register("dedup_simhash_buckets", None)
+def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 near-dup buckets (xxhash64-based — engine-specific bit
+    patterns, so rows-only check + unit tests instead of an oracle)."""
+    from .operators.dedup import simhash64
+
+    t = load_testdata(spark, sf_dir)
+    sh = t["documents"].select(
+        "doc_id", simhash64(F.col("text")).alias("simhash")
+    )
+    # Bucket by the top 16 bits: candidate groups for near-dup scan.
+    return (
+        sh.withColumn("bucket", F.shiftrightunsigned("simhash", 48))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.collect_set("doc_id").alias("doc_ids"))
+        .filter(F.col("n") > 1)
+        .select("bucket", "n")
+    )
+
+
+@register("agg_approx_distinct", None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approx distinct — sketch results are engine-specific, so this
+    is declared rows-only; accuracy is asserted in unit tests."""
+    t = load_testdata(spark, sf_dir)
+    return t["events"].agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+@register("ann_cosine_lsh", None)
+def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k (recall<1 by design → rows-only; the
+    exact brute-force twin ann_cosine_topk is the oracle-checked one)."""
+    from .operators.similarity import cosine_topk_lsh
+
+    t = load_testdata(spark, sf_dir)
+    emb = t["embeddings"]
+    return cosine_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=6
+    ).select("query_id", "vec_id", F.round("cosine", 4).alias("cosine_r"))

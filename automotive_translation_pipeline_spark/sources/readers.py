@@ -99,7 +99,9 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         for c in _NANO_TS_COLS.get(name, ()):
             if dict(df.dtypes).get(c) == "bigint":
-                df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+                # Integer division — float division loses 1µs at ~1.7e18
+                # nanos, silently shifting timestamps off the oracle's.
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

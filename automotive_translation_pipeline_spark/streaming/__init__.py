@@ -1,0 +1,6 @@
+from .jobs import (  # noqa: F401
+    event_session_windows,
+    event_window_counts,
+    ledger_state_stream,
+    repair_pass,
+)

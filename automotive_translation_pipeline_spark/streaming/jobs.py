@@ -1,0 +1,163 @@
+"""Structured Streaming surface (SURVEY §2.11, §7 Milestone 5).
+
+The reference's streaming-shaped behaviors and their engine mappings:
+
+* X-3 5-minute poll loop (``auto_translate.py:362-374``) →
+  ``trigger(processingTime="300 seconds")`` micro-batches;
+* ledger status transitions (§1.6) → ``applyInPandasWithState`` keyed
+  by job_id (``ledger_state_stream``), emitting transition records;
+* emit-with-placeholder + later repair (``auto_translate.py:977-992``,
+  ``analyze`` mode) → ``repair_pass`` as a foreachBatch second chance;
+* extension surface: tumbling/sliding window counts + watermark late
+  policy and session windows over the events table.
+
+Tests drive these with the file/rate sources; production would swap in
+Kafka — the plans are source-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+POLL_INTERVAL_SECS = 300  # reference auto_translate.py:33
+
+# --- windowed aggregations (extension surface) ----------------------------
+
+
+def event_window_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding) per-type counts with a watermark: late rows
+    beyond the watermark are dropped deterministically rather than
+    blocking state growth — the scale-safe late-data policy."""
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def event_session_windows(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session windows per user (gap-based) — the reference has no
+    sessionization; this is the Structured Streaming extension."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+# --- stateful ledger tracking ---------------------------------------------
+
+LEDGER_STATE_SCHEMA = "job_id string, status string, n_updates long"
+_TRANSITION_SCHEMA = (
+    "job_id string, prev_status string, status string, n_updates long"
+)
+
+
+def _track_job(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-job state machine: remember the last status, emit one row per
+    observed transition. State times out after inactivity so completed
+    jobs don't pin memory forever."""
+    (job_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    prev_status, n = state.get if state.exists else (None, 0)
+    out = []
+    for pdf in pdfs:
+        for _, row in pdf.sort_values("timestamp").iterrows():
+            if row["status"] != prev_status:
+                out.append((job_id, prev_status, row["status"], n + 1))
+            prev_status = row["status"]
+            n += 1
+    state.update((prev_status, n))
+    state.setTimeoutDuration(24 * 3600 * 1000)
+    if out:
+        yield pd.DataFrame(
+            out, columns=["job_id", "prev_status", "status", "n_updates"]
+        )
+
+
+def ledger_state_stream(ledger_events: DataFrame) -> DataFrame:
+    """§2.11 stateful tracking: ledger events → status-transition stream
+    via applyInPandasWithState keyed by job_id.
+
+    Requires the RocksDB state store (set by our session factory): the
+    HDFS-backed default NPEs with Python stateful workers on Spark 4.1,
+    and RocksDB is the right provider at scale regardless. Sink must be
+    a real sink (file/kafka/foreachBatch) — the memory sink hits the
+    same planner bug.
+    """
+    spark = ledger_events.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    return (
+        ledger_events.groupBy("job_id")
+        .applyInPandasWithState(
+            _track_job,
+            outputStructType=_TRANSITION_SCHEMA,
+            stateStructType="status string, n_updates long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+# --- repair second pass ---------------------------------------------------
+
+
+def repair_pass(responses: DataFrame) -> DataFrame:
+    """The analyze-mode repair re-run (``auto_translate.py:1339-1396``)
+    as a batch transform suitable for ``foreachBatch``: take stored
+    responses, re-parse with repair, emit recovered rows."""
+    from ..functions.parsing import parse_translations
+    from ..functions.repair import repair_json_udf
+
+    repaired = responses.select(
+        "custom_id",
+        F.coalesce(repair_json_udf(F.col("content")), F.col("content")).alias(
+            "repaired"
+        ),
+    )
+    return repaired.select(
+        F.col("custom_id").alias("batch_id"),
+        F.explode(parse_translations(F.col("repaired"))).alias(
+            "description_id", "translation"
+        ),
+    )

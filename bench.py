@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": ...}
+
+Each query executes fully through the noop sink (no collect-to-driver
+bottleneck, no count()-style column pruning that would skip the work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline workload: the flagship pipeline + classic join/agg shapes +
+# the extension operators that dominate cost at scale.
+HEADLINE = [
+    "pipeline_rows",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_suppliers",
+    "r17_pack_cumsum",
+    "r25_last_wins",
+    "dedup_minhash_candidates",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from automotive_translation_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="atp_spark_bench", cpus=CPUS)
+    qs = entrymod.queries()
+
+    # Warm the JVM/codegen once so per-query numbers measure the plan,
+    # not first-call JIT.
+    qs["r23_group_by_language"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Ledger tests (M4): append-only log + latest-wins view semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from automotive_translation_pipeline_spark.ledger import Ledger
+
+
+@pytest.fixture()
+def ledger(spark, tmp_path):
+    led = Ledger(spark, str(tmp_path / "ledger"))
+    led.append(
+        [
+            {
+                "batch_id": "fileA_1700000000",
+                "input_file": "fileA.csv",
+                "job_id": "batch_aaa",
+                "status": "submitted",
+                "timestamp": 1700000000,
+                "target_language": "Telugu",
+            },
+            {
+                "batch_id": "fileB_1700000100",
+                "input_file": "fileB.csv",
+                "job_id": "batch_bbb",
+                "status": "submitted",
+                "timestamp": 1700000100,
+                "target_language": "Hindi",
+            },
+        ]
+    )
+    return led
+
+
+def test_latest_wins_after_updates(ledger):
+    ledger.append(
+        [
+            {
+                "batch_id": "fileA_1700000000",
+                "job_id": "batch_aaa",
+                "status": "in_progress",
+                "timestamp": 1700000200,
+            },
+            {
+                "batch_id": "fileA_1700000000",
+                "job_id": "batch_aaa",
+                "status": "completed",
+                "timestamp": 1700000300,
+                "output_file": "out.csv",
+            },
+        ]
+    )
+    cur = {r["job_id"]: r for r in ledger.current().collect()}
+    assert len(cur) == 2
+    assert cur["batch_aaa"]["status"] == "completed"
+    assert cur["batch_bbb"]["status"] == "submitted"
+    # Full history is preserved (the audit trail).
+    assert ledger.events().count() == 4
+
+
+def test_point_lookup_and_filter(ledger):
+    assert ledger.get("batch_aaa")["status"] == "submitted"
+    assert ledger.get("batch_zzz") is None
+    assert ledger.list("submitted").count() == 2
+    assert ledger.list().count() == 2
+
+
+def test_update_status_api(ledger):
+    ledger.update_status("batch_bbb", "completed", output_file="b.csv")
+    row = ledger.get("batch_bbb")
+    assert row["status"] == "completed"
+    assert row["output_file"] == "b.csv"
+    with pytest.raises(KeyError):
+        ledger.update_status("nope", "failed")
+
+
+def test_terminal_beats_transient_same_second(ledger):
+    # Two events with the SAME timestamp: terminal status must win.
+    ledger.append(
+        [
+            {
+                "batch_id": "fileB_1700000100",
+                "job_id": "batch_bbb",
+                "status": "finalizing",
+                "timestamp": 1700000500,
+            },
+            {
+                "batch_id": "fileB_1700000100",
+                "job_id": "batch_bbb",
+                "status": "completed",
+                "timestamp": 1700000500,
+            },
+        ]
+    )
+    assert ledger.get("batch_bbb")["status"] == "completed"
+
+
+def test_reports(ledger):
+    ledger.update_status("batch_aaa", "completed")
+    counts = {r["status"]: r["n"] for r in ledger.status_counts().collect()}
+    assert counts == {"completed": 1, "submitted": 1}
+    langs = {r["target_language"]: r["n"] for r in ledger.language_counts().collect()}
+    assert langs == {"Telugu": 1, "Hindi": 1}
+    rec = ledger.recent(1).collect()
+    assert rec[0]["job_id"] == "batch_aaa"  # newest update wins the top spot
+    assert ledger.pending().count() == 1
