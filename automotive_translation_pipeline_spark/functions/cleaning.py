@@ -51,31 +51,37 @@ def clean_md_multiline(c: Column) -> Column:
     """F-5: keep only non-blank lines *inside* fences; if no fenced lines
     exist, fall back to F-3. Reference: ``auto_translate.py:443-466``.
 
-    The reference walks lines with an ``in_code_block`` toggle. The same
-    state machine is a prefix count of fence lines: a line is "inside"
-    when the number of fence markers strictly before it is odd. Expressed
-    with higher-order array functions — no UDF, no shuffle.
+    The reference walks lines with an ``in_code_block`` toggle. Here the
+    same state machine is a single linear ``aggregate`` fold over the
+    split lines — (in_block, kept_lines) as the accumulator. (A
+    prefix-count-of-fences formulation with per-line ``slice`` is
+    quadratic in line count and ballooned whole-stage codegen time.)
     """
     lines = F.split(c, "\n")
-    # fences_before[i] = count of fence lines among lines[0..i-1]
-    indexed = F.transform(lines, lambda x, i: F.struct(ws_trim(x).alias("l"), i.alias("i")))
-    inside = F.filter(
-        indexed,
-        lambda s: (~s["l"].startswith("```"))
-        & (s["l"] != "")
-        & (
-            F.size(
-                F.filter(
-                    F.slice(lines, 1, s["i"]),
-                    lambda p: ws_trim(p).startswith("```"),
-                )
-            )
-            % 2
-            == 1
+    kept = F.aggregate(
+        lines,
+        F.struct(
+            F.lit(False).alias("in_block"),
+            F.array().cast("array<string>").alias("acc"),
         ),
+        lambda st, raw: F.struct(
+            F.when(ws_trim(raw).startswith("```"), ~st["in_block"])
+            .otherwise(st["in_block"])
+            .alias("in_block"),
+            F.when(
+                ~ws_trim(raw).startswith("```")
+                & st["in_block"]
+                & (ws_trim(raw) != ""),
+                F.concat(st["acc"], F.array(ws_trim(raw))),
+            )
+            .otherwise(st["acc"])
+            .alias("acc"),
+        ),
+        lambda st: st["acc"],
     )
-    joined = F.array_join(F.transform(inside, lambda s: s["l"]), "\n")
-    return F.when(F.size(inside) > 0, joined).otherwise(clean_md_basic(c))
+    return F.when(F.size(kept) > 0, F.array_join(kept, "\n")).otherwise(
+        clean_md_basic(c)
+    )
 
 
 def clean_unicode_escapes(c: Column) -> Column:

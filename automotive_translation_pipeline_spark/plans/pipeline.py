@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.parsing import parse_translations
-from ..functions.predicates import is_suspicious
+from ..functions.predicates import is_suspicious, is_truncated
 from ..functions.repair import repair_json_udf
 from ..operators.aggregates import run_summary
 from ..operators.dedup import anti_join_dedup
@@ -79,11 +79,18 @@ def translation_pipeline(
     # ExtractPythonUDFs then runs it as one Arrow stage, and the native
     # parse cascade (which uses higher-order lambdas) reads its output
     # as a plain attribute — a UDF nested inside a lambda is unsupported.
+    # The native is_truncated gate keeps Python off the healthy rows:
+    # repair_content() only acts on blobs is_truncated() covers, so
+    # gating is exactly semantics-preserving and at scale the Arrow
+    # stage sees only the (rare) damaged batches.
     repaired = responses.select(
         F.col("custom_id").alias("batch_id"),
-        F.coalesce(repair_json_udf(F.col("content")), F.col("content")).alias(
-            "repaired_content"
-        ),
+        F.when(
+            is_truncated(F.col("content")),
+            F.coalesce(repair_json_udf(F.col("content")), F.col("content")),
+        )
+        .otherwise(F.col("content"))
+        .alias("repaired_content"),
     )
     parsed = repaired.select(
         "batch_id",

@@ -1316,3 +1316,62 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(
         emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=6
     ).select("query_id", "vec_id", F.round("cosine", 4).alias("cosine_r"))
+
+
+@register(
+    "f14_job_id_extract",
+    """
+    SELECT event_id,
+           regexp_extract('Job submitted successfully. Job ID: batch_'
+                          || cast(event_id as varchar) || 'abc. Polling...',
+                          'Job ID: (batch_[a-zA-Z0-9]+)', 1) AS job_id
+    FROM events WHERE event_id < 100
+    """,
+)
+def f14_job_id_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-14: scrape the job id out of orchestrator stdout
+    (batch_auto_translate.py:136-140) — regexp_extract group 1."""
+    t = load_testdata(spark, sf_dir)
+    line = F.concat(
+        F.lit("Job submitted successfully. Job ID: batch_"),
+        F.col("event_id").cast("string"),
+        F.lit("abc. Polling..."),
+    )
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 100)
+        .select(
+            "event_id",
+            F.regexp_extract(line, r"Job ID: (batch_[a-zA-Z0-9]+)", 1).alias("job_id"),
+        )
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-agg — the pushdown/pruning
+    benchmark (4 columns read, 4 predicates, no shuffle beyond the
+    single-row final agg)."""
+    t = load_testdata(spark, sf_dir)
+    li = t["lineitem"]
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )

@@ -147,13 +147,17 @@ def repair_pass(responses: DataFrame) -> DataFrame:
     as a batch transform suitable for ``foreachBatch``: take stored
     responses, re-parse with repair, emit recovered rows."""
     from ..functions.parsing import parse_translations
+    from ..functions.predicates import is_truncated
     from ..functions.repair import repair_json_udf
 
     repaired = responses.select(
         "custom_id",
-        F.coalesce(repair_json_udf(F.col("content")), F.col("content")).alias(
-            "repaired"
-        ),
+        F.when(
+            is_truncated(F.col("content")),
+            F.coalesce(repair_json_udf(F.col("content")), F.col("content")),
+        )
+        .otherwise(F.col("content"))
+        .alias("repaired"),
     )
     return repaired.select(
         F.col("custom_id").alias("batch_id"),

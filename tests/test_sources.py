@@ -1,0 +1,100 @@
+"""Reader/writer round-trip tests (R-1..R-6b)."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+
+from automotive_translation_pipeline_spark.operators.packing import (
+    assign_batches_cumsum,
+    materialize_requests,
+    with_cost,
+)
+from automotive_translation_pipeline_spark.sources import (
+    read_descriptions_csv,
+    read_request_jsonl,
+    read_response_jsonl,
+)
+from automotive_translation_pipeline_spark.sources.writers import (
+    write_output_csv,
+    write_request_jsonl,
+)
+
+
+def test_descriptions_csv_reader(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "description_id,english_sentence\n"
+        "P0001,Check engine coolant level\n"
+        "21,Inspect brake pads\n"
+    )
+    rows = {r["description_id"]: r["english_sentence"]
+            for r in read_descriptions_csv(spark, str(p)).collect()}
+    # String ids preserved verbatim (P0001 doesn't become a float/null).
+    assert rows == {
+        "P0001": "Check engine coolant level",
+        "21": "Inspect brake pads",
+    }
+
+
+def test_request_jsonl_roundtrip(spark, tmp_path):
+    """R-6b writer → R-3 reader round trip through real files."""
+    docs = spark.createDataFrame(
+        [(str(i), f"sentence number {i}", i) for i in range(12)],
+        "description_id string, english_sentence string, seq long",
+    )
+    packed = assign_batches_cumsum(
+        with_cost(docs, "english_sentence"), order_col="seq", limit=60
+    )
+    reqs = materialize_requests(packed, system_prompt="translate")
+    out = str(tmp_path / "requests")
+    write_request_jsonl(reqs, out)
+
+    back = read_request_jsonl(spark, out)
+    payloads = {r["custom_id"]: r["payload"] for r in back.collect()}
+    orig = {r["custom_id"]: r["payload"] for r in reqs.collect()}
+    assert payloads == orig
+    # The written lines are valid one-object-per-line JSONL.
+    import glob
+
+    for f in glob.glob(f"{out}/part-*"):
+        for line in open(f):
+            obj = json.loads(line)
+            assert obj["method"] == "POST"
+            assert obj["body"]["messages"][0]["role"] == "system"
+
+
+def test_response_jsonl_corrupt_line(spark, tmp_path):
+    p = tmp_path / "resp.jsonl"
+    p.write_text(
+        json.dumps(
+            {
+                "custom_id": "b-1",
+                "response": {
+                    "status_code": 200,
+                    "body": {"choices": [{"message": {"content": '{"1": "ok"}'}}]},
+                },
+            }
+        )
+        + "\nnot json at all\n"
+    )
+    rows = read_response_jsonl(spark, str(p)).collect()
+    good = [r for r in rows if r["custom_id"] == "b-1"]
+    bad = [r for r in rows if r["custom_id"] is None]
+    assert good[0]["content"] == '{"1": "ok"}'
+    assert bad and bad[0]["_corrupt_record"] == "not json at all"
+
+
+def test_output_csv_bom_and_sentinel(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("1", "hello", "ok"), ("2", "world", None)],
+        "description_id string, english_sentence string, translated_sentence string",
+    )
+    out = str(tmp_path / "out.csv")
+    write_output_csv(df, out, single_file=True)
+    raw = open(out, "rb").read()
+    assert raw[:3] == b"\xef\xbb\xbf"  # utf-8-sig, reference sink contract
+    body = raw.decode("utf-8-sig")
+    assert "[TRANSLATION_FAILED]" in body  # sentinel materialized at sink
+    assert "ok" in body
