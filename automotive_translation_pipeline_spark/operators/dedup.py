@@ -151,12 +151,20 @@ def ngram_jaccard_pairs(
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     # Hot-shingle guard: a shingle shared by a large fraction of docs
     # creates quadratic pair blowup while carrying no dedup signal.
-    doc_count = df.count()
-    hot_cut = max(50, int(doc_count * 0.05))
-    rare = shingled.join(
-        shingled.groupBy("sh").agg(F.count("*").alias("df_sh")).filter(F.col("df_sh") <= hot_cut),
-        "sh",
-    ).select(id_col, "sh")
+    # The cap max(50, 5% of docs) is computed INSIDE the plan (broadcast
+    # scalar) — a driver-side count() here would be a blocking full scan
+    # at plan-build time.
+    doc_count = df.agg(F.count("*").alias("__n_docs"))
+    shingle_freq = shingled.groupBy("sh").agg(F.count("*").alias("df_sh"))
+    rare_shingles = (
+        shingle_freq.crossJoin(F.broadcast(doc_count))
+        .filter(
+            F.col("df_sh")
+            <= F.greatest(F.lit(50), (F.col("__n_docs") * 0.05).cast("long"))
+        )
+        .select("sh")
+    )
+    rare = shingled.join(rare_shingles, "sh").select(id_col, "sh")
     a, b = rare.alias("a"), rare.alias("b")
     inter = (
         a.join(
@@ -184,9 +192,12 @@ def ngram_jaccard_pairs(
 
 
 def simhash64(text: Column, k: int = 1) -> Column:
-    """64-bit SimHash over word (k=1) shingles: per-bit majority vote of
-    xxhash64(shingle) bits. Native bitwise exprs only — xxhash64 is
-    Spark-side (not oracle-portable; verified by unit tests instead)."""
+    """63-bit SimHash over word (k=1) shingles as a scalar expression:
+    per-bit majority vote of xxhash64(shingle) bits. Fine for ad-hoc /
+    test use on short texts; for table-scale SimHash use
+    ``simhash_table`` (aggregation form — this expression walks the
+    shingle array once per bit). xxhash64 is Spark-side only (not
+    oracle-portable; verified by unit tests instead)."""
     shingles = word_shingles(text, k)
     h = F.transform(shingles, lambda s: F.xxhash64(s))
     bits = [
@@ -202,6 +213,40 @@ def simhash64(text: Column, k: int = 1) -> Column:
     for b in bits:
         out = out.bitwiseOR(b)
     return out
+
+
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 1,
+) -> DataFrame:
+    """Table-scale SimHash: explode shingles → one xxhash64 per row →
+    63 conditional-sum aggregates (map-side partial) → bit assembly.
+    Each shingle is hashed exactly once; the shuffle carries one row of
+    63 small ints per doc. Same output contract as ``simhash64``:
+    (id, simhash long)."""
+    # No distinct: SimHash is frequency-weighted (a word appearing twice
+    # votes twice), matching the scalar form and the classic definition.
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), k)).alias("__sh"),
+    ).select(id_col, F.xxhash64(F.col("__sh")).alias("__h"))
+    counts = shingled.groupBy(id_col).agg(
+        F.count("*").alias("__n"),
+        *[
+            F.sum(
+                F.when(F.col("__h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(0)
+            ).alias(f"b{b}")
+            for b in range(63)
+        ],
+    )
+    sim = F.lit(0)
+    for b in range(63):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{b}") * 2 > F.col("__n"), F.lit(1 << b)).otherwise(F.lit(0))
+        )
+    return counts.select(F.col(id_col), sim.alias("simhash"))
 
 
 def embedding_near_dup(

@@ -903,7 +903,9 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     , ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
     dfreq AS (SELECT s, count(*) AS c FROM ex GROUP BY s),
     rare AS (SELECT e.doc_id, e.s FROM ex e
-             JOIN dfreq ON e.s = dfreq.s AND dfreq.c <= 50),
+             JOIN dfreq ON e.s = dfreq.s
+              AND dfreq.c <= greatest(50, cast(0.05 *
+                      (SELECT count(*) FROM documents) AS bigint))),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
         FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -1277,14 +1279,13 @@ def setop_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash_buckets", None)
 def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash64 near-dup buckets (xxhash64-based — engine-specific bit
-    patterns, so rows-only check + unit tests instead of an oracle)."""
-    from .operators.dedup import simhash64
+    """SimHash near-dup buckets (xxhash64-based — engine-specific bit
+    patterns, so rows-only check + unit tests instead of an oracle).
+    Uses the aggregation-form simhash_table (each shingle hashed once)."""
+    from .operators.dedup import simhash_table
 
     t = load_testdata(spark, sf_dir)
-    sh = t["documents"].select(
-        "doc_id", simhash64(F.col("text")).alias("simhash")
-    )
+    sh = simhash_table(t["documents"], text_col="text", id_col="doc_id")
     # Bucket by the top 16 bits: candidate groups for near-dup scan.
     return (
         sh.withColumn("bucket", F.shiftrightunsigned("simhash", 48))

@@ -55,6 +55,12 @@ def main() -> None:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.time() - t0, 3)
 
+    # Engine-side throughput of the flagship (the BASELINE.md comparable:
+    # rows through pack→translate→parse→rejoin→flags per second, warm).
+    t0 = time.time()
+    n_rows = qs["pipeline_rows"](spark, SF_DIR).count()
+    pipeline_warm = time.time() - t0
+
     total = round(sum(per_query.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -66,6 +72,8 @@ def main() -> None:
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": CPUS,
+                "pipeline_rows": n_rows,
+                "pipeline_rows_per_sec_warm": round(n_rows / max(pipeline_warm, 1e-9), 1),
             }
         )
     )

@@ -1,0 +1,79 @@
+"""Extension-operator tests: sketches, SimHash, similarity recall."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from automotive_translation_pipeline_spark.operators.dedup import simhash64
+from automotive_translation_pipeline_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from automotive_translation_pipeline_spark.sources import load_testdata
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    t = load_testdata(spark, sf_dir)
+    exact = t["events"].select("user_id").distinct().count()
+    approx = t["events"].agg(
+        F.approx_count_distinct("user_id").alias("a")
+    ).first()["a"]
+    # HLL default rsd=5%; allow 10% slack.
+    assert abs(approx - exact) <= max(2, exact * 0.10)
+
+
+def test_simhash_similar_texts_close(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the quick brown fox jumps over the lazy dog near the creek"),
+        (3, "completely different words about spark catalyst optimizer plans"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    h = {r["id"]: r["h"] for r in df.select("id", simhash64(F.col("text")).alias("h")).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(h[1], h[2]) < hamming(h[1], h[3])
+    assert hamming(h[1], h[2]) < hamming(h[2], h[3])
+
+
+def test_lsh_topk_subset_of_bruteforce_corpus(spark, sf_dir):
+    """LSH results are genuine cosine scores (agree with brute force on
+    the pairs it does return) and recall≥1 hit for each query."""
+    t = load_testdata(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["vec_id"]): round(r["cosine"], 6)
+        for r in cosine_topk_bruteforce(emb, queries, k=500).collect()
+    }
+    approx = cosine_topk_lsh(emb, queries, k=10, n_planes=4).collect()
+    assert approx  # buckets non-degenerate
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        assert key in exact
+        assert abs(round(r["cosine"], 6) - exact[key]) < 1e-9
+
+
+def test_simhash_table_matches_scalar(spark):
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        simhash_table,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "spark catalyst optimizer picks broadcast joins"),
+        (3, "one two three four five six seven"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scalar = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", simhash64(F.col("text")).alias("h")
+        ).collect()
+    }
+    table = {
+        r["doc_id"]: r["simhash"] for r in simhash_table(df).collect()
+    }
+    assert scalar == table
