@@ -1376,3 +1376,234 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         )
     )
+
+
+# =========================================================================
+# §3.2 analyze-mode error taxonomy (the 7-bucket classifier,
+# auto_translate.py:1165-1181, over the deterministic mock responses)
+# =========================================================================
+
+
+@register(
+    "analyze_error_taxonomy",
+    _PIPELINE_SQL_BASE.replace("), ranked AS", """), taxonomy AS (
+        SELECT batch_id,
+               CASE
+                 WHEN fmt_idx = 0 THEN 'parsed_clean'
+                 WHEN fmt_idx = 2 AND n_rows >= 2 THEN 'repaired'
+                 ELSE 'parsed_flagged'
+               END AS error_type
+        FROM fmt
+    ), ranked AS""")
+    + """
+    SELECT error_type, count(*) AS n_batches
+    FROM taxonomy GROUP BY error_type
+    """,
+)
+def analyze_error_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analyze-mode classification over mock responses: parse the raw
+    content, flag truncation (reference quirk intact: anything whose
+    last line doesn't end }/"/, is 'flagged'), repair what parse can't
+    handle. Buckets: parsed_clean / parsed_flagged / repaired /
+    unparseable."""
+    from .functions.parsing import parse_translations
+    from .functions.predicates import is_truncated
+    from .functions.repair import repair_json_udf
+    from .operators.packing import (
+        assign_batches_cumsum,
+        materialize_requests,
+        with_cost,
+    )
+    from .translate import translate_requests
+
+    t = load_testdata(spark, sf_dir)
+    docs = (
+        t["documents"]
+        .select(
+            F.col("doc_id").cast("string").alias("description_id"),
+            F.trim("text").alias("english_sentence"),
+            F.col("lang").alias("shard"),
+            F.col("doc_id").alias("seq"),
+        )
+        .filter(F.length("english_sentence") > 0)
+    )
+    todo = docs.filter(F.col("seq") % 7 != 0)
+    assigned = assign_batches_cumsum(
+        with_cost(todo, "english_sentence"), order_col="seq", limit=4000,
+        shard_col="shard",
+    )
+    responses = translate_requests(materialize_requests(assigned))
+    staged = responses.select(
+        F.col("custom_id").alias("batch_id"),
+        F.col("content"),
+        F.size(parse_translations(F.col("content"))).alias("n_parsed"),
+        is_truncated(F.col("content")).alias("truncated"),
+        F.when(
+            is_truncated(F.col("content")), repair_json_udf(F.col("content"))
+        ).alias("repaired_content"),
+    )
+    classified = staged.select(
+        "batch_id",
+        F.when((F.col("n_parsed") > 0) & ~F.col("truncated"), "parsed_clean")
+        .when((F.col("n_parsed") > 0) & F.col("truncated"), "parsed_flagged")
+        .otherwise("needs_repair")
+        .alias("stage1"),
+        "repaired_content",
+    )
+    second = classified.select(
+        "batch_id",
+        F.when(F.col("stage1") != "needs_repair", F.col("stage1"))
+        .when(
+            F.size(parse_translations(F.col("repaired_content"))) > 0, "repaired"
+        )
+        .otherwise("unparseable")
+        .alias("error_type"),
+    )
+    return second.groupBy("error_type").agg(F.count("*").alias("n_batches"))
+
+
+# =========================================================================
+# More classic join/agg shapes (TPC-H adapted to the testdata schema)
+# =========================================================================
+
+
+@register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS → left-semi join, then a small group-by."""
+    t = load_testdata(spark, sf_dir)
+    o, li = t["orders"].alias("o"), t["lineitem"].alias("l")
+    shipped_late = o.join(
+        li,
+        (F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        & (F.col("l.l_shipdate") > F.col("o.o_orderdate")),
+        "left_semi",
+    )
+    return shipped_late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@register(
+    "tpch_q10_returned_revenue",
+    """
+    SELECT c_custkey, c_name, round(revenue, 2) AS revenue_r FROM (
+        SELECT c.c_custkey, c.c_name,
+               sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name)
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: returned-item revenue per customer, top 20 — broadcast
+    dims, one fact shuffle for the agg, TakeOrdered for the k rows."""
+    t = load_testdata(spark, sf_dir)
+    c, o, li = t["customer"], t["orders"], t["lineitem"]
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", F.round("revenue", 2).alias("revenue_r"))
+    )
+
+
+@register(
+    "tpch_q12_priority_lines",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: conditional aggregation over a fact-dim join."""
+    t = load_testdata(spark, sf_dir)
+    li, o = t["lineitem"], t["orders"]
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_share",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promo revenue share — conditional sum ratio."""
+    t = load_testdata(spark, sf_dir)
+    li, p = t["lineitem"], t["part"]
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    """
+    SELECT o_orderkey, round(total_qty, 2) AS total_qty_r FROM (
+        SELECT l_orderkey AS o_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 100)
+    ORDER BY total_qty DESC, o_orderkey LIMIT 20
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: group-having over the fact, top-k of the survivors."""
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 100)
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+        .select("o_orderkey", F.round("total_qty", 2).alias("total_qty_r"))
+    )

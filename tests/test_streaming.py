@@ -131,3 +131,35 @@ def test_repair_pass(spark):
     assert out[("batch-0001", "1")] == "మొదటి అనువాదం"
     assert out[("batch-0001", "2")] == "రెండవ అనువాదం"
     assert out[("batch-0002", "3")] == "మూడవ అనువాదం"
+
+
+def test_poller_drains_pending(spark, tmp_path):
+    """X-3 poll loop: jobs advance submitted→in_progress→completed via a
+    deterministic status simulator; loop ends when nothing is pending."""
+    from automotive_translation_pipeline_spark.ledger import Ledger
+    from automotive_translation_pipeline_spark.streaming.poller import (
+        poll_until_drained,
+    )
+
+    led = Ledger(spark, str(tmp_path / "poll_ledger"))
+    led.append(
+        [
+            {"batch_id": "a", "job_id": "batch_p1", "status": "submitted",
+             "timestamp": 1},
+            {"batch_id": "b", "job_id": "batch_p2", "status": "submitted",
+             "timestamp": 1},
+        ]
+    )
+    calls: dict = {}
+
+    def status_fn(job_id: str) -> str:
+        n = calls.get(job_id, 0) + 1
+        calls[job_id] = n
+        return ["validating", "in_progress", "completed"][min(n - 1, 2)]
+
+    polls = poll_until_drained(spark, led, status_fn, interval_secs=0)
+    assert polls == 3  # three transitions per job, one per poll
+    cur = {r["job_id"]: r["status"] for r in led.current().collect()}
+    assert cur == {"batch_p1": "completed", "batch_p2": "completed"}
+    # Full audit trail: 2 initial + 6 transition events.
+    assert led.events().count() == 8
