@@ -69,6 +69,14 @@ def translation_pipeline(
     assigned = assign_batches_cumsum(
         costed, order_col="seq", limit=limit, shard_col="shard"
     )
+    # The batch assignment feeds BOTH the request materialization and
+    # the expected-rows join side; unpersisted, Spark recomputes the
+    # scan→filter→anti-join→window chain per consumer (4 source scans
+    # in the physical plan). Persist is the staging point — the
+    # reference kept this same artifact in driver memory
+    # (auto_translate.py:340,932-935); on a cluster it's a
+    # MEMORY_AND_DISK cache or an intermediate table write.
+    assigned = assigned.persist()
     requests = materialize_requests(assigned)
 
     # X-5: the grouped translate map (mock in the harness).

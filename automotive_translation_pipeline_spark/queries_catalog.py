@@ -1607,3 +1607,55 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("o_orderkey", F.round("total_qty", 2).alias("total_qty_r"))
     )
+
+
+@register(
+    "profile_lineitem",
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS n_orders,
+           round(min(l_quantity), 2) AS min_qty,
+           round(max(l_quantity), 2) AS max_qty,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           count(CASE WHEN l_discount = 0 THEN 1 END) AS zero_discount_rows,
+           min(l_shipdate) AS first_ship,
+           max(l_shipdate) AS last_ship
+    FROM lineitem
+    """,
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling in one pass — the stats any pipeline needs before
+    deciding partition/skew strategy at scale (single agg, no shuffle
+    beyond the 1-row final combine)."""
+    t = load_testdata(spark, sf_dir)
+    li = t["lineitem"]
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.count(F.when(F.col("l_discount") == 0, 1)).alias("zero_discount_rows"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT lang, source, count(*) AS n, round(avg(n_chars), 2) AS avg_chars
+    FROM documents GROUP BY CUBE(lang, source)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (lang, source) — all four grouping sets in one
+    pass (Spark expands to a single shuffle with grouping-id)."""
+    t = load_testdata(spark, sf_dir)
+    return t["documents"].cube("lang", "source").agg(
+        F.count("*").alias("n"), F.round(F.avg("n_chars"), 2).alias("avg_chars")
+    )

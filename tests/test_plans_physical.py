@@ -1,0 +1,100 @@
+"""Physical-plan contract tests — regression guards on the scale
+properties SCALE.md documents. These assert the SHAPE of the plan, not
+its output: a silent fall-back to sort-merge joins or a lost pushdown
+is a performance bug tests on 6k rows would never catch.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from automotive_translation_pipeline_spark import queries_catalog as qc
+
+
+def _physical(spark, name, sf_dir):
+    df = qc.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_broadcast_join_chain(spark, sf_dir):
+    plan = _physical(spark, "tpch_q3_shipping_priority", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must broadcast, not shuffle
+    # top-k compiles to TakeOrdered, never a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_scan_pruning(spark, sf_dir):
+    plan = _physical(spark, "tpch_q1_pricing_summary", sf_dir)
+    # Only the 6 referenced columns reach the reader.
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    for col in ("l_quantity", "l_extendedprice", "l_returnflag"):
+        assert col in scan
+    assert "l_partkey" not in scan  # untouched column pruned
+    # Partial (map-side) aggregation before the exchange.
+    assert "partial_sum" in plan
+
+
+def test_pipeline_assigned_reused_not_recomputed(spark, sf_dir):
+    plan = _physical(spark, "pipeline_rows", sf_dir)
+    # The packed-assignment stage feeds two consumers through the cache.
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_ann_corpus_never_shuffles_for_join(spark, sf_dir):
+    plan = _physical(spark, "ann_cosine_topk", sf_dir)
+    # Query side broadcasts; corpus joins without an exchange on its side.
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_never_global_sorts(spark, sf_dir):
+    plan = _physical(spark, "r28_topk_recent", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_anti_join_is_hash_not_loop(spark, sf_dir):
+    plan = _physical(spark, "r12_anti_join_dedup", sf_dir)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing both sides of a join on the key co-locates partitions:
+    the join plan has NO Exchange — the 100 TB strategy for repeated
+    joins on the same key (SCALE.md join layer)."""
+    import pyspark.sql.functions as F
+
+    from automotive_translation_pipeline_spark.sources import load_testdata
+
+    # warehouse.dir is a static conf — tables land in the session's
+    # default warehouse; unique names + drops keep the test hermetic.
+    t = load_testdata(spark, "/root/testdata/sf0.001")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    (t["lineitem"].select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("li_bucketed"))
+    (t["orders"].select("o_orderkey", "o_orderstatus")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("o_bucketed"))
+    li = spark.table("li_bucketed")
+    o = spark.table("o_bucketed")
+    # Disable broadcast so the join would otherwise shuffle.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).agg(F.sum("l_quantity").alias("q"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_section = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # No Exchange feeding the join: bucket layout co-locates keys.
+        assert "Exchange hashpartitioning(l_orderkey" not in join_section
+        assert "Exchange hashpartitioning(o_orderkey" not in join_section
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")
