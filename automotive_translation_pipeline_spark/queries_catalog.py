@@ -1659,3 +1659,70 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["documents"].cube("lang", "source").agg(
         F.count("*").alias("n"), F.round(F.avg("n_chars"), 2).alias("avg_chars")
     )
+
+
+@register(
+    "r19_batch_id_mapping",
+    _PACK_SQL_BASE
+    + """
+    SELECT batch_id,
+           list_sort(list(cast(doc_id AS varchar))) AS description_ids
+    FROM assigned GROUP BY batch_id
+    """,
+)
+def r19_batch_id_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-19: the custom_id → [description_ids] mapping the reference
+    keeps driver-side for the re-join (auto_translate.py:931-935)."""
+    t = load_testdata(spark, sf_dir)
+    docs = (
+        t["documents"]
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.trim("text").alias("sentence"), F.col("lang").alias("shard"))
+    )
+    assigned = assign_batches_cumsum(
+        with_cost(docs, "sentence"), order_col="doc_id", limit=4000, shard_col="shard"
+    )
+    return assigned.groupBy("batch_id").agg(
+        F.array_sort(F.collect_list(F.col("doc_id").cast("string"))).alias(
+            "description_ids"
+        )
+    )
+
+
+@register(
+    "f20_prompt_template",
+    """
+    SELECT lang,
+           'You are a professional automotive translator. Translate each '
+           || 'sentence to ' || upper(lang) || '. Return ONLY a JSON object '
+           || 'mapping each description_id to its translation.'
+               AS system_prompt,
+           'doc_' || cast(min(doc_id) AS varchar) || '_1700000000' AS run_id
+    FROM documents GROUP BY lang
+    """,
+)
+def f20_prompt_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-20 + F-17: language-templated system prompt (the v2 JSON
+    contract shape, auto_translate.py:238-256) and the {stem}_{ts} run
+    id (fixed ts for determinism)."""
+    from .functions.timeutil import run_id
+
+    t = load_testdata(spark, sf_dir)
+    prompt = F.concat(
+        F.lit(
+            "You are a professional automotive translator. Translate each "
+            "sentence to "
+        ),
+        F.upper("lang"),
+        F.lit(
+            ". Return ONLY a JSON object mapping each description_id to "
+            "its translation."
+        ),
+    )
+    return t["documents"].groupBy("lang").agg(
+        F.first(prompt).alias("system_prompt"),
+        run_id(
+            F.concat(F.lit("doc_"), F.min("doc_id").cast("string")),
+            F.lit(1700000000),
+        ).alias("run_id"),
+    )
