@@ -1726,3 +1726,55 @@ def f20_prompt_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1700000000),
         ).alias("run_id"),
     )
+
+
+@register(
+    "r17_pack_greedy",
+    f"""
+    WITH RECURSIVE costed AS (
+        SELECT doc_id, lang,
+               {_DUCK_BPE.format(c="trim(text)")}
+               + {_DUCK_BPE.format(c="trim(text)")} * 1.8 AS cost,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents
+        WHERE length(trim(text)) > 0
+    ), g AS (
+        SELECT lang, doc_id, cost, rn, 0 AS batch_n, cost AS running
+        FROM costed WHERE rn = 1
+        UNION ALL
+        SELECT c.lang, c.doc_id, c.cost, c.rn,
+               CASE WHEN g.running + c.cost > 4000 AND g.running > 0
+                    THEN g.batch_n + 1 ELSE g.batch_n END,
+               CASE WHEN g.running + c.cost > 4000 AND g.running > 0
+                    THEN c.cost ELSE g.running + c.cost END
+        FROM costed c JOIN g ON c.lang = g.lang AND c.rn = g.rn + 1
+    )
+    SELECT doc_id, lang || '-' || cast(batch_n AS varchar) AS batch_id
+    FROM g
+    """,
+)
+def r17_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-17 exact-greedy packing (reference close-before-overflow
+    semantics, auto_translate.py:278-301) via applyInPandas per shard —
+    oracle-checked against a recursive-CTE replica of the greedy state
+    machine. The cost expression must be IDENTICAL on both sides
+    (tok + tok*1.8, never tok*2.8 — different doubles)."""
+    from .operators.packing import assign_batches_greedy
+
+    t = load_testdata(spark, sf_dir)
+    docs = (
+        t["documents"]
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.trim("text").alias("sentence"),
+            F.col("lang").alias("shard"),
+        )
+    )
+    packed = assign_batches_greedy(
+        with_cost(docs, "sentence"),
+        order_col="doc_id",
+        limit=4000,
+        shard_col="shard",
+    )
+    return packed.select("doc_id", "batch_id")
