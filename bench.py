@@ -28,11 +28,19 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_suppliers",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_revenue",
+    "tpch_q18_large_orders",
     "r17_pack_cumsum",
+    "r17_pack_greedy",
     "r25_last_wins",
+    "stream_tumbling_counts",
+    "stream_session_windows",
     "dedup_minhash_candidates",
     "dedup_ngram_jaccard",
+    "dedup_exact_groups",
     "ann_cosine_topk",
+    "text_quality_scores",
 ]
 
 
