@@ -36,35 +36,16 @@ from ..sources import load_testdata
 from ..translate import translate_requests
 
 
-def translation_pipeline(
-    spark: SparkSession,
-    sf_dir: str,
-    done_mod: int = 7,
-    limit: int = 4000,
-) -> DataFrame:
-    """Row-level pipeline output: one row per surviving input document
-    with its (mock) translation and quality flags.
+def translate_docs(todo: DataFrame, limit: int = 4000) -> DataFrame:
+    """The reusable pipeline core: pack → translate → parse/repair →
+    re-join → quality flags.
 
-    The `documents` table plays the descriptions CSV; docs whose id is
-    ``0 mod done_mod`` play the already-translated table for the R-12
-    anti-join (deterministic, so the DuckDB oracle can reproduce it).
+    ``todo`` must carry (description_id, english_sentence, shard, seq)
+    — already filtered and deduplicated. Both the batch flagship and
+    the streaming flagship (streaming/flagship.py, per micro-batch) run
+    exactly this fragment.
     """
-    t = load_testdata(spark, sf_dir)
-    docs = t["documents"].select(
-        F.col("doc_id").cast("string").alias("description_id"),
-        F.col("text").alias("english_sentence"),
-        F.col("lang").alias("shard"),
-        F.col("doc_id").alias("seq"),
-    )
-    # R-7: non-empty filter + trim.
-    docs = docs.filter(F.length(F.trim(F.col("english_sentence"))) > 0).withColumn(
-        "english_sentence", F.trim(F.col("english_sentence"))
-    )
-    # R-12: anti-join against the already-done set.
-    done = docs.filter(F.col("seq") % done_mod == 0).select("description_id")
-    todo = anti_join_dedup(docs, done)
-
-    # R-17/R-18: token-cost pack (per-language shard) + materialize.
+    # R-17/R-18: token-cost pack (per-shard) + materialize.
     costed = with_cost(todo, "english_sentence")
     assigned = assign_batches_cumsum(
         costed, order_col="seq", limit=limit, shard_col="shard"
@@ -118,6 +99,36 @@ def translation_pipeline(
         "is_failed", F.col("translation").isNull()
     ).withColumn("is_suspicious", is_suspicious(F.col("translation")))
     return shift_flags(flagged, batch_col="batch_id", order_col="seq")
+
+
+def translation_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    done_mod: int = 7,
+    limit: int = 4000,
+) -> DataFrame:
+    """Row-level flagship output: one row per surviving input document
+    with its (mock) translation and quality flags.
+
+    The `documents` table plays the descriptions CSV; docs whose id is
+    ``0 mod done_mod`` play the already-translated table for the R-12
+    anti-join (deterministic, so the DuckDB oracle can reproduce it).
+    """
+    t = load_testdata(spark, sf_dir)
+    docs = t["documents"].select(
+        F.col("doc_id").cast("string").alias("description_id"),
+        F.col("text").alias("english_sentence"),
+        F.col("lang").alias("shard"),
+        F.col("doc_id").alias("seq"),
+    )
+    # R-7: non-empty filter + trim.
+    docs = docs.filter(F.length(F.trim(F.col("english_sentence"))) > 0).withColumn(
+        "english_sentence", F.trim(F.col("english_sentence"))
+    )
+    # R-12: anti-join against the already-done set.
+    done = docs.filter(F.col("seq") % done_mod == 0).select("description_id")
+    todo = anti_join_dedup(docs, done)
+    return translate_docs(todo, limit=limit)
 
 
 def translation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

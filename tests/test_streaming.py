@@ -163,3 +163,44 @@ def test_poller_drains_pending(spark, tmp_path):
     assert cur == {"batch_p1": "completed", "batch_p2": "completed"}
     # Full audit trail: 2 initial + 6 transition events.
     assert led.events().count() == 8
+
+
+def test_streaming_flagship_end_to_end(spark, tmp_path):
+    """The full flagship as a stream: CSVs land → micro-batch runs
+    pack→translate→parse→rejoin→flags → results appended + ledger
+    transitions recorded."""
+    from automotive_translation_pipeline_spark.ledger import Ledger
+    from automotive_translation_pipeline_spark.streaming.flagship import (
+        run_streaming_translation,
+    )
+    from automotive_translation_pipeline_spark.translate import mock_translation
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    for f in range(2):
+        lines = ["description_id,english_sentence"]
+        for i in range(12):
+            lines.append(f"S{f}R{i:02d},streaming sentence {i} of file {f}")
+        (src / f"in_{f}.csv").write_text("\n".join(lines) + "\n")
+
+    led = Ledger(spark, str(tmp_path / "ledger"))
+    out = str(tmp_path / "results")
+    q = run_streaming_translation(
+        spark, str(src), out, str(tmp_path / "ck"), ledger=led
+    )
+    q.awaitTermination(180)
+
+    results = spark.read.parquet(out)
+    assert results.count() == 24
+    ok = results.filter(~F.col("is_failed")).collect()
+    for r in ok[:10]:
+        assert r["translation"] == mock_translation(r["english_sentence"])
+    # Ledger: every micro-batch job reached 'completed'.
+    cur = {r["job_id"]: r["status"] for r in led.current().collect()}
+    assert cur and all(s == "completed" for s in cur.values())
+    # Restart on the same checkpoint: nothing new to process, no dupes.
+    q2 = run_streaming_translation(
+        spark, str(src), out, str(tmp_path / "ck"), ledger=led
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 24
