@@ -145,3 +145,80 @@ def cosine_topk_lsh(
         .filter(F.col("__rk") <= k)
         .select(query_id_col, id_col, "cosine")
     )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: KMeans coarse quantizer partitions
+    the corpus into cells; each query probes only its ``n_probe``
+    nearest cells and scores exactly within them.
+
+    This is the 10^9-vector shape (Odyssey/REPOSE in PAPERS.md): the
+    corpus is scanned once to train/assign, queries touch
+    ``n_probe/n_cells`` of the data, and the cell assignment can be
+    written as a partition column so probes become partition pruning.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("__feat"),
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__feat").fit(vecs)
+    assigned = model.transform(vecs).select(
+        id_col, vec_col, F.col("prediction").alias("__cell")
+    )
+    centroids = [
+        [float(x) for x in c] for c in model.clusterCenters()
+    ]
+    cent_df = corpus.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "__cell int, __centroid array<double>",
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        _norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__csim").desc(), F.col("__cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn(
+            "__csim",
+            _dot(F.col("__qvec"), F.col("__centroid"))
+            / (F.col("__qnorm") * _norm(F.col("__centroid"))),
+        )
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= n_probe)
+        .select(query_id_col, "__cell", "__qvec", "__qnorm")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "__cell")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn(
+            "cosine",
+            _dot(F.col("__qvec"), F.col(vec_col))
+            / (F.col("__qnorm") * _norm(F.col(vec_col))),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(query_id_col, id_col, "cosine")
+    )

@@ -1778,3 +1778,78 @@ def r17_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard_col="shard",
     )
     return packed.select("doc_id", "batch_id")
+
+
+@register(
+    "text_tfidf_top_terms",
+    """
+    WITH words AS (
+        SELECT lang, unnest(regexp_split_to_array(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                   AS term
+        FROM documents
+    ), tf AS (
+        SELECT lang, term, count(*) AS tf FROM words GROUP BY lang, term
+    ), df AS (
+        SELECT term, count(DISTINCT lang) AS df FROM words GROUP BY term
+    ), n AS (
+        SELECT count(DISTINCT lang) AS n_langs FROM documents
+    ), scored AS (
+        SELECT tf.lang, tf.term,
+               round(tf.tf * ln(n.n_langs * 1.0 / df.df), 4) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT lang, term, tfidf FROM (
+        SELECT *, row_number() OVER (PARTITION BY lang
+                                     ORDER BY tfidf DESC, term) AS rk
+        FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 most distinctive terms per
+    language corpus. Two shuffles (term counts, doc frequency) + a
+    per-lang window — the classic scalable formulation."""
+    from .functions.text import normalized_text
+
+    t = load_testdata(spark, sf_dir)
+    words = t["documents"].select(
+        "lang",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term"),
+    )
+    tf = words.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    dfreq = words.groupBy("term").agg(F.countDistinct("lang").alias("df"))
+    n_langs = t["documents"].agg(
+        F.countDistinct("lang").alias("n_langs")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_langs))
+        .select(
+            "lang",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_langs") * 1.0 / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "term", "tfidf")
+    )
+
+
+@register("ann_cosine_ivf", None)
+def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans coarse quantizer + cell probing) — rows-only:
+    KMeans centroids aren't oracle-reproducible; recall vs brute force
+    is asserted in tests (test_ivf_topk_recall_vs_bruteforce)."""
+    from .operators.similarity import cosine_topk_ivf
+
+    t = load_testdata(spark, sf_dir)
+    emb = t["embeddings"]
+    return cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=8, n_probe=4
+    ).select("query_id", "vec_id", F.round("cosine", 4).alias("cosine_r"))

@@ -77,3 +77,27 @@ def test_simhash_table_matches_scalar(spark):
         r["doc_id"]: r["simhash"] for r in simhash_table(df).collect()
     }
     assert scalar == table
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with a generous probe count recovers most of the exact
+    top-10; scores it does return are exact cosines."""
+    from automotive_translation_pipeline_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    t = load_testdata(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact_top = {}
+    for r in cosine_topk_bruteforce(emb, queries, k=10).collect():
+        exact_top.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ivf = cosine_topk_ivf(emb, queries, k=10, n_cells=8, n_probe=4)
+    got = {}
+    for r in ivf.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(got.get(qid, set()) & hits) / len(hits)
+        for qid, hits in exact_top.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
