@@ -123,6 +123,51 @@ class Ledger:
         """Jobs still in flight — the poll set for the streaming side."""
         return self.current().filter(~F.col("status").isin(*TERMINAL_STATUSES))
 
+    # -- maintenance ---------------------------------------------------
+
+    def compact(self, keep_history_for_pending: bool = True) -> int:
+        """Rewrite the append log to its latest-wins snapshot, bounding
+        log growth (the Delta/Iceberg MERGE-compaction equivalent on
+        plain parquet).
+
+        Terminal jobs collapse to one row each; pending jobs optionally
+        keep their full event history (so in-flight audit trails
+        survive). Returns the number of rows after compaction.
+
+        Swap strategy: write snapshot beside the log, then atomically
+        rename directories — readers either see the old log or the
+        compacted one, never a partial mix.
+        """
+        import os
+        import shutil
+
+        events = self.events()
+        terminal_current = latest_wins_view(events).filter(
+            F.col("status").isin(*TERMINAL_STATUSES)
+        )
+        if keep_history_for_pending:
+            pending_jobs = latest_wins_view(events).filter(
+                ~F.col("status").isin(*TERMINAL_STATUSES)
+            ).select("job_id")
+            pending_history = events.join(pending_jobs, "job_id", "left_semi").select(
+                *[f.name for f in LEDGER.fields]
+            )
+            snapshot = terminal_current.select(
+                *[f.name for f in LEDGER.fields]
+            ).unionByName(pending_history)
+        else:
+            snapshot = latest_wins_view(events).select(
+                *[f.name for f in LEDGER.fields]
+            )
+        tmp = self.path.rstrip("/") + "._compacting"
+        snapshot.write.mode("overwrite").parquet(tmp)
+        n = self.spark.read.schema(LEDGER).parquet(tmp).count()
+        old = self.path.rstrip("/") + "._old"
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old)
+        return n
+
 
 def latest_wins_view(events: DataFrame, key: str = "job_id") -> DataFrame:
     """R-25 applied to the ledger: newest event per key, ties broken by

@@ -105,3 +105,31 @@ def test_reports(ledger):
     rec = ledger.recent(1).collect()
     assert rec[0]["job_id"] == "batch_aaa"  # newest update wins the top spot
     assert ledger.pending().count() == 1
+
+
+def test_compaction_bounds_log_growth(ledger):
+    # Drive batch_aaa to terminal through several transitions; leave
+    # batch_bbb pending with history.
+    for status in ("validating", "in_progress", "finalizing", "completed"):
+        ledger.update_status("batch_aaa", status)
+    ledger.update_status("batch_bbb", "in_progress")
+    assert ledger.events().count() == 7  # 2 initial + 5 transitions
+
+    n = ledger.compact()
+    # Terminal job collapses to 1 row; pending keeps its 2-event history.
+    assert n == 3
+    assert ledger.events().count() == 3
+    # Read semantics unchanged after compaction.
+    cur = {r["job_id"]: r["status"] for r in ledger.current().collect()}
+    assert cur == {"batch_aaa": "completed", "batch_bbb": "in_progress"}
+    # Further appends still work on the compacted log.
+    ledger.update_status("batch_bbb", "completed")
+    assert ledger.get("batch_bbb")["status"] == "completed"
+
+
+def test_compaction_full_snapshot(ledger):
+    ledger.update_status("batch_aaa", "completed")
+    n = ledger.compact(keep_history_for_pending=False)
+    assert n == 2  # one row per job, history dropped
+    cur = {r["job_id"]: r["status"] for r in ledger.current().collect()}
+    assert cur == {"batch_aaa": "completed", "batch_bbb": "submitted"}
