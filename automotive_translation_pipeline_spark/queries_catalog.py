@@ -30,7 +30,7 @@ from .operators.aggregates import error_rollup, group_counts
 from .operators.dedup import anti_join_dedup, exact_dedup
 from .operators.packing import assign_batches_cumsum, with_cost
 from .operators.windows import last_wins, sequence_check, shift_flags, topk_recent
-from .sources import load_testdata
+from .sources import load_testdata, scan_ts_pruned
 
 QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
 
@@ -713,11 +713,13 @@ def pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy groupBy with partial aggregation.
-    Filter + 6-column projection push into the parquet scan."""
-    t = load_testdata(spark, sf_dir)
+    Filter + 6-column projection push into the parquet scan; the date
+    bound is applied in the raw nanos domain so it reaches the reader
+    as a PushedFilter (row-group pruning at scale)."""
     return (
-        t["lineitem"]
-        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        scan_ts_pruned(
+            spark, sf_dir, "lineitem", [("l_shipdate", "<=", "1998-09-02")]
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -755,11 +757,11 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join, only for the final agg."""
     t = load_testdata(spark, sf_dir)
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    orders = t["orders"].filter(
-        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    orders = scan_ts_pruned(
+        spark, sf_dir, "orders", [("o_orderdate", "<", "1997-01-01")]
     )
-    li = t["lineitem"].filter(
-        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    li = scan_ts_pruned(
+        spark, sf_dir, "lineitem", [("l_shipdate", ">", "1997-01-01")]
     )
     return (
         li.join(
@@ -1362,19 +1364,53 @@ def f14_job_id_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan-filter-agg — the pushdown/pruning
     benchmark (4 columns read, 4 predicates, no shuffle beyond the
-    single-row final agg)."""
-    t = load_testdata(spark, sf_dir)
-    li = t["lineitem"]
+    single-row final agg). The date range is pushed in the raw nanos
+    domain so ALL four predicates land in PushedFilters."""
+    li = scan_ts_pruned(
+        spark,
+        sf_dir,
+        "lineitem",
+        [("l_shipdate", ">=", "1997-01-01"), ("l_shipdate", "<", "1998-01-01")],
+    )
     return li.filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-        & (F.col("l_discount") >= 0.03)
+        (F.col("l_discount") >= 0.03)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
         F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
             "revenue"
         )
+    )
+
+
+@register(
+    "events_ts_range_pruned",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(avg(value), 3) AS avg_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def events_ts_range_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range scan over the NANOS-timestamp events table with the
+    predicate applied in the raw INT64 nanos domain (scan_ts_pruned).
+    A filter on the rebuilt timestamp column cannot push past the
+    rebuild projection; the raw-domain twin reaches the reader as a
+    PushedFilter and prunes row groups by min-max stats — the
+    hypertable time-slice pattern at 100 TB."""
+    ev = scan_ts_pruned(
+        spark,
+        sf_dir,
+        "events",
+        [("ts", ">=", "2024-01-10"), ("ts", "<", "2024-01-20")],
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 3).alias("avg_value"),
     )
 
 
@@ -1544,11 +1580,13 @@ def tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q12 shape: conditional aggregation over a fact-dim join."""
     t = load_testdata(spark, sf_dir)
-    li, o = t["lineitem"], t["orders"]
+    o = t["orders"]
+    li = scan_ts_pruned(
+        spark, sf_dir, "lineitem", [("l_shipdate", ">=", "1997-01-01")]
+    )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),

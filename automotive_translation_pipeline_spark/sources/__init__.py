@@ -4,4 +4,6 @@ from .readers import (  # noqa: F401
     read_descriptions_dir,
     read_request_jsonl,
     read_response_jsonl,
+    scan_ts_pruned,
+    ts_nanos,
 )

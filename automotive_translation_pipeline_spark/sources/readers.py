@@ -80,13 +80,81 @@ def read_response_jsonl(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-# Columns written as parquet TIMESTAMP(NANOS), which Spark only reads via
-# the nanosAsLong escape hatch; converted back to TimestampType below.
+# Columns written as parquet TIMESTAMP(NANOS, adjustedToUTC=false), which
+# Spark 4.1 rejects (PARQUET_TYPE_ILLEGAL) unless the nanosAsLong escape
+# hatch maps them to bigint; rebuilt to timestamps below. Only `events.ts`
+# is NANOS — lineitem/orders timestamps are TIMESTAMP(MILLIS) and read
+# natively as timestamp_ntz (so range predicates on them push to the scan
+# with no special handling).
 _NANO_TS_COLS = {
     "events": ("ts",),
-    "lineitem": ("l_shipdate",),
-    "orders": ("o_orderdate",),
 }
+
+
+def ts_nanos(literal: str) -> int:
+    """Epoch nanoseconds of a naive-UTC timestamp literal
+    (``YYYY-MM-DD`` or ``YYYY-MM-DD HH:MM:SS[.ffffff]``)."""
+    import calendar
+    from datetime import datetime
+
+    dt = datetime.fromisoformat(literal)
+    return calendar.timegm(dt.timetuple()) * 1_000_000_000 + dt.microsecond * 1_000
+
+
+_RANGE_OPS = {
+    ">=": lambda c, v: c >= v,
+    ">": lambda c, v: c > v,
+    "<=": lambda c, v: c <= v,
+    "<": lambda c, v: c < v,
+}
+
+
+def scan_ts_pruned(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    preds: list[tuple[str, str, str]],
+) -> DataFrame:
+    """Parquet scan with timestamp range predicates applied directly on
+    the scan columns — in the raw INT64-nanos domain where needed.
+
+    Two cases, one interface:
+
+    - TIMESTAMP(NANOS) columns (``events.ts``) arrive as ``bigint``
+      (``nanosAsLong``) and ``load_testdata`` rebuilds them with a
+      projection Catalyst cannot invert — a filter on the rebuilt
+      column stays ABOVE the scan and every row group is read.
+      nanos→timestamp is strictly monotonic, hence
+      ``ts OP literal ⇔ raw OP epoch_nanos(literal)`` exactly: pushing
+      the raw-domain twin reaches the parquet reader as
+      ``PushedFilters`` and prunes row groups / pages via min-max
+      statistics. At 100 TB with time-sorted or time-partitioned files
+      this is the difference between scanning the requested day and
+      scanning the month.
+    - TIMESTAMP(MILLIS) columns (``l_shipdate``, ``o_orderdate``) read
+      natively as ``timestamp_ntz``; the predicate applies as-is and
+      pushes on its own. The helper just guarantees it sits on the
+      scan column before any projection/join.
+
+    ``preds``: list of ``(column, op, timestamp_literal)`` with op in
+    ``>= > <= <``.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    dtypes = dict(df.dtypes)
+    for col, op, literal in preds:
+        if op not in _RANGE_OPS:
+            raise ValueError(f"unsupported op {op!r}")
+        if dtypes.get(col) == "bigint":
+            df = df.filter(_RANGE_OPS[op](F.col(col), F.lit(ts_nanos(literal))))
+        else:
+            df = df.filter(
+                _RANGE_OPS[op](F.col(col), F.lit(literal).cast("timestamp"))
+            )
+    for col in _NANO_TS_COLS.get(table, ()):
+        if dtypes.get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
 
 
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -12,6 +12,9 @@ from automotive_translation_pipeline_spark import queries_catalog as qc
 
 
 def _physical(spark, name, sf_dir):
+    # Default metadata rendering truncates PushedFilters at 100 chars —
+    # widen so the assertions below see the full filter list.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     df = qc.queries()[name](spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -33,6 +36,30 @@ def test_q1_scan_pruning(spark, sf_dir):
     assert "l_partkey" not in scan  # untouched column pruned
     # Partial (map-side) aggregation before the exchange.
     assert "partial_sum" in plan
+
+
+def test_q6_ts_pushdown_reaches_scan(spark, sf_dir):
+    """The date range must land in PushedFilters (l_shipdate is
+    TIMESTAMP(MILLIS) → native timestamp_ntz scan, so the predicate
+    pushes as-is) — losing this means full row-group scans on every
+    date-filtered query."""
+    plan = _physical(spark, "tpch_q6_forecast_revenue", sf_dir)
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "GreaterThanOrEqual(l_shipdate" in scan
+    assert "LessThan(l_shipdate" in scan
+    # The non-date predicates keep pushing alongside.
+    assert "GreaterThanOrEqual(l_discount" in scan
+
+
+def test_events_nanos_pushdown_reaches_scan(spark, sf_dir):
+    """events.ts is TIMESTAMP(NANOS) → bigint under nanosAsLong; the
+    timestamp rebuild is a projection Catalyst can't invert, so the
+    range predicate must be applied in the raw nanos domain
+    (scan_ts_pruned) to reach the reader as a PushedFilter."""
+    plan = _physical(spark, "events_ts_range_pruned", sf_dir)
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "GreaterThanOrEqual(ts," in scan
+    assert "LessThan(ts," in scan
 
 
 def test_pipeline_assigned_reused_not_recomputed(spark, sf_dir):
