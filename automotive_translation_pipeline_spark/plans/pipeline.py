@@ -36,42 +36,26 @@ from ..sources import load_testdata
 from ..translate import translate_requests
 
 
-def translate_docs(todo: DataFrame, limit: int = 4000) -> DataFrame:
-    """The reusable pipeline core: pack → translate → parse/repair →
-    re-join → quality flags.
-
-    ``todo`` must carry (description_id, english_sentence, shard, seq)
-    — already filtered and deduplicated. Both the batch flagship and
-    the streaming flagship (streaming/flagship.py, per micro-batch) run
-    exactly this fragment.
-    """
-    # R-17/R-18: token-cost pack (per-shard) + materialize.
+def _pack(todo: DataFrame, limit: int) -> DataFrame:
+    """R-17: token-cost pack (per-shard window)."""
     costed = with_cost(todo, "english_sentence")
-    assigned = assign_batches_cumsum(
+    return assign_batches_cumsum(
         costed, order_col="seq", limit=limit, shard_col="shard"
     )
-    # The batch assignment feeds BOTH the request materialization and
-    # the expected-rows join side; unpersisted, Spark recomputes the
-    # scan→filter→anti-join→window chain per consumer (4 source scans
-    # in the physical plan). Persist is the staging point — the
-    # reference kept this same artifact in driver memory
-    # (auto_translate.py:340,932-935); on a cluster it's a
-    # MEMORY_AND_DISK cache or an intermediate table write.
-    assigned = assigned.persist()
-    requests = materialize_requests(assigned)
 
-    # X-5: the grouped translate map (mock in the harness).
-    responses = translate_requests(requests)
 
-    # F-13 → F-7/F-8: repair-then-parse cascade, exploded to rows.
-    # The repair UDF is materialized in its own projection: Spark's
-    # ExtractPythonUDFs then runs it as one Arrow stage, and the native
-    # parse cascade (which uses higher-order lambdas) reads its output
-    # as a plain attribute — a UDF nested inside a lambda is unsupported.
-    # The native is_truncated gate keeps Python off the healthy rows:
-    # repair_content() only acts on blobs is_truncated() covers, so
-    # gating is exactly semantics-preserving and at scale the Arrow
-    # stage sees only the (rare) damaged batches.
+def _parse_responses(responses: DataFrame) -> DataFrame:
+    """F-13 → F-7/F-8: repair-then-parse cascade, exploded to rows.
+
+    The repair UDF is materialized in its own projection: Spark's
+    ExtractPythonUDFs then runs it as one Arrow stage, and the native
+    parse cascade (which uses higher-order lambdas) reads its output
+    as a plain attribute — a UDF nested inside a lambda is unsupported.
+    The native is_truncated gate keeps Python off the healthy rows:
+    repair_content() only acts on blobs is_truncated() covers, so
+    gating is exactly semantics-preserving and at scale the Arrow
+    stage sees only the (rare) damaged batches.
+    """
     repaired = responses.select(
         F.col("custom_id").alias("batch_id"),
         F.when(
@@ -81,24 +65,118 @@ def translate_docs(todo: DataFrame, limit: int = 4000) -> DataFrame:
         .otherwise(F.col("content"))
         .alias("repaired_content"),
     )
-    parsed = repaired.select(
+    return repaired.select(
         "batch_id",
         F.explode(parse_translations(F.col("repaired_content"))).alias(
             "description_id", "translation"
         ),
     )
 
-    # R-13/R-14: join back onto expected rows; NULL marks failure.
-    expected = assigned.select(
-        "batch_id", "description_id", "english_sentence", "seq"
-    )
-    joined = rejoin_results(expected, parsed)
 
-    # R-10 + R-26/R-27: quality flags.
+def _rejoin_and_flag(expected: DataFrame, parsed: DataFrame) -> DataFrame:
+    """R-13/R-14 + R-10 + R-26/R-27: join back onto expected rows
+    (NULL marks failure) and attach the quality flags."""
+    joined = rejoin_results(expected, parsed)
     flagged = joined.withColumn(
         "is_failed", F.col("translation").isNull()
     ).withColumn("is_suspicious", is_suspicious(F.col("translation")))
     return shift_flags(flagged, batch_col="batch_id", order_col="seq")
+
+
+def translate_docs(todo: DataFrame, limit: int = 4000) -> DataFrame:
+    """The reusable pipeline core: pack → translate → parse/repair →
+    re-join → quality flags.
+
+    ``todo`` must carry (description_id, english_sentence, shard, seq)
+    — already filtered and deduplicated. Both the batch flagship and
+    the streaming flagship (streaming/flagship.py, per micro-batch) run
+    exactly this fragment.
+    """
+    # The batch assignment feeds BOTH the request materialization and
+    # the expected-rows join side; unpersisted, Spark recomputes the
+    # scan→filter→anti-join→window chain per consumer (4 source scans
+    # in the physical plan). Persist is the staging point — the
+    # reference kept this same artifact in driver memory
+    # (auto_translate.py:340,932-935); on a cluster it's a
+    # MEMORY_AND_DISK cache or an intermediate table write.
+    assigned = _pack(todo, limit).persist()
+    requests = materialize_requests(assigned)
+
+    # X-5: the grouped translate map (mock in the harness).
+    responses = translate_requests(requests)
+    parsed = _parse_responses(responses)
+
+    expected = assigned.select(
+        "batch_id", "description_id", "english_sentence", "seq"
+    )
+    return _rejoin_and_flag(expected, parsed)
+
+
+def _stage_table(
+    spark: SparkSession, df: DataFrame, name: str, buckets: int
+) -> DataFrame:
+    """Write ``df`` as a bucketed+sorted managed table on batch_id and
+    return the table-backed DataFrame. Drops any previous incarnation —
+    including a stale warehouse directory left by an earlier session
+    (the in-memory Derby metastore forgets the table, the location
+    survives, and saveAsTable then refuses with
+    LOCATION_ALREADY_EXISTS)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+    (
+        df.write.bucketBy(buckets, "batch_id")
+        .sortBy("batch_id", "description_id")
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
+def translate_docs_staged(
+    spark: SparkSession,
+    todo: DataFrame,
+    limit: int = 4000,
+    buckets: int = 32,
+    prefix: str = "atp_stage",
+) -> DataFrame:
+    """Staged variant of :func:`translate_docs`: the packed assignment
+    and the parsed results are persisted as bucketed+sorted tables on
+    ``batch_id`` before the re-join — the multi-job / service topology.
+
+    In the real async-batch lifecycle (§3.1: submit … poll … fetch)
+    pack and re-join run in DIFFERENT jobs, possibly hours apart —
+    ``persist()`` doesn't survive that, and re-deriving the pack means
+    re-scanning the source. Writing both keyed stores bucketed by
+    ``batch_id`` makes every later consumer shuffle-free: the bucketed
+    scan's hashpartitioning(batch_id) satisfies the re-join's clustered
+    distribution on (batch_id, description_id), the build-side
+    dropDuplicates, AND the shift-window's partitionBy(batch_id) — the
+    plan between the staged scans and the output has no Exchange at
+    all (guarded by a plan-contract test). At 100 TB this is the
+    difference between one bounded write per stage and a full fact
+    shuffle per downstream job.
+    """
+    # Both stores are bucketed by batch_id ALONE (the window/regroup
+    # key), while the re-join adds description_id. Co-partitioning on a
+    # subset of the join keys is sufficient (rows with equal full keys
+    # share a bucket) but Spark only accepts it with this conf off —
+    # otherwise it re-shuffles both sides onto the full key pair.
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    assigned = _pack(todo, limit)
+    staged_expected = _stage_table(spark, assigned, f"{prefix}_expected", buckets)
+
+    responses = translate_requests(materialize_requests(staged_expected))
+    parsed = _parse_responses(responses)
+    staged_parsed = _stage_table(spark, parsed, f"{prefix}_parsed", buckets)
+
+    expected = staged_expected.select(
+        "batch_id", "description_id", "english_sentence", "seq"
+    )
+    return _rejoin_and_flag(expected, staged_parsed)
 
 
 def translation_pipeline(
@@ -114,6 +192,12 @@ def translation_pipeline(
     ``0 mod done_mod`` play the already-translated table for the R-12
     anti-join (deterministic, so the DuckDB oracle can reproduce it).
     """
+    todo = _flagship_todo(spark, sf_dir, done_mod)
+    return translate_docs(todo, limit=limit)
+
+
+def _flagship_todo(spark: SparkSession, sf_dir: str, done_mod: int) -> DataFrame:
+    """Scan + R-7 filter/trim + R-12 anti-join for the flagship input."""
     t = load_testdata(spark, sf_dir)
     docs = t["documents"].select(
         F.col("doc_id").cast("string").alias("description_id"),
@@ -127,8 +211,23 @@ def translation_pipeline(
     )
     # R-12: anti-join against the already-done set.
     done = docs.filter(F.col("seq") % done_mod == 0).select("description_id")
-    todo = anti_join_dedup(docs, done)
-    return translate_docs(todo, limit=limit)
+    return anti_join_dedup(docs, done)
+
+
+def translation_pipeline_staged(
+    spark: SparkSession,
+    sf_dir: str,
+    done_mod: int = 7,
+    limit: int = 4000,
+    buckets: int = 32,
+) -> DataFrame:
+    """Flagship via the bucketed-staging topology (same rows as
+    :func:`translation_pipeline`; oracle-checked against the same SQL
+    replica)."""
+    todo = _flagship_todo(spark, sf_dir, done_mod)
+    return translate_docs_staged(
+        spark, todo, limit=limit, buckets=buckets, prefix="atp_stage_flagship"
+    )
 
 
 def translation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -670,6 +670,34 @@ def pipeline_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_rows_staged",
+    _PIPELINE_SQL_BASE
+    + """
+    SELECT batch_id, description_id, english_sentence, translation,
+           is_failed, is_suspicious, shift_suspect
+    FROM shifted
+    """,
+)
+def pipeline_rows_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship via bucketed staging tables (the multi-job/service
+    topology: pack and re-join persist their keyed stores bucketed by
+    batch_id, so the re-join + shift-window job is shuffle-free).
+    Same oracle as pipeline_rows — a full parity proof for the staged
+    path."""
+    from .plans.pipeline import translation_pipeline_staged
+
+    return translation_pipeline_staged(spark, sf_dir).select(
+        "batch_id",
+        "description_id",
+        "english_sentence",
+        "translation",
+        "is_failed",
+        "is_suspicious",
+        "shift_suspect",
+    )
+
+
+@register(
     "pipeline_summary",
     _PIPELINE_SQL_BASE
     + """

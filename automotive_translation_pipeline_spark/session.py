@@ -57,6 +57,10 @@ def get_spark(
             "RocksDBStateStoreProvider",
         )
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Accept co-partitioning on a subset of join keys: the staging
+        # tables bucket by the coarse key (batch_id) so the re-join AND
+        # the downstream window share one layout with zero exchanges.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -25,6 +25,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # the extension operators that dominate cost at scale.
 HEADLINE = [
     "pipeline_rows",
+    "pipeline_rows_staged",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_suppliers",

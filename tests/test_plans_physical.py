@@ -86,6 +86,49 @@ def test_anti_join_is_hash_not_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_staged_pipeline_rejoin_is_shuffle_free(spark, sf_dir):
+    """The staged flagship re-join job (bucketed scans → dedup → join →
+    shift window) must contain NO Exchange: hashpartitioning(batch_id)
+    from the bucket layout satisfies the join's clustered distribution
+    on (batch_id, description_id), the build-side dropDuplicates, and
+    the window's partitionBy — the whole downstream job runs on the
+    staged layout. Broadcast is disabled so the join can't hide the
+    shuffle behind a BroadcastExchange."""
+    from automotive_translation_pipeline_spark.plans.pipeline import (
+        translation_pipeline_staged,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = translation_pipeline_staged(spark, sf_dir, buckets=8)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_staged_pipeline_matches_inline(spark, sf_dir):
+    """Row-level parity between the persist() topology and the
+    bucketed-staging topology."""
+    from automotive_translation_pipeline_spark.plans.pipeline import (
+        translation_pipeline,
+        translation_pipeline_staged,
+    )
+
+    cols = ["batch_id", "description_id", "translation", "is_failed"]
+    inline = sorted(
+        tuple(r) for r in translation_pipeline(spark, sf_dir).select(*cols).collect()
+    )
+    staged = sorted(
+        tuple(r)
+        for r in translation_pipeline_staged(spark, sf_dir).select(*cols).collect()
+    )
+    assert inline == staged
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """Bucketing both sides of a join on the key co-locates partitions:
     the join plan has NO Exchange — the 100 TB strategy for repeated
