@@ -1676,6 +1676,305 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, ship_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               year(l.l_shipdate) AS ship_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+          AND nc.n_name IN ('NATION_1', 'NATION_2')
+          AND ns.n_name <> nc.n_name)
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bi-national trade volume — the fact joins four
+    broadcast dims (nation appears TWICE under different roles); only
+    the final (nation, nation, year) aggregation shuffles."""
+    t = load_testdata(spark, sf_dir)
+    nations = F.col("n_name").isin("NATION_1", "NATION_2")
+    ns = t["nation"].filter(nations).select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    nc = t["nation"].filter(nations).select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    li, o = t["lineitem"], t["orders"]
+    s, c = t["supplier"], t["customer"]
+    return (
+        li.join(F.broadcast(o.select("o_orderkey", "o_custkey")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q13_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: outer join preserved through a double aggregation —
+    customers with zero orders must survive to the c_count=0 bucket.
+    count(o_orderkey) over the left join (nulls don't count) is the
+    outer-join-aware count."""
+    t = load_testdata(spark, sf_dir)
+    c, o = t["customer"], t["orders"]
+    per_cust = (
+        c.select("c_custkey")
+        .join(o.select("o_custkey", "o_orderkey"),
+              c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q17_small_quantity",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+        SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+        FROM lineitem GROUP BY l_partkey
+    ) t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND p.p_size < 15
+      AND l.l_quantity < t.qty_threshold
+    """,
+)
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated scalar subquery (per-part avg quantity)
+    decorrelated into a self-agg join — the fact is read twice but the
+    per-part aggregate is tiny and broadcasts. (p_container isn't in
+    this testdata; p_brand+p_size stand in as the selective part
+    filter.)"""
+    t = load_testdata(spark, sf_dir)
+    li, p = t["lineitem"], t["part"]
+    thresholds = (
+        li.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"))
+    )
+    parts = p.filter((F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15))
+    return (
+        li.join(F.broadcast(parts.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(thresholds), li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 40
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunctive (OR-of-ANDs) join predicate. Catalyst
+    extracts the common join key as an equi-join and keeps the
+    disjunction as a post-join filter, while the single-table parts of
+    the OR (brand/size on part, quantity on lineitem) are inferred and
+    pushed to both scans. (p_container isn't in this testdata;
+    brand+size+quantity bands keep the shape.)"""
+    t = load_testdata(spark, sf_dir)
+    li, p = t["lineitem"], t["part"]
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 40)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(band).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    """
+    SELECT s_name, count(*) AS numwait FROM (
+        SELECT s.s_name, l1.l_orderkey
+        FROM supplier s
+        JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s.s_name, l1.l_orderkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: the sole late supplier on a multi-supplier order —
+    EXISTS (semi) + NOT EXISTS (anti) self-joins on the fact keyed by
+    order. (No l_receiptdate/l_commitdate in this testdata; 'late' is
+    shipping >60 days after the order date.) The correlated NOT EXISTS
+    carries a non-key condition, so it anti-joins on
+    (orderkey, late-flag) computed once per line."""
+    t = load_testdata(spark, sf_dir)
+    s, o = t["supplier"], t["orders"]
+    li = t["lineitem"]
+    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    # One pass over lineitem joined to finished orders, with the late
+    # flag computed; reused for l1 / l2-exists / l3-not-exists.
+    lines = (
+        li.join(
+            F.broadcast(
+                o.filter(F.col("o_orderstatus") == "F").select(
+                    "o_orderkey", "o_orderdate"
+                )
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > late_cut).alias("is_late"),
+        )
+        .persist()
+    )
+    l1 = lines.filter(F.col("is_late")).select("l_orderkey", "l_suppkey")
+    other_supp = (
+        lines.alias("l2")
+        .join(
+            l1.alias("a"),
+            (F.col("l2.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("a.l_suppkey")),
+            "left_semi",
+        )
+    )
+    # EXISTS: another supplier on the order.
+    with_other = l1.join(
+        other_supp.select("l_orderkey").distinct(), "l_orderkey", "left_semi"
+    )
+    # NOT EXISTS: no OTHER late supplier on the order. Late lines per
+    # order from a different supplier form the anti side.
+    other_late = (
+        lines.filter(F.col("is_late"))
+        .select(F.col("l_orderkey").alias("ol_orderkey"),
+                F.col("l_suppkey").alias("ol_suppkey"))
+    )
+    sole_late = with_other.join(
+        other_late,
+        (F.col("l_orderkey") == F.col("ol_orderkey"))
+        & (F.col("l_suppkey") != F.col("ol_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.dropDuplicates(["l_orderkey", "l_suppkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    """
+    SELECT c_nationkey, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_nationkey IN (1, 3, 5, 7)
+      AND c.c_acctbal > (
+          SELECT avg(c_acctbal) FROM customer
+          WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7))
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: scalar subquery (global avg) as a cross-joined
+    1-row broadcast + NOT EXISTS anti-join against orders. (No c_phone
+    in this testdata, and every customer has at least one order, so
+    c_nationkey stands in for the country-code prefix and the anti
+    side is the high-value orders.)"""
+    t = load_testdata(spark, sf_dir)
+    c, o = t["customer"], t["orders"]
+    target = c.filter(F.col("c_nationkey").isin(1, 3, 5, 7))
+    avg_bal = target.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        target.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o.filter(F.col("o_totalprice") > 300000).select("o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@register(
     "profile_lineitem",
     """
     SELECT count(*) AS n_rows,

@@ -30,8 +30,11 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_suppliers",
     "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
     "tpch_q10_returned_revenue",
+    "tpch_q13_order_distribution",
     "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",
     "r17_pack_cumsum",
     "r17_pack_greedy",
     "r25_last_wins",
