@@ -147,6 +147,54 @@ def cosine_topk_lsh(
     )
 
 
+def _probe_and_score(
+    assigned: DataFrame,
+    cent_df: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared IVF tail: pick each query's ``n_probe`` nearest cells,
+    score exactly within them, window top-k."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        _norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__csim").desc(), F.col("__cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn(
+            "__csim",
+            _dot(F.col("__qvec"), F.col("__centroid"))
+            / (F.col("__qnorm") * _norm(F.col("__centroid"))),
+        )
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= n_probe)
+        .select(query_id_col, "__cell", "__qvec", "__qnorm")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "__cell")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn(
+            "cosine",
+            _dot(F.col("__qvec"), F.col(vec_col))
+            / (F.col("__qnorm") * _norm(F.col(vec_col))),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(query_id_col, id_col, "cosine")
+    )
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -188,6 +236,75 @@ def cosine_topk_ivf(
         [(i, c) for i, c in enumerate(centroids)],
         "__cell int, __centroid array<double>",
     )
+    return _probe_and_score(
+        assigned, cent_df, queries, k, n_probe, id_col, vec_col, query_id_col
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist an IVF index: the corpus written PARTITIONED BY its
+    coarse-quantizer cell, plus the centroid table.
+
+    This turns cell probing into *partition pruning*: a query batch
+    that probes cells {3, 7} reads only ``cell=3/`` and ``cell=7/``
+    directories — at 10^9 vectors the index build is one scan + one
+    shuffle-free write, and every query batch after it touches
+    ``n_probe/n_cells`` of the FILES, not just of the rows.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("__feat"),
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__feat").fit(vecs)
+    # "cell" (no underscore prefix): underscore-led paths are treated
+    # as hidden by the file readers.
+    assigned = model.transform(vecs).select(
+        id_col, vec_col, F.col("prediction").alias("cell")
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
+    cent_rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    corpus.sparkSession.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def cosine_topk_ivf_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k over a persisted IVF index
+    (:func:`build_ivf_index`).
+
+    The union of probed cells across the query batch is tiny (bounded
+    by ``n_cells`` integers, independent of corpus size), so it is
+    collected and applied as a STATIC ``IN`` filter on the partition
+    column — the scan's ``PartitionFilters`` then skip every un-probed
+    cell directory (plan-contract-tested)."""
+    cent_df = (
+        spark.read.parquet(f"{index_path}/centroids")
+        .select(F.col("cell").alias("__cell"), F.col("centroid").alias("__centroid"))
+    )
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qvec"),
@@ -196,29 +313,27 @@ def cosine_topk_ivf(
     probe_w = Window.partitionBy(query_id_col).orderBy(
         F.col("__csim").desc(), F.col("__cell")
     )
-    probes = (
-        q.crossJoin(F.broadcast(cent_df))
-        .withColumn(
-            "__csim",
-            _dot(F.col("__qvec"), F.col("__centroid"))
-            / (F.col("__qnorm") * _norm(F.col("__centroid"))),
+    probed_cells = [
+        r["__cell"]
+        for r in (
+            q.crossJoin(F.broadcast(cent_df))
+            .withColumn(
+                "__csim",
+                _dot(F.col("__qvec"), F.col("__centroid"))
+                / (F.col("__qnorm") * _norm(F.col("__centroid"))),
+            )
+            .withColumn("__pr", F.row_number().over(probe_w))
+            .filter(F.col("__pr") <= n_probe)
+            .select("__cell")
+            .distinct()
+            .collect()
         )
-        .withColumn("__pr", F.row_number().over(probe_w))
-        .filter(F.col("__pr") <= n_probe)
-        .select(query_id_col, "__cell", "__qvec", "__qnorm")
+    ]
+    assigned = (
+        spark.read.parquet(f"{index_path}/corpus")
+        .filter(F.col("cell").isin(probed_cells))
+        .withColumnRenamed("cell", "__cell")
     )
-    scored = (
-        assigned.join(F.broadcast(probes), "__cell")
-        .filter(F.col(query_id_col) != F.col(id_col))
-        .withColumn(
-            "cosine",
-            _dot(F.col("__qvec"), F.col(vec_col))
-            / (F.col("__qnorm") * _norm(F.col(vec_col))),
-        )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .select(query_id_col, id_col, "cosine")
+    return _probe_and_score(
+        assigned, cent_df, queries, k, n_probe, id_col, vec_col, query_id_col
     )

@@ -2218,3 +2218,24 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=8, n_probe=4
     ).select("query_id", "vec_id", F.round("cosine", 4).alias("cosine_r"))
+
+
+@register("ann_cosine_ivf_indexed", None)
+def ann_cosine_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a PERSISTED index: the corpus is written
+    partitioned by coarse-quantizer cell, so probing becomes partition
+    pruning at the scan (rows-only for the same reason as
+    ann_cosine_ivf; parity with the in-memory IVF and the pruning plan
+    are test-asserted)."""
+    from urllib.parse import urlparse
+
+    from .operators.similarity import build_ivf_index, cosine_topk_ivf_indexed
+
+    t = load_testdata(spark, sf_dir)
+    emb = t["embeddings"]
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    idx = f"{warehouse}/ann_ivf_index"
+    build_ivf_index(emb, idx, n_cells=8)
+    return cosine_topk_ivf_indexed(
+        spark, idx, emb.filter(F.col("vec_id") < 5), k=10, n_probe=4
+    ).select("query_id", "vec_id", F.round("cosine", 4).alias("cosine_r"))

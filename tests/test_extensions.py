@@ -101,3 +101,42 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
         for qid, hits in exact_top.items()
     ]
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_ivf_indexed_matches_inmemory_and_prunes(spark, sf_dir, tmp_path):
+    """The persisted-index IVF returns exactly the in-memory IVF's
+    results (same quantizer seed), and its corpus scan prunes to the
+    probed cell partitions."""
+    from automotive_translation_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf,
+        cosine_topk_ivf_indexed,
+    )
+
+    t = load_testdata(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=8)
+    indexed = cosine_topk_ivf_indexed(spark, idx, queries, k=10, n_probe=4)
+
+    mem_rows = sorted(
+        (r["query_id"], r["vec_id"], round(r["cosine"], 6))
+        for r in cosine_topk_ivf(
+            emb, queries, k=10, n_cells=8, n_probe=4
+        ).collect()
+    )
+    idx_rows = sorted(
+        (r["query_id"], r["vec_id"], round(r["cosine"], 6))
+        for r in indexed.collect()
+    )
+    assert mem_rows == idx_rows
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        l
+        for l in plan.splitlines()
+        if "FileScan" in l and "PartitionFilters: [cell" in l
+    ]
+    assert pruned, plan
