@@ -17,6 +17,7 @@ Everything is native column expressions — no Python in the hot path.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints at runtime
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -281,6 +282,191 @@ def build_ivf_index(
     corpus.sparkSession.createDataFrame(
         cent_rows, "cell int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def build_pq_codebook(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    train_sample: int = 2048,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train a product-quantization codebook: split the (L2-normalized)
+    vector into ``m`` subvectors and k-means each subspace to
+    ``n_codes`` centroids (Lloyd's on a bounded driver-side sample —
+    at 100 TB the sample stays the same size).
+
+    Returns ``m × n_codes × (dim/m)`` centroids. With ``m=8`` codes a
+    64-dim float vector compresses 256 B → 8 B — the difference
+    between an in-memory candidate set and a spilled one at 10^9
+    vectors.
+    """
+    import numpy as np
+
+    rows = corpus.select(vec_col).limit(train_sample).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    ds = dim // m
+    rng = np.random.default_rng(seed)
+    codebook = []
+    for i in range(m):
+        sub = X[:, i * ds : (i + 1) * ds]
+        cents = sub[rng.choice(len(sub), size=n_codes, replace=False)].copy()
+        for _ in range(12):  # Lloyd iterations; converges fast at these sizes
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(n_codes):
+                mask = assign == j
+                if mask.any():
+                    cents[j] = sub[mask].mean(axis=0)
+        codebook.append([[float(x) for x in c] for c in cents])
+    return codebook
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each corpus vector as ``m`` small codes (nearest centroid
+    per subspace, after L2 normalization) — the one-time, scan-once
+    build pass. Vectorized Arrow-batched pandas UDF: the argmin over
+    centroids is a numpy matmul per batch, not per row."""
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebook)
+    ds = len(codebook[0][0])
+
+    @pandas_udf("array<int>")
+    def _encode(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for i in range(m):
+            sub = X[:, i * ds : (i + 1) * ds]
+            cents = np.array(codebook[i], dtype=np.float64)
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+            d2 = -2.0 * sub @ cents.T + (cents * cents).sum(axis=1)[None, :]
+            codes[:, i] = d2.argmin(axis=1)
+        return pd.Series([list(map(int, row)) for row in codes])
+
+    return corpus.select(F.col(id_col), _encode(F.col(vec_col)).alias("__codes"))
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 64,
+    train_sample: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ-approximate cosine top-k with exact re-ranking.
+
+    Asymmetric distance computation (ADC): per query and subspace the
+    dot products against all ``n_codes`` centroids form a lookup table
+    (built as native column expressions — no Python on the query
+    path); the approximate score of a corpus vector is the sum of its
+    ``m`` table entries, evaluated JVM-side with ``zip_with`` +
+    ``aggregate`` over the 8-byte code column instead of the 256-byte
+    vector. The top ``rerank`` candidates per query are then scored
+    exactly against the true vectors. Classic two-stage retrieval
+    (background: PAPERS.md REPOSE/Odyssey): the heavy scan touches
+    only codes; full vectors are read for k·rerank rows."""
+    codebook = build_pq_codebook(
+        corpus, m=m, n_codes=n_codes, train_sample=train_sample, seed=seed,
+        vec_col=vec_col,
+    )
+    ds = len(codebook[0][0])
+    codes = pq_encode(corpus, codebook, id_col=id_col, vec_col=vec_col)
+
+    # Normalized query + per-subspace ADC tables as plain expressions.
+    tables = F.array(
+        *[
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(F.col("__qn"), i * ds + 1, ds),
+                            F.array(*[F.lit(float(x)) for x in cent]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for cent in codebook[i]
+                ]
+            )
+            for i in range(m)
+        ]
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            _norm(F.col(vec_col)).alias("__qnorm0"),
+        )
+        .withColumn(
+            "__qn",
+            F.transform(
+                F.col("__qvec"), lambda x: x.cast("double") / F.col("__qnorm0")
+            ),
+        )
+        .withColumn("__tables", tables)
+        .drop("__qn", "__qnorm0")
+    )
+    approx = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn(
+            "__approx",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__codes"),
+                    F.col("__tables"),
+                    lambda code, tbl: F.element_at(tbl, code + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w_a = Window.partitionBy(query_id_col).orderBy(
+        F.col("__approx").desc(), F.col(id_col)
+    )
+    candidates = (
+        approx.withColumn("__rk", F.row_number().over(w_a))
+        .filter(F.col("__rk") <= rerank)
+        .select(query_id_col, id_col, "__qvec")
+    )
+    # Exact re-rank: fetch true vectors for the survivors only.
+    cvec = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__cvec"),
+        _norm(F.col(vec_col)).alias("__cnorm"),
+    )
+    rescored = candidates.join(cvec, id_col).withColumn(
+        "cosine",
+        _dot(F.col("__qvec"), F.col("__cvec"))
+        / (_norm(F.col("__qvec")) * F.col("__cnorm")),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        rescored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(query_id_col, id_col, "cosine")
+    )
 
 
 def cosine_topk_ivf_indexed(

@@ -2220,6 +2220,20 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", F.round("cosine", 4).alias("cosine_r"))
 
 
+@register("ann_cosine_pq", None)
+def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (8-byte codes + native ADC tables + exact
+    re-rank) — rows-only: the codebook isn't oracle-reproducible;
+    recall vs brute force is asserted in tests."""
+    from .operators.similarity import cosine_topk_pq
+
+    t = load_testdata(spark, sf_dir)
+    emb = t["embeddings"]
+    return cosine_topk_pq(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, m=8, n_codes=16, rerank=64
+    ).select("query_id", "vec_id", F.round("cosine", 4).alias("cosine_r"))
+
+
 @register("ann_cosine_ivf_indexed", None)
 def ann_cosine_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over a PERSISTED index: the corpus is written

@@ -103,6 +103,34 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
+def test_pq_topk_recall_vs_bruteforce(spark, sf_dir):
+    """PQ codes + ADC + exact re-rank recover most of the exact top-10,
+    and every returned score is an exact cosine (re-rank stage)."""
+    from automotive_translation_pipeline_spark.operators.similarity import (
+        cosine_topk_pq,
+    )
+
+    t = load_testdata(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {}
+    exact_scores = {}
+    for r in cosine_topk_bruteforce(emb, queries, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+        exact_scores[(r["query_id"], r["vec_id"])] = r["cosine"]
+    got = {}
+    for r in cosine_topk_pq(emb, queries, k=10, rerank=64).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_scores:  # re-ranked scores must be exact
+            assert abs(exact_scores[key] - r["cosine"]) < 1e-9
+    recalls = [
+        len(got.get(qid, set()) & hits) / len(hits)
+        for qid, hits in exact.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
 def test_ivf_indexed_matches_inmemory_and_prunes(spark, sf_dir, tmp_path):
     """The persisted-index IVF returns exactly the in-memory IVF's
     results (same quantizer seed), and its corpus scan prunes to the
