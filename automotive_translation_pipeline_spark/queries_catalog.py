@@ -1868,64 +1868,48 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q21 shape: the sole late supplier on a multi-supplier order —
-    EXISTS (semi) + NOT EXISTS (anti) self-joins on the fact keyed by
-    order. (No l_receiptdate/l_commitdate in this testdata; 'late' is
-    shipping >60 days after the order date.) The correlated NOT EXISTS
-    carries a non-key condition, so it anti-joins on
-    (orderkey, late-flag) computed once per line."""
+    """Q21 shape: the sole late supplier on a multi-supplier order.
+    (No l_receiptdate/l_commitdate in this testdata; 'late' is shipping
+    >60 days after the order date.)
+
+    The EXISTS/NOT-EXISTS self-joins collapse into ONE per-order
+    aggregate — 'another supplier exists' ⇔ the order has ≥2 distinct
+    suppliers, 'no other late supplier' ⇔ the order's distinct late
+    suppliers are exactly {me}. One shuffle on l_orderkey replaces two
+    fact self-joins; at 100 TB that's the difference between one pass
+    and three."""
     t = load_testdata(spark, sf_dir)
     s, o = t["supplier"], t["orders"]
     li = t["lineitem"]
     late_cut = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    # One pass over lineitem joined to finished orders, with the late
-    # flag computed; reused for l1 / l2-exists / l3-not-exists.
-    lines = (
-        li.join(
-            F.broadcast(
-                o.filter(F.col("o_orderstatus") == "F").select(
-                    "o_orderkey", "o_orderdate"
-                )
-            ),
-            li.l_orderkey == F.col("o_orderkey"),
-        )
-        .select(
-            "l_orderkey",
-            "l_suppkey",
-            (F.col("l_shipdate") > late_cut).alias("is_late"),
-        )
-        .persist()
+    lines = li.join(
+        F.broadcast(
+            o.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            )
+        ),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > late_cut).alias("is_late"),
     )
-    l1 = lines.filter(F.col("is_late")).select("l_orderkey", "l_suppkey")
-    other_supp = (
-        lines.alias("l2")
-        .join(
-            l1.alias("a"),
-            (F.col("l2.l_orderkey") == F.col("a.l_orderkey"))
-            & (F.col("l2.l_suppkey") != F.col("a.l_suppkey")),
-            "left_semi",
-        )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
     )
-    # EXISTS: another supplier on the order.
-    with_other = l1.join(
-        other_supp.select("l_orderkey").distinct(), "l_orderkey", "left_semi"
-    )
-    # NOT EXISTS: no OTHER late supplier on the order. Late lines per
-    # order from a different supplier form the anti side.
-    other_late = (
+    l1 = (
         lines.filter(F.col("is_late"))
-        .select(F.col("l_orderkey").alias("ol_orderkey"),
-                F.col("l_suppkey").alias("ol_suppkey"))
+        .select("l_orderkey", "l_suppkey")
+        .dropDuplicates(["l_orderkey", "l_suppkey"])
     )
-    sole_late = with_other.join(
-        other_late,
-        (F.col("l_orderkey") == F.col("ol_orderkey"))
-        & (F.col("l_suppkey") != F.col("ol_suppkey")),
-        "left_anti",
+    sole_late = l1.join(per_order, "l_orderkey").filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     return (
-        sole_late.dropDuplicates(["l_orderkey", "l_suppkey"])
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
