@@ -10,7 +10,7 @@ partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 FAILED_SENTINEL = "[TRANSLATION_FAILED]"
@@ -49,6 +49,102 @@ def detect_extras(
     """R-15: parsed ids that were never requested in their batch
     (reference ``auto_translate.py:1006-1009``) — a left-anti join."""
     return parsed.join(expected.select(*keys), list(keys), "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    right_cols: tuple[str, ...],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Point-in-time (as-of) join: for every left row, the latest right
+    row of the same ``key`` with ``right.ts <= left.ts`` — the
+    feature-store primitive Spark has no built-in for.
+
+    Scalable formulation: tag both sides, union, ONE window per key
+    ordered by (ts, side, tie): ``last(value, ignorenulls)`` carries the
+    most recent right-side attributes forward onto each left row. One
+    shuffle on the key, no range self-join, no per-row subquery — at
+    100 TB this is a single sort-within-partition pass. Right rows at
+    exactly left.ts match (right sorts first); ties among right rows
+    resolve to the largest ``tie_col``.
+
+    Returns the left rows plus ``right_cols`` (renamed ``asof_<col>``),
+    NULL where no prior right row exists.
+    """
+    tie = tie_col or right_cols[0]
+    l_tagged = left.select(
+        F.col(key),
+        F.col(ts_col),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(dict(right.dtypes)[tie]).alias("__tie"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
+        *[F.col(c) for c in left.columns if c not in (key, ts_col)],
+    )
+    r_tagged = right.select(
+        F.col(key),
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        F.col(tie).alias("__tie"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        *[
+            F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+            for c in left.columns
+            if c not in (key, ts_col)
+        ],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col), F.col("__side"), F.col("__tie"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).drop(
+        "__side", "__tie", *[f"__r_{c}" for c in right_cols]
+    )
+
+
+def range_join_binned(
+    left: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bin_secs: int = 600,
+) -> DataFrame:
+    """Interval containment join (``left.ts BETWEEN start AND end`` per
+    key) without the quadratic blowup: both sides are bucketed into
+    fixed time bins; each interval explodes into the bins it covers
+    (bounded by interval_length/bin_secs), the join runs on
+    (key, bin) equality, and the exact range predicate filters inside
+    the bucket. Pick ``bin_secs`` near the typical interval length so
+    each interval covers O(1) bins — then cost is |matches|, not
+    |left|×|intervals|."""
+    micros = 1_000_000 * bin_secs
+    l_binned = left.withColumn(
+        "__bin", (F.unix_micros(F.col(ts_col)) / micros).cast("long")
+    )
+    i_binned = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                (F.unix_micros(F.col(start_col)) / micros).cast("long"),
+                (F.unix_micros(F.col(end_col)) / micros).cast("long"),
+            )
+        ),
+    )
+    return l_binned.join(i_binned, [key, "__bin"]).filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    ).drop("__bin")
 
 
 def pair_by_stem(

@@ -1412,6 +1412,84 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_purchase_last_view",
+    """
+    WITH v AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'view'),
+         p AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'purchase'),
+         m AS (
+            SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+                   v.event_id AS view_id,
+                   row_number() OVER (PARTITION BY p.event_id
+                                      ORDER BY v.ts DESC, v.event_id DESC)
+                       AS rk
+            FROM p LEFT JOIN v
+              ON v.user_id = p.user_id AND v.ts <= p.ts)
+    SELECT purchase_id, user_id, view_id FROM m WHERE rk = 1
+    """,
+)
+def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: every purchase matched to the user's most recent
+    prior view (NULL when none) — the point-in-time feature-store
+    lookup. Spark has no built-in as-of join; the operator is the
+    union + keyed-window carry-forward formulation (one shuffle on
+    user_id; the oracle is the quadratic LEFT JOIN + row_number
+    replica)."""
+    from .operators.joins import asof_join
+
+    t = load_testdata(spark, sf_dir)
+    ev = t["events"]
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    return asof_join(
+        purchases, views, key="user_id", ts_col="ts", right_cols=("event_id",)
+    ).select(
+        "purchase_id", "user_id", F.col("asof_event_id").alias("view_id")
+    )
+
+
+@register(
+    "range_join_error_windows",
+    """
+    SELECT c.event_id AS click_id, e.event_id AS error_id,
+           c.user_id AS user_id
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 2 HOUR
+    """,
+)
+def range_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join: clicks inside a 2-hour incident
+    window opened by each error of the same user. The operator bins
+    both sides to fixed time buckets and joins on (key, bin) equality
+    — cost |matches|, not |clicks|×|errors| (the oracle is the plain
+    inequality join)."""
+    from .operators.joins import range_join_binned
+
+    t = load_testdata(spark, sf_dir)
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+        F.col("event_id").alias("error_id"),
+    )
+    return range_join_binned(
+        clicks, errors, key="user_id", ts_col="ts",
+        start_col="start", end_col="end", bin_secs=3600,
+    ).select("click_id", "error_id", "user_id")
+
+
+@register(
     "events_ts_range_pruned",
     """
     SELECT event_type,

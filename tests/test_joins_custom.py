@@ -1,0 +1,98 @@
+"""Unit tests for the custom join operators Spark lacks natively:
+as-of (point-in-time) join and binned range join. The catalog queries
+asof_purchase_last_view / range_join_error_windows oracle-check them at
+table scale; these pin the semantics on hand-built rows."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from automotive_translation_pipeline_spark.operators.joins import (
+    asof_join,
+    range_join_binned,
+)
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_asof_join_semantics(spark):
+    prices = spark.createDataFrame(
+        [
+            ("A", _ts(0), 100.0),
+            ("A", _ts(10), 110.0),
+            ("A", _ts(20), 120.0),
+            ("B", _ts(5), 50.0),
+        ],
+        "sym string, ts timestamp, price double",
+    )
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts(0), "t0"),    # exactly at a quote → inclusive match
+            ("A", _ts(15), "t1"),   # between quotes → 10:00 quote
+            ("A", _ts(25), "t2"),   # after last → 20:00 quote
+            ("B", _ts(1), "t3"),    # before any quote → NULL
+            ("C", _ts(9), "t4"),    # key never quoted → NULL
+        ],
+        "sym string, ts timestamp, trade_id string",
+    )
+    out = {
+        r["trade_id"]: r["asof_price"]
+        for r in asof_join(
+            trades, prices, key="sym", ts_col="ts", right_cols=("price",)
+        ).collect()
+    }
+    assert out == {"t0": 100.0, "t1": 110.0, "t2": 120.0, "t3": None, "t4": None}
+
+
+def test_asof_join_tie_break_largest(spark):
+    """Two right rows at the same (key, ts): the larger tie column wins
+    (the deterministic analog of last-wins)."""
+    right = spark.createDataFrame(
+        [("A", _ts(0), 1, "first"), ("A", _ts(0), 2, "second")],
+        "k string, ts timestamp, ver int, val string",
+    )
+    left = spark.createDataFrame(
+        [("A", _ts(1), "x")], "k string, ts timestamp, pid string"
+    )
+    row = asof_join(
+        left, right, key="k", ts_col="ts", right_cols=("val",), tie_col="ver"
+    ).first()
+    assert row["asof_val"] == "second"
+
+
+def test_range_join_binned_matches_naive(spark):
+    """The binned formulation returns exactly the naive inequality
+    join's pairs, including intervals spanning multiple bins."""
+    events = spark.createDataFrame(
+        [(f"u{i % 3}", _ts(i), i) for i in range(40)],
+        "user string, ts timestamp, eid int",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("u0", _ts(2), _ts(9), "w0"),     # multi-bin at bin=300s
+            ("u1", _ts(20, 30), _ts(21), "w1"),
+            ("u2", _ts(50), _ts(59), "w2"),   # beyond data → only ≤39
+        ],
+        "user string, start timestamp, end timestamp, wid string",
+    )
+    got = sorted(
+        (r["eid"], r["wid"])
+        for r in range_join_binned(
+            events, intervals, key="user", ts_col="ts",
+            start_col="start", end_col="end", bin_secs=300,
+        ).collect()
+    )
+    naive = sorted(
+        (r["eid"], r["wid"])
+        for r in events.join(
+            intervals,
+            (events.user == intervals.user)
+            & (events.ts >= intervals.start)
+            & (events.ts <= intervals.end),
+        ).collect()
+    )
+    assert got == naive and got  # non-empty and identical
