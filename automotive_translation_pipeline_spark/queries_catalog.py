@@ -2037,6 +2037,83 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "profile_quantiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+           round(quantile_cont(l_quantity, 0.50), 4) AS q50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS price_median
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`). The exact form needs a per-group sort; at
+    100 TB swap in `approx_percentile` (t-digest sketch, map-side
+    mergeable, no sort) — kept exact here so the oracle can hash-match
+    values."""
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q25"),
+            F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("q50"),
+            F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("q75"),
+            F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias(
+                "price_median"
+            ),
+        )
+    )
+
+
+@register(
+    "rolling_revenue_7d",
+    """
+    WITH daily AS (
+        SELECT CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+                              l_shipdate) AS INT) AS day_no,
+               sum(l_extendedprice * (1 - l_discount)) AS day_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY 1)
+    SELECT day_no,
+           round(sum(day_rev) OVER (ORDER BY day_no
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+               AS rev_7d
+    FROM daily
+    """,
+)
+def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue via a RANGE window frame over the day
+    number — RANGE (value-based), not ROWS, so missing calendar days
+    still bound the frame correctly. Daily pre-aggregation first: the
+    window then slides over ~90 rows, not 600k."""
+    li = scan_ts_pruned(
+        spark, sf_dir, "lineitem",
+        [("l_shipdate", ">=", "1997-01-01"), ("l_shipdate", "<", "1997-04-01")],
+    )
+    daily = (
+        li.withColumn(
+            "day_no", F.datediff(F.col("l_shipdate"), F.lit("1995-01-01")).cast("int")
+        )
+        .groupBy("day_no")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "day_rev"
+            )
+        )
+    )
+    w = Window.orderBy("day_no").rangeBetween(-6, 0)
+    return daily.select(
+        "day_no", F.round(F.sum("day_rev").over(w), 2).alias("rev_7d")
+    )
+
+
+@register(
     "profile_lineitem",
     """
     SELECT count(*) AS n_rows,
