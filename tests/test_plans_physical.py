@@ -86,6 +86,22 @@ def test_anti_join_is_hash_not_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_q7_all_dims_broadcast(spark, sf_dir):
+    """Five-way star with nation in two roles: every dim must broadcast
+    — a single SortMergeJoin here means the fact shuffles five times."""
+    plan = _physical(spark, "tpch_q7_volume_shipping", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of join is union + ONE keyed window: exactly one exchange
+    (on the key). A second exchange means the formulation regressed to
+    a range self-join."""
+    plan = _physical(spark, "asof_purchase_last_view", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_staged_pipeline_rejoin_is_shuffle_free(spark, sf_dir):
     """The staged flagship re-join job (bucketed scans → dedup → join →
     shift window) must contain NO Exchange: hashpartitioning(batch_id)
