@@ -2037,6 +2037,32 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "sorted_lang_source_profile",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           round(avg(n_chars), 3) AS avg_chars
+    FROM documents GROUP BY lang, source
+    ORDER BY avg_chars DESC, lang, source
+    """,
+)
+def sorted_lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-sorted output (no LIMIT): the one plan shape top-k can't
+    exercise — a global sort compiles to sampled RangePartitioning + an
+    in-partition sort, so the result is totally ordered across
+    partitions without any single-node bottleneck."""
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 3).alias("avg_chars"),
+        )
+        .orderBy(F.col("avg_chars").desc(), "lang", "source")
+    )
+
+
+@register(
     "profile_quantiles",
     """
     SELECT l_returnflag,

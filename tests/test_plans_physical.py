@@ -86,6 +86,15 @@ def test_anti_join_is_hash_not_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_global_sort_is_range_partitioned(spark, sf_dir):
+    """Full ORDER BY (no limit) must compile to sampled range
+    partitioning + per-partition sort — never a single-partition
+    global sort."""
+    plan = _physical(spark, "sorted_lang_source_profile", sf_dir)
+    assert "Exchange rangepartitioning" in plan
+    assert "TakeOrderedAndProject" not in plan
+
+
 def test_q7_all_dims_broadcast(spark, sf_dir):
     """Five-way star with nation in two roles: every dim must broadcast
     — a single SortMergeJoin here means the fact shuffles five times."""
