@@ -1604,6 +1604,100 @@ def analyze_error_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return second.groupBy("error_type").agg(F.count("*").alias("n_batches"))
 
 
+@register(
+    "analyze_full_taxonomy",
+    _PIPELINE_SQL_BASE
+    + """
+    SELECT error_type, count(*) AS n_batches FROM (
+        SELECT f.batch_id,
+               CASE
+                 WHEN ascii(substr(md5(f.batch_id), 1, 1)) % 8 = 0
+                     THEN 'status_code_error'
+                 WHEN ascii(substr(md5(f.batch_id), 1, 1)) % 8 = 1
+                     THEN 'empty_response'
+                 WHEN ascii(substr(md5(f.batch_id), 1, 1)) % 8 = 2
+                     THEN 'response_format_error'
+                 WHEN f.fmt_idx = 0 THEN 'successful'
+                 WHEN f.fmt_idx = 2 AND f.n_rows >= 2 THEN 'repaired'
+                 ELSE 'flagged_for_review'
+               END AS error_type
+        FROM fmt f)
+    GROUP BY error_type
+    """,
+)
+def analyze_full_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full analyze-mode bucket set
+    (``auto_translate.py:1165-1181``): transport faults
+    (status_code_errors / empty_responses / response_format_errors) on
+    top of the parse-level buckets. Faults are injected
+    deterministically by a portable md5 selector so the DuckDB oracle
+    reproduces them; classification itself runs on RUNTIME evidence
+    (status code, content shape, parse/repair results), not on the
+    selector."""
+    from .functions.parsing import parse_translations
+    from .functions.predicates import is_truncated
+    from .functions.repair import repair_json_udf
+    from .operators.packing import (
+        assign_batches_cumsum,
+        materialize_requests,
+        with_cost,
+    )
+    from .translate import translate_requests
+
+    t = load_testdata(spark, sf_dir)
+    docs = (
+        t["documents"]
+        .select(
+            F.col("doc_id").cast("string").alias("description_id"),
+            F.trim("text").alias("english_sentence"),
+            F.col("lang").alias("shard"),
+            F.col("doc_id").alias("seq"),
+        )
+        .filter(F.length("english_sentence") > 0)
+    )
+    todo = docs.filter(F.col("seq") % 7 != 0)
+    assigned = assign_batches_cumsum(
+        with_cost(todo, "english_sentence"), order_col="seq", limit=4000,
+        shard_col="shard",
+    )
+    responses = translate_requests(materialize_requests(assigned))
+    sel = (
+        F.ascii(F.substring(F.md5(F.col("custom_id").cast("binary")), 1, 1)) % 8
+    )
+    faulty = responses.select(
+        F.col("custom_id").alias("batch_id"),
+        F.when(sel == 0, F.lit(500)).otherwise(F.lit(200)).alias("status_code"),
+        F.when(sel == 0, F.lit(None).cast("string"))
+        .when(sel == 1, F.lit(""))
+        .when(sel == 2, F.lit("<html>502 Bad Gateway</html>"))
+        .otherwise(F.col("content"))
+        .alias("content"),
+    )
+    staged = faulty.select(
+        "batch_id",
+        "status_code",
+        "content",
+        F.size(parse_translations(F.col("content"))).alias("n_parsed"),
+        is_truncated(F.col("content")).alias("truncated"),
+        F.size(
+            parse_translations(
+                F.coalesce(repair_json_udf(F.col("content")), F.col("content"))
+            )
+        ).alias("n_repaired"),
+    )
+    classified = staged.select(
+        "batch_id",
+        F.when(F.col("status_code") != 200, "status_code_error")
+        .when(F.trim(F.coalesce(F.col("content"), F.lit(""))) == "", "empty_response")
+        .when((F.col("n_parsed") > 0) & ~F.col("truncated"), "successful")
+        .when((F.col("n_parsed") > 0) & F.col("truncated"), "flagged_for_review")
+        .when(F.col("n_repaired") > 0, "repaired")
+        .otherwise("response_format_error")
+        .alias("error_type"),
+    )
+    return classified.groupBy("error_type").agg(F.count("*").alias("n_batches"))
+
+
 # =========================================================================
 # More classic join/agg shapes (TPC-H adapted to the testdata schema)
 # =========================================================================
