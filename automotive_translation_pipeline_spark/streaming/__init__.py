@@ -3,4 +3,5 @@ from .jobs import (  # noqa: F401
     event_window_counts,
     ledger_state_stream,
     repair_pass,
+    streaming_dedup,
 )

@@ -83,6 +83,25 @@ _TRANSITION_SCHEMA = (
 )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: at-least-once sources
+    (Kafka replays, file redelivery, retried batch jobs) become
+    effectively-once. ``dropDuplicatesWithinWatermark`` keeps each key
+    only until the watermark passes it, so state size tracks the event
+    rate × watermark horizon instead of growing forever — the property
+    that makes streaming dedup survive at 100 TB/day. (Plain streaming
+    ``dropDuplicates`` without a watermark is an unbounded-state
+    footgun and is deliberately not exposed.)"""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+
+
 def _track_job(
     key: tuple,
     pdfs: Iterator[pd.DataFrame],

@@ -206,6 +206,44 @@ def test_streaming_flagship_end_to_end(spark, tmp_path):
     assert spark.read.parquet(out).count() == 24
 
 
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    """Duplicate ids delivered across files collapse to one row each;
+    the watermark bounds the dedup state."""
+    from automotive_translation_pipeline_spark.streaming.jobs import (
+        streaming_dedup,
+    )
+
+    src = tmp_path / "dup_landing"
+    src.mkdir()
+    # Two files, overlapping ids: e0..e9 then e5..e14 (e5..e9 are dupes).
+    for f, lo in ((0, 0), (1, 5)):
+        lines = ["event_id,ts,payload"]
+        for i in range(lo, lo + 10):
+            lines.append(f"e{i:03d},2024-01-01 00:{i:02d}:00,p{i}")
+        (src / f"f{f}.csv").write_text("\n".join(lines) + "\n")
+
+    stream = (
+        spark.readStream.schema("event_id string, ts timestamp, payload string")
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)  # dupes arrive in a LATER batch
+        .csv(f"{src}/*.csv")
+    )
+    out = str(tmp_path / "dedup_out")
+    q = (
+        streaming_dedup(stream, id_col="event_id", ts_col="ts",
+                        watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "dedup_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    assert got.count() == 15  # e0..e14, each exactly once
+    assert got.select("event_id").distinct().count() == 15
+
+
 def test_streaming_flagship_custom_source(spark, tmp_path):
     """The service accepts any (description_id, english_sentence)
     streaming DataFrame as its source — the seam the Kafka variant
