@@ -102,8 +102,12 @@ def translate_docs(todo: DataFrame, limit: int = 4000) -> DataFrame:
     assigned = _pack(todo, limit).persist()
     requests = materialize_requests(assigned)
 
-    # X-5: the grouped translate map (mock in the harness).
-    responses = translate_requests(requests)
+    # X-5: the grouped translate map (mock in the harness). persist():
+    # a codegen barrier — without it the parse-cascade trees fuse into
+    # one whole-stage unit with the pack+translate plan and janino
+    # compilation dominates (measured 11x on the sf0.1 flagship; one
+    # row per batch, so the cache is tiny).
+    responses = translate_requests(requests).persist()
     parsed = _parse_responses(responses)
 
     expected = assigned.select(
