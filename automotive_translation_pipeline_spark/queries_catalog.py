@@ -2143,6 +2143,140 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "tpch_q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_9' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+        SELECT year(o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS nation
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey
+        JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: national market share — the widest dim star in TPC-H
+    (part, supplier, orders, customer, nation x2 roles, region all hang
+    off the fact). Every dim broadcasts, so the fact is scanned once
+    with zero pre-aggregation shuffles; the conditional-sum ratio needs
+    only the final groupBy(o_year). The customer-side nation is
+    filtered through region BEFORE the join (semi-join via inner join
+    on a pre-filtered broadcast), while the supplier-side nation is
+    kept whole because its name feeds the CASE."""
+    t = load_testdata(spark, sf_dir)
+    li, p, s = t["lineitem"], t["part"], t["supplier"]
+    o, c = t["orders"], t["customer"]
+    # customer-side nations restricted to the target region (dim-side
+    # reduction: region filter applied before anything touches the fact)
+    cust_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("c_nkey"))
+    )
+    supp_nations = t["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(
+            F.broadcast(p.filter(F.col("p_type") == "PROMO").select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(o.select("o_orderkey", "o_custkey", "o_orderdate")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(supp_nations), F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_9", volume).otherwise(0.0))
+                / F.sum(volume),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 2) AS total_revenue_r
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: top supplier by quarterly revenue. The spec's view
+    is referenced twice (once under max()); re-aggregating the fact
+    would scan lineitem twice, so the per-supplier aggregate is
+    computed once, its 1-row max is broadcast back onto it (the q22
+    scalar-subquery pattern), and only the winners join supplier. The
+    ship-date range predicate pushes to the parquet scan
+    (TIMESTAMP(MILLIS) pushes natively, see SCALE.md)."""
+    s = load_testdata(spark, sf_dir)["supplier"]
+    li = scan_ts_pruned(
+        spark,
+        sf_dir,
+        "lineitem",
+        [("l_shipdate", ">=", "1996-01-01"), ("l_shipdate", "<", "1996-04-01")],
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    revenue = revenue.persist()
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    best = (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .drop("max_revenue")
+    )
+    return (
+        F.broadcast(best)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).alias("total_revenue_r"),
+        )
+    )
+
+
+@register(
     "sorted_lang_source_profile",
     """
     SELECT lang, source, count(*) AS n_docs,

@@ -103,6 +103,28 @@ def test_q7_all_dims_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 4
 
 
+def test_q8_widest_star_all_dims_broadcast(spark, sf_dir):
+    """Q8 hangs seven dim roles off the fact (part, supplier, orders,
+    customer, nation x2, region-filtered nation set): every one must
+    broadcast so the fact is scanned once and only the o_year rollup
+    shuffles."""
+    plan = _physical(spark, "tpch_q8_market_share", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+    # exactly one aggregation exchange (the groupBy(o_year))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q15_single_fact_scan(spark, sf_dir):
+    """Q15 references the revenue view twice; the plan must still read
+    lineitem ONCE (cached aggregate + broadcast max), not re-aggregate
+    the fact per reference."""
+    plan = _physical(spark, "tpch_q15_top_supplier", sf_dir)
+    assert "SortMergeJoin" not in plan
+    # the quarter predicate reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
 def test_asof_join_single_shuffle(spark, sf_dir):
     """The as-of join is union + ONE keyed window: exactly one exchange
     (on the key). A second exchange means the formulation regressed to
