@@ -132,6 +132,71 @@ def minhash_lsh_candidates(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components of the candidate-pair graph: collapse
+    near-dup PAIRS into dedup CLUSTERS, labeling every node with the
+    minimum doc id reachable from it. This is the step after any
+    pair-producing dedup (MinHash/LSH, Jaccard, embedding) — without
+    it, A~B and B~C dedup to two overlapping pairs instead of one
+    {A,B,C} cluster with one keeper.
+
+    Min-label propagation: each round every node adopts the smallest
+    label among itself and its neighbors — one shuffle-join + one
+    grouped min per round, converging in O(cluster diameter) rounds.
+    Near-dup clusters are dense and shallow (diameter ≤ ~4), so this
+    beats the O(log n) large-star/small-star algorithm (Kiveris et
+    al.) in practice; swap that in if the edge graph ever grows long
+    chains. Each round is ``localCheckpoint``-ed: iterative self-joins
+    otherwise stack lineage until planning dominates. Convergence is
+    detected by a changed-label count, so the driver loop runs
+    diameter+1 jobs, each over |nodes| rows only — never the fact.
+    """
+    sym = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        .persist()
+    )
+    labels = sym.select("node").distinct().withColumn("label", F.col("node"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
+                ),
+                "nbr",
+            )
+            .groupBy("node")
+            .agg(F.min("nbr_label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left_outer")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.select("node", F.col("label").alias("new"))
+            .join(labels.select("node", F.col("label").alias("old")), "node")
+            .filter(F.col("new") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

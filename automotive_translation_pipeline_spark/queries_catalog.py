@@ -927,6 +927,51 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_components",
+    _DUCK_SHINGLE_CTE.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+    + """
+    , sig AS (
+        SELECT doc_id,
+               list_transform(range(0, 16), i ->
+                   list_min(list_transform(shingles, s -> md5(i || ':' || s)))
+               ) AS sig
+        FROM sh
+    ), banded AS (
+        SELECT doc_id, b.band,
+               array_to_string(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4),
+                               '|') AS bucket
+        FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(node, label) AS (
+        SELECT DISTINCT u, u FROM edges
+        UNION
+        SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+    )
+    SELECT node, min(label) AS component FROM reach GROUP BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash/LSH candidate pairs collapsed into
+    connected components (min-reachable-id label per doc). The oracle
+    replays the same pair generation and closes it with a recursive
+    transitive-closure CTE — exact cluster parity, not just pair
+    parity."""
+    from .operators.dedup import connected_components, minhash_lsh_candidates
+
+    t = load_testdata(spark, sf_dir)
+    pairs = minhash_lsh_candidates(
+        t["documents"], text_col="text", id_col="doc_id", num_hashes=16, bands=4, k=3
+    ).persist()
+    return connected_components(pairs)
+
+
+@register(
     "dedup_ngram_jaccard",
     _DUCK_SHINGLE_CTE
     + """

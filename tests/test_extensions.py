@@ -168,3 +168,47 @@ def test_ivf_indexed_matches_inmemory_and_prunes(spark, sf_dir, tmp_path):
         if "FileScan" in l and "PartitionFilters: [cell" in l
     ]
     assert pruned, plan
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A-B-C chain, an isolated D-E pair, and a 4-cycle must collapse
+    to min-id labels; convergence must span multi-hop chains (C reaches
+    A only through B)."""
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("b", "c"), ("a", "b"),          # chain a-b-c
+            ("d", "e"),                      # island pair
+            ("w", "x"), ("x", "y"), ("y", "z"), ("z", "w"),  # 4-cycle
+        ],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "a",
+        "d": "d", "e": "d",
+        "w": "w", "x": "w", "y": "w", "z": "w",
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path graph needs ~diameter rounds — guards the
+    convergence loop (a one-round implementation would leave far nodes
+    unlabeled)."""
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(n)], ["id_a", "id_b"]
+    )
+    labels = connected_components(edges).collect()
+    assert len(labels) == n + 1
+    assert {r["component"] for r in labels} == {"n00"}
