@@ -1231,6 +1231,36 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_view_attribution",
+    """
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id, p.ts AS purchase_ts, v.ts AS view_ts,
+           round(p.value, 2) AS purchase_value
+    FROM events p
+    JOIN events v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+)
+def stream_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/jobs.py:
+    view_purchase_attribution) on the batch path: purchases attributed
+    to same-user views in the preceding 30 minutes. The event-time
+    bound that the oracle checks is the same condition that bounds the
+    streaming state."""
+    from .streaming import view_purchase_attribution
+
+    ev = load_testdata(spark, sf_dir)["events"]
+    return view_purchase_attribution(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon_minutes=30,
+    )
+
+
+@register(
     "stream_session_windows",
     """
     SELECT user_id,

@@ -4,4 +4,5 @@ from .jobs import (  # noqa: F401
     ledger_state_stream,
     repair_pass,
     streaming_dedup,
+    view_purchase_attribution,
 )

@@ -75,6 +75,51 @@ def event_session_windows(
     )
 
 
+def view_purchase_attribution(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon_minutes: int = 30,
+    view_watermark: str = "60 minutes",
+    purchase_watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase is
+    attributed to every view by the same user within the preceding
+    ``horizon_minutes``. The event-time bound on the join condition is
+    what makes this run forever: Spark keeps a view in state only until
+    ``view watermark + horizon`` passes it, so state size tracks
+    rate × horizon, never the full history. Without the interval bound
+    a stream-stream join is an unbounded-state footgun and would OOM at
+    production rates. Works identically on batch DataFrames (the same
+    plan minus state), which is how the oracle checks it."""
+    v = views.withWatermark("ts", view_watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.withWatermark("ts", purchase_watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        )
+    )
+    return p.join(v, cond, "inner").select(
+        "purchase_id",
+        "view_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "view_ts",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
 # --- stateful ledger tracking ---------------------------------------------
 
 LEDGER_STATE_SCHEMA = "job_id string, status string, n_updates long"

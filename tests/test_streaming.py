@@ -288,3 +288,45 @@ def test_kafka_source_raises_clear_error_without_package(spark):
         df.schema
     msg = str(ei.value)
     assert "kafka" in msg.lower()
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """True stream-stream run: two file-source streams, watermarked
+    interval join, append sink. Purchases must pick up only same-user
+    views inside the 30-minute horizon."""
+    from automotive_translation_pipeline_spark.streaming import (
+        view_purchase_attribution,
+    )
+
+    vdir, pdir = tmp_path / "views", tmp_path / "purchases"
+    vdir.mkdir(), pdir.mkdir()
+    views = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 7, "event_type": "view", "value": 0.0},
+        {"event_id": 2, "ts": "2024-01-01T10:20:00", "user_id": 7, "event_type": "view", "value": 0.0},
+        {"event_id": 3, "ts": "2024-01-01T09:00:00", "user_id": 7, "event_type": "view", "value": 0.0},  # outside horizon
+        {"event_id": 4, "ts": "2024-01-01T10:20:00", "user_id": 9, "event_type": "view", "value": 0.0},  # other user
+    ]
+    purchases = [
+        {"event_id": 10, "ts": "2024-01-01T10:30:00", "user_id": 7, "event_type": "purchase", "value": 42.0},
+    ]
+    (vdir / "v.json").write_text("\n".join(json.dumps(r) for r in views))
+    (pdir / "p.json").write_text("\n".join(json.dumps(r) for r in purchases))
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    vs = spark.readStream.schema(schema).json(str(vdir))
+    ps = spark.readStream.schema(schema).json(str(pdir))
+    name = f"attrib_{int(time.time())}"
+    q = (
+        view_purchase_attribution(vs, ps, horizon_minutes=30)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["purchase_id"], r["view_id"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert got == {(10, 1), (10, 2)}
