@@ -39,6 +39,50 @@ def write_output_csv(df: DataFrame, path: str, single_file: bool = False) -> Non
     shutil.rmtree(tmp)
 
 
+def write_layout(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    sort_by: tuple[str, ...] = (),
+    max_records_per_file: int | None = None,
+    files_per_partition: int = 1,
+) -> None:
+    """Scale-aware parquet layout: the write pattern that decides
+    whether a 100 TB table is scannable.
+
+    Three levers, each mapped to the failure it prevents:
+
+    * ``repartition(partition_by)`` before ``partitionBy`` — without
+      it every one of the N shuffle tasks writes a file into every one
+      of the K partition dirs (N×K small files; at N=10k tasks and
+      K=1k days that is 10M files and a dead namenode). With it each
+      partition's rows land in ``files_per_partition`` tasks.
+    * ``sortWithinPartitions(sort_by)`` — clusters rows so parquet
+      row-group min/max stats become selective; a later range filter
+      on the sort column skips whole row groups instead of reading
+      them. This is the poor man's Z-order for the 1-column case.
+    * ``maxRecordsPerFile`` — bounds file size so a skewed partition
+      degrades into several well-sized files instead of one 50 GB
+      file that a single task must read end-to-end.
+    """
+    out = df
+    if partition_by:
+        keys = [F.col(c) for c in partition_by]
+        if files_per_partition > 1:
+            # Salt the distribution so one hot partition value can use
+            # several write tasks without interleaving others' files.
+            keys = [*keys, (F.rand(seed=7) * files_per_partition).cast("int")]
+        out = out.repartition(*keys)
+    if sort_by:
+        out = out.sortWithinPartitions(*partition_by, *sort_by)
+    writer = out.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
 def write_request_jsonl(df: DataFrame, path: str) -> None:
     """R-6b: request JSONL sink — one JSON object per line.
 

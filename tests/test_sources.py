@@ -17,6 +17,7 @@ from automotive_translation_pipeline_spark.sources import (
     read_response_jsonl,
 )
 from automotive_translation_pipeline_spark.sources.writers import (
+    write_layout,
     write_output_csv,
     write_request_jsonl,
 )
@@ -98,3 +99,31 @@ def test_output_csv_bom_and_sentinel(spark, tmp_path):
     body = raw.decode("utf-8-sig")
     assert "[TRANSLATION_FAILED]" in body  # sentinel materialized at sink
     assert "ok" in body
+
+
+def test_write_layout_partitioned_sorted(spark, tmp_path):
+    """Layout contract: one file per partition dir (no small-files
+    fan-out), rows sorted within files, skewed partitions split by
+    maxRecordsPerFile."""
+    import glob
+    import os
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 4).cast("string").alias("k"),
+        F.col("id").alias("v"),
+    )
+    out = str(tmp_path / "laid_out")
+    write_layout(df, out, partition_by=("k",), sort_by=("v",))
+    for k in range(4):
+        files = glob.glob(os.path.join(out, f"k={k}", "*.parquet"))
+        assert len(files) == 1, f"partition k={k} fanned out to {len(files)} files"
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    # within-file ordering: parquet preserves row order per file
+    one = spark.read.parquet(glob.glob(os.path.join(out, "k=0", "*.parquet"))[0])
+    vals = [r["v"] for r in one.collect()]
+    assert vals == sorted(vals)
+    # skew escape hatch: small record cap splits the hot partition
+    out2 = str(tmp_path / "capped")
+    write_layout(df, out2, partition_by=("k",), max_records_per_file=100)
+    assert len(glob.glob(os.path.join(out2, "k=0", "*.parquet"))) >= 3
