@@ -31,8 +31,10 @@ HEADLINE = [
     "tpch_q5_local_suppliers",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
     "tpch_q10_returned_revenue",
     "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
     "tpch_q18_large_orders",
     "tpch_q21_waiting_suppliers",
     "r17_pack_cumsum",
@@ -40,9 +42,11 @@ HEADLINE = [
     "r25_last_wins",
     "stream_tumbling_counts",
     "stream_session_windows",
+    "stream_view_attribution",
     "dedup_minhash_candidates",
     "dedup_ngram_jaccard",
     "dedup_exact_groups",
+    "dedup_components",
     "ann_cosine_topk",
     "text_quality_scores",
 ]
