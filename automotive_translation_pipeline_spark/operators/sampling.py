@@ -1,0 +1,70 @@
+"""Deterministic sampling / dataset splitting — training-data curation
+operators (BASELINE.json extension surface).
+
+Random sampling (``df.sample``/``rand()``) is the wrong tool for a
+100 TB training pipeline: it is not reproducible across runs or
+engines, a re-run reshuffles documents between train and eval
+(leakage!), and adding data resamples everything. The operators here
+hash a stable key instead — every engine that can md5 agrees row-by-row
+on membership forever, new data lands in the same buckets, and the
+train/eval boundary never moves. md5 is the portable choice (DuckDB and
+Spark agree; xxhash64 is Spark-only).
+
+All pure column expressions — no shuffle for membership itself; only
+the fixed-k stratified variant shuffles (one window per group).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Buckets for percentage splits: 10_000 gives 0.01% resolution.
+DEFAULT_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, buckets: int = DEFAULT_BUCKETS) -> Column:
+    """Deterministic bucket in ``[0, buckets)``: first 8 hex chars of
+    md5(key) as an integer, mod buckets. Uniform for any key type
+    (cast to string first)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % buckets
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, buckets: int = DEFAULT_BUCKETS
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by key hash. Same rows
+    every run, every engine, any partitioning — and a pure filter, so
+    it pushes ahead of joins/aggs like any other predicate."""
+    return df.filter(hash_bucket(F.col(key_col), buckets) < int(fraction * buckets))
+
+
+def split_of(
+    key: Column, eval_fraction: float = 0.1, buckets: int = DEFAULT_BUCKETS
+) -> Column:
+    """'train'/'eval' label by key hash. The boundary is a function of
+    the key alone: re-runs and incremental loads can never leak a
+    document across the split."""
+    return F.when(
+        hash_bucket(key, buckets) < int(eval_fraction * buckets), F.lit("eval")
+    ).otherwise(F.lit("train"))
+
+
+def stratified_fixed_k(
+    df: DataFrame, group_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Exactly ``k`` rows per group, chosen by hash rank — a
+    reproducible per-stratum carve-out (eval sets, human-review
+    samples). One shuffle on the group; the md5 rank is the random
+    order, the key itself breaks md5 ties deterministically."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -926,6 +926,76 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Portable md5 bucket: Spark conv(substring(md5,1,8),16,10) == DuckDB
+# CAST('0x'||substr(md5,1,8) AS BIGINT); both lowercase-hex, mod 10000.
+_DUCK_BUCKET = "(CAST('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 8) AS BIGINT) % 10000)"
+
+
+@register(
+    "sample_hash_deterministic",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_DUCK_BUCKET.format(k="doc_id")} < 1000
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% deterministic hash sample of documents — same rows every
+    run and every engine (the oracle literally re-derives membership),
+    and a pure pushable filter, unlike rand()-based sampling."""
+    from .operators.sampling import hash_sample
+
+    t = load_testdata(spark, sf_dir)
+    return hash_sample(t["documents"], "doc_id", 0.10).select("doc_id", "lang")
+
+
+@register(
+    "sample_train_eval_split",
+    f"""
+    SELECT lang,
+           CASE WHEN {_DUCK_BUCKET.format(k="doc_id")} < 1000
+                THEN 'eval' ELSE 'train' END AS split,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang, split
+    """,
+)
+def sample_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-proof train/eval split: the label is a function of the doc
+    key alone, so incremental loads and re-runs can never move a
+    document across the boundary. Reported as per-(lang, split) counts."""
+    from .operators.sampling import split_of
+
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["documents"]
+        .withColumn("split", split_of(F.col("doc_id"), eval_fraction=0.10))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "sample_stratified_topk",
+    """
+    SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+    WHERE rk <= 5
+    """,
+)
+def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 docs per language by hash rank — the reproducible
+    per-stratum carve-out (eval / human-review sets)."""
+    from .operators.sampling import stratified_fixed_k
+
+    t = load_testdata(spark, sf_dir)
+    return stratified_fixed_k(t["documents"], "lang", "doc_id", 5).select(
+        "lang", "doc_id"
+    )
+
+
 @register(
     "dedup_components",
     _DUCK_SHINGLE_CTE.replace("WITH d AS", "WITH RECURSIVE d AS", 1)

@@ -44,6 +44,7 @@ def write_layout(
     path: str,
     partition_by: tuple[str, ...] = (),
     sort_by: tuple[str, ...] = (),
+    zorder_by: tuple[str, ...] = (),
     max_records_per_file: int | None = None,
     files_per_partition: int = 1,
 ) -> None:
@@ -64,8 +65,24 @@ def write_layout(
     * ``maxRecordsPerFile`` — bounds file size so a skewed partition
       degrades into several well-sized files instead of one 50 GB
       file that a single task must read end-to-end.
+    * ``zorder_by`` — multi-column clustering: sorts by an interleaved
+      z-order key (``operators/layout.py``) so min/max stats prune on
+      ALL the listed columns, not just the first of a lexicographic
+      sort. Mutually exclusive with ``sort_by``.
     """
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
     out = df
+    zkey = "__zkey"
+    if zorder_by:
+        from ..operators.layout import with_zorder_key
+
+        out = with_zorder_key(out, zorder_by, key_name=zkey)
+        sort_by = (zkey,)
+        if not partition_by:
+            # Disjoint z-ranges per task: without this, every output
+            # file spans the whole z-range and stats prune nothing.
+            out = out.repartitionByRange(F.col(zkey))
     if partition_by:
         keys = [F.col(c) for c in partition_by]
         if files_per_partition > 1:
@@ -75,6 +92,8 @@ def write_layout(
         out = out.repartition(*keys)
     if sort_by:
         out = out.sortWithinPartitions(*partition_by, *sort_by)
+    if zorder_by:
+        out = out.drop(zkey)
     writer = out.write.mode("overwrite")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)

@@ -212,3 +212,35 @@ def test_connected_components_long_chain_converges(spark):
     labels = connected_components(edges).collect()
     assert len(labels) == n + 1
     assert {r["component"] for r in labels} == {"n00"}
+
+
+def test_hash_split_deterministic_and_leakproof(spark):
+    """The split must be a pure function of the key: same labels across
+    re-runs, repartitioning, and dataset growth (no eval/train leakage
+    on incremental loads)."""
+    from automotive_translation_pipeline_spark.operators.sampling import split_of
+
+    base = spark.range(500).select(F.col("id").cast("string").alias("k"))
+    lab1 = {r["k"]: r["s"] for r in base.select("k", split_of(F.col("k")).alias("s")).collect()}
+    grown = spark.range(1000).select(F.col("id").cast("string").alias("k")).repartition(13)
+    lab2 = {r["k"]: r["s"] for r in grown.select("k", split_of(F.col("k")).alias("s")).collect()}
+    assert all(lab2[k] == v for k, v in lab1.items())
+    frac = sum(1 for v in lab2.values() if v == "eval") / len(lab2)
+    assert 0.05 < frac < 0.15  # ~10% with hash variance at n=1000
+
+
+def test_stratified_fixed_k_exact(spark):
+    from automotive_translation_pipeline_spark.operators.sampling import (
+        stratified_fixed_k,
+    )
+
+    df = spark.range(300).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    out = stratified_fixed_k(df, "g", "k", 7)
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 7, "1": 7, "2": 7}
+    # deterministic: same members on a re-run
+    a = {(r["g"], r["k"]) for r in out.collect()}
+    b = {(r["g"], r["k"]) for r in stratified_fixed_k(df.repartition(11), "g", "k", 7).collect()}
+    assert a == b

@@ -127,3 +127,41 @@ def test_write_layout_partitioned_sorted(spark, tmp_path):
     out2 = str(tmp_path / "capped")
     write_layout(df, out2, partition_by=("k",), max_records_per_file=100)
     assert len(glob.glob(os.path.join(out2, "k=0", "*.parquet"))) >= 3
+
+
+def test_write_layout_zorder_clusters_both_dims(spark, tmp_path):
+    """Z-order contract: each output file covers a small rectangle of
+    (x, y) space, so parquet min/max stats prune on BOTH columns. A
+    lexicographic sort would cluster x tightly but leave y spanning the
+    full range in every file."""
+    import glob
+    import os
+
+    from automotive_translation_pipeline_spark.sources.writers import write_layout
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    out = str(tmp_path / "zordered")
+    write_layout(df, out, zorder_by=("x", "y"), max_records_per_file=256)
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert len(files) >= 8
+    spans_x, spans_y = [], []
+    for f in files:
+        row = (
+            spark.read.parquet(f)
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .first()
+        )
+        spans_x.append(row["sx"])
+        spans_y.append(row["sy"])
+    # global span is 63 on each dim; z-ordered files must average far less
+    assert sum(spans_x) / len(spans_x) < 32
+    assert sum(spans_y) / len(spans_y) < 32
+    # and the data survived intact
+    assert spark.read.parquet(out).count() == n
