@@ -215,3 +215,33 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
+    """When a selective dim join can't broadcast, Spark can inject a
+    runtime bloom filter that pre-filters the fact scan. This guards
+    that our scan/join shapes ADMIT the injection (a UDF barrier or
+    opaque source between scan and join would silently disable it).
+    Thresholds are lowered because the default application-side
+    trigger is 10GB — a production-scale property we can only
+    contract-test locally."""
+    from automotive_translation_pipeline_spark.sources import load_testdata
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        t = load_testdata(spark, sf_dir)
+        sel = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+        j = t["lineitem"].join(sel, t["lineitem"].l_orderkey == sel.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
