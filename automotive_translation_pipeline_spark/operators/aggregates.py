@@ -32,6 +32,36 @@ def run_summary(
     )
 
 
+def observed_run_counters(
+    results: DataFrame,
+    failed_col: str = "is_failed",
+    suspicious_col: str = "is_suspicious",
+    shifted_col: str = "shift_suspect",
+):
+    """R-20 counters as an ``Observation``: the metrics piggyback on
+    whatever action the caller already runs (the sink write), so the
+    run summary costs ZERO extra passes — at 100 TB, ``run_summary``'s
+    separate aggregation re-reads the pipeline output; this reads it
+    never. Returns ``(observed_df, observation)``; read
+    ``observation.get`` after the action completes.
+
+    This is the engine twin of the reference's in-loop counter
+    accumulation (``auto_translate.py:955-1135``) — counters collected
+    WHILE writing, not after.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("run_summary")
+    observed = results.observe(
+        obs,
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(F.col(failed_col).cast("long")).alias("failed"),
+        F.sum(F.col(suspicious_col).cast("long")).alias("suspicious"),
+        F.sum(F.col(shifted_col).cast("long")).alias("shift_suspects"),
+    )
+    return observed, obs
+
+
 def error_rollup(responses: DataFrame, error_type_col: str = "error_type") -> DataFrame:
     """R-21: per-error-type counts + share — the reference accumulates
     these in seven Python lists (``auto_translate.py:1504-1543``); one

@@ -2577,6 +2577,69 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_grouping_sets",
+    """
+    SELECT lang, source, count(*) AS n,
+           grouping(lang) AS g_lang, grouping(source) AS g_source
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the cube/rollup generalization): per-lang,
+    per-source, and grand totals in ONE shuffle with a grouping-id
+    column — via the SQL surface over the registered testdata views
+    (there is no DataFrame-API spelling for arbitrary sets)."""
+    load_testdata(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT lang, source, count(*) AS n,
+               grouping(lang) AS g_lang, grouping(source) AS g_source
+        FROM documents
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        """
+    )
+
+
+@register(
+    "window_rank_family",
+    """
+    SELECT l_returnflag, l_orderkey,
+           round(percent_rank() OVER w, 4) AS pr,
+           round(cume_dist() OVER w, 4) AS cd,
+           ntile(4) OVER w AS quartile
+    FROM (
+        SELECT l_returnflag, l_orderkey,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem GROUP BY l_returnflag, l_orderkey)
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY total_qty, l_orderkey)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-function family (percent_rank / cume_dist / ntile) in
+    one window pass over a pre-aggregated frame. The window input is
+    grouped first so the sort key (total_qty, l_orderkey) is UNIQUE —
+    ntile assigns tied rows to tiles by physical position, so on a
+    non-unique key its output is nondeterministic across engines (raw
+    lineitem has full duplicate rows in this testdata)."""
+    t = load_testdata(spark, sf_dir)
+    per_order = (
+        t["lineitem"]
+        .groupBy("l_returnflag", "l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("total_qty", "l_orderkey")
+    return per_order.select(
+        "l_returnflag",
+        "l_orderkey",
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
     "r19_batch_id_mapping",
     _PACK_SQL_BASE
     + """

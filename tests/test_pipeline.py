@@ -63,3 +63,26 @@ def test_mock_content_formats():
     ]:
         blob = render_mock_content(payload, cid)
         assert isinstance(blob, str) and blob
+
+
+def test_observed_counters_match_run_summary(spark, sf_dir):
+    """The Observation counters (collected during the sink action, zero
+    extra passes) must agree exactly with the run_summary aggregation
+    (a second scan)."""
+    from automotive_translation_pipeline_spark.operators.aggregates import (
+        observed_run_counters,
+        run_summary,
+    )
+    from automotive_translation_pipeline_spark.plans.pipeline import (
+        translation_pipeline,
+    )
+
+    flagged = translation_pipeline(spark, sf_dir)
+    observed, obs = observed_run_counters(flagged)
+    observed.write.format("noop").mode("overwrite").save()  # the "sink"
+    got = obs.get
+    want = run_summary(flagged).first()
+    assert got["total_rows"] == want["total_rows"]
+    assert got["failed"] == want["failed"]
+    assert got["suspicious"] == want["suspicious"]
+    assert got["shift_suspects"] == want["shift_suspects"]
