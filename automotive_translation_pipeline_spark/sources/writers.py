@@ -102,6 +102,51 @@ def write_layout(
     writer.parquet(path)
 
 
+def upsert_partitioned(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    partition_col: str,
+) -> int:
+    """Partition-level copy-on-write MERGE on plain parquet — the
+    no-Delta upsert that survives 100 TB.
+
+    A naive upsert reads the whole table, joins, and rewrites the
+    whole table. This one touches only the partitions the updates land
+    in: (1) the distinct update partition values prune the read to the
+    affected directories (partition pruning, not a scan), (2) existing
+    rows lose to updates on the key (anti-join), and (3) only those
+    partitions are rewritten, atomically, via dynamic partition
+    overwrite — untouched partitions' files are never read or moved.
+    Cost scales with the size of the TOUCHED partitions, not the
+    table. (Delta/Iceberg MERGE does file-level rather than
+    partition-level pruning; same principle, finer grain.)
+
+    Returns the number of partitions rewritten.
+    """
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if not parts:
+        return 0
+    existing = spark.read.parquet(path).filter(F.col(partition_col).isin(parts))
+    keep = existing.join(
+        updates.select(*key_cols).distinct(), list(key_cols), "left_anti"
+    )
+    merged = keep.unionByName(updates.select(*existing.columns))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition(F.col(partition_col))
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(parts)
+
+
 def write_request_jsonl(df: DataFrame, path: str) -> None:
     """R-6b: request JSONL sink — one JSON object per line.
 

@@ -165,3 +165,40 @@ def test_write_layout_zorder_clusters_both_dims(spark, tmp_path):
     assert sum(spans_y) / len(spans_y) < 32
     # and the data survived intact
     assert spark.read.parquet(out).count() == n
+
+
+def test_upsert_partitioned_touches_only_affected_partitions(spark, tmp_path):
+    """COW-merge contract: updated keys replaced, new keys inserted,
+    and files in untouched partitions not even rewritten."""
+    import glob
+    import os
+
+    from automotive_translation_pipeline_spark.sources.writers import (
+        upsert_partitioned,
+        write_layout,
+    )
+
+    path = str(tmp_path / "cow")
+    base = spark.createDataFrame(
+        [(k, f"d{k // 10}", f"v{k}") for k in range(40)], ["k", "day", "val"]
+    )
+    write_layout(base, path, partition_by=("day",))
+    before = {
+        d: sorted(os.path.basename(f) for f in glob.glob(os.path.join(path, d, "*.parquet")))
+        for d in ("day=d0", "day=d1", "day=d2", "day=d3")
+    }
+    updates = spark.createDataFrame(
+        [(5, "d0", "UPDATED"), (99, "d0", "NEW")], ["k", "day", "val"]
+    )
+    n = upsert_partitioned(spark, path, updates, key_cols=("k",), partition_col="day")
+    assert n == 1
+    after = {
+        d: sorted(os.path.basename(f) for f in glob.glob(os.path.join(path, d, "*.parquet")))
+        for d in ("day=d0", "day=d1", "day=d2", "day=d3")
+    }
+    assert after["day=d1"] == before["day=d1"]  # untouched partitions intact
+    assert after["day=d2"] == before["day=d2"]
+    assert after["day=d0"] != before["day=d0"]  # touched partition rewritten
+    got = {r["k"]: r["val"] for r in spark.read.parquet(path).collect()}
+    assert got[5] == "UPDATED" and got[99] == "NEW" and got[6] == "v6"
+    assert len(got) == 41
