@@ -2368,6 +2368,111 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_lineitem_report",
+    """
+    SELECT 'null_shipdate' AS rule,
+           sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'quantity_range',
+           sum(CASE WHEN l_quantity < 0 OR l_quantity > 60 THEN 1 ELSE 0 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_domain',
+           sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'unique_line_key', coalesce(sum(c - 1), 0) FROM (
+        SELECT count(*) AS c FROM lineitem
+        GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'orderkey_in_orders', count(*) FROM lineitem l
+    LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    """,
+)
+def dq_lineitem_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over the fact table: null/range/domain rules in
+    ONE aggregate pass, key uniqueness via groupBy, referential
+    integrity via anti-join (operators/quality.py). The unique_line_key
+    rule is deliberately non-vacuous: (l_orderkey, l_linenumber) has
+    real duplicates in this testdata."""
+    from .operators.quality import dq_report
+
+    t = load_testdata(spark, sf_dir)
+    li = t["lineitem"]
+    return dq_report(
+        li,
+        row_rules={
+            "null_shipdate": F.col("l_shipdate").isNull(),
+            "quantity_range": (F.col("l_quantity") < 0) | (F.col("l_quantity") > 60),
+            "discount_domain": (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+        },
+        unique_keys={"unique_line_key": ["l_orderkey", "l_linenumber"]},
+        refs={"orderkey_in_orders": ("l_orderkey", t["orders"], "o_orderkey")},
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    """
+    SELECT nation, o_year,
+           CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.5 * p.p_retailprice * l.l_quantity
+                 AS DECIMAL(18, 6)) AS amount
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%gear%')
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: product-type profit by nation and year — substring
+    part filter, four broadcast dims, profit expression across fact and
+    dim columns, (nation, year) rollup. (This testdata has no partsupp;
+    0.5 × p_retailprice stands in for ps_supplycost, which keeps the
+    plan shape — the supplycost term just joins through part instead of
+    partsupp.)"""
+    t = load_testdata(spark, sf_dir)
+    li, o, s = t["lineitem"], t["orders"], t["supplier"]
+    parts = t["part"].filter(F.col("p_name").like("%gear%"))
+    nations = t["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
+    )
+    # Decimal aggregation: a double sum's value depends on accumulation
+    # order, so round(sum(double), 2) can straddle a .005 boundary
+    # differently per engine/partitioning. Casting the addend to
+    # decimal makes the sum exact and order-independent.
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(
+            F.broadcast(parts.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(o.select("o_orderkey", "o_orderdate")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
     "tpch_q15_top_supplier",
     """
     WITH revenue AS (

@@ -244,3 +244,32 @@ def test_stratified_fixed_k_exact(spark):
     a = {(r["g"], r["k"]) for r in out.collect()}
     b = {(r["g"], r["k"]) for r in stratified_fixed_k(df.repartition(11), "g", "k", 7).collect()}
     assert a == b
+
+
+def test_dq_report_families(spark):
+    """Each rule family counts exactly: row predicates, excess rows per
+    duplicate key, and orphan references."""
+    import pytest
+
+    from automotive_translation_pipeline_spark.operators.quality import dq_report
+
+    child = spark.createDataFrame(
+        [(1, 10, None), (2, 10, 5.0), (2, 10, -1.0), (3, 99, 2.0)],
+        ["k", "fk", "v"],
+    )
+    parent = spark.createDataFrame([(10,), (11,)], ["pk"])
+    got = {
+        r["rule"]: r["n_violations"]
+        for r in dq_report(
+            child,
+            row_rules={
+                "null_v": F.col("v").isNull(),
+                "v_nonneg": F.col("v") < 0,
+            },
+            unique_keys={"unique_k": ["k"]},
+            refs={"fk_in_parent": ("fk", parent, "pk")},
+        ).collect()
+    }
+    assert got == {"null_v": 1, "v_nonneg": 1, "unique_k": 1, "fk_in_parent": 1}
+    with pytest.raises(ValueError):
+        dq_report(child)
