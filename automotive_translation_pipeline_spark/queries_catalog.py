@@ -2368,6 +2368,73 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_price_histogram",
+    """
+    SELECT least(21, greatest(0,
+               CAST(floor(l_extendedprice / 100000.0 * 20) AS BIGINT) + 1
+           )) AS bucket,
+           count(*) AS n,
+           round(min(l_extendedprice), 2) AS lo,
+           round(max(l_extendedprice), 2) AS hi
+    FROM lineitem GROUP BY bucket
+    """,
+)
+def profile_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (width_bucket semantics over [0, 100000)
+    in 20 buckets, clamped overflow bucket 21) — the single-pass
+    profiling shape: bucket assignment is a pure projection, one
+    shuffle on the 22 bucket ids. Spelled as identical floor/clamp
+    arithmetic on both sides because DuckDB has no width_bucket."""
+    t = load_testdata(spark, sf_dir)
+    bucket = F.least(
+        F.lit(21),
+        F.greatest(
+            F.lit(0),
+            (F.floor(F.col("l_extendedprice") / 100000.0 * 20) + 1).cast("bigint"),
+        ),
+    )
+    return (
+        t["lineitem"]
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "profile_correlations",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov,
+           round(stddev_samp(l_discount), 6) AS discount_sd
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance / stddev aggregates per group — all
+    single-pass streaming aggregates (Welford-style partials combine
+    map-side like any sum)."""
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "qty_price_cov"
+            ),
+            F.round(F.stddev_samp("l_discount"), 6).alias("discount_sd"),
+        )
+    )
+
+
+@register(
     "dq_lineitem_report",
     """
     SELECT 'null_shipdate' AS rule,
