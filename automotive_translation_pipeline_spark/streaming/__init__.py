@@ -4,5 +4,6 @@ from .jobs import (  # noqa: F401
     ledger_state_stream,
     repair_pass,
     streaming_dedup,
+    streaming_upsert_query,
     view_purchase_attribution,
 )

@@ -20,7 +20,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -117,6 +117,62 @@ def view_purchase_attribution(
         "purchase_ts",
         "view_ts",
         F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
+def streaming_upsert_query(
+    stream: DataFrame,
+    path: str,
+    key_cols: tuple[str, ...],
+    partition_col: str,
+    checkpoint_dir: str,
+    seq_col: str | None = None,
+):
+    """CDC-style sink: each micro-batch MERGEs into a partitioned
+    parquet table via the partition-level COW upsert
+    (``sources.writers.upsert_partitioned``) instead of appending.
+
+    Why this shape: an append sink turns every late correction into a
+    duplicate the readers must dedup; upserting by key makes the sink
+    IDEMPOTENT — a replayed micro-batch (restart, at-least-once
+    source) converges to the same table, which is exactly the
+    exactly-once story foreachBatch offers. Merge cost per batch
+    scales with the partitions the batch touches, never the table.
+
+    Returns the unstarted ``DataStreamWriter`` (caller picks trigger
+    and starts — mirrors the other factories here).
+    """
+    import os
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if seq_col is not None:
+            # Highest sequence per key wins within the micro-batch
+            # (CDC ordering made explicit — source arrival order is
+            # not a deterministic thing to lean on).
+            w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+            deduped = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            deduped = batch_df.dropDuplicates(list(key_cols))
+        from ..sources.writers import upsert_partitioned, write_layout
+
+        if not os.path.isdir(path):
+            write_layout(deduped, path, partition_by=(partition_col,))
+        else:
+            upsert_partitioned(
+                spark, path, deduped, key_cols=key_cols, partition_col=partition_col
+            )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
     )
 
 

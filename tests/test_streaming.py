@@ -330,3 +330,51 @@ def test_stream_stream_attribution_join(spark, tmp_path):
         for r in spark.sql(f"SELECT * FROM {name}").collect()
     }
     assert got == {(10, 1), (10, 2)}
+
+
+def test_streaming_upsert_sink_merges_micro_batches(spark, tmp_path):
+    """Micro-batch 1 seeds the table, micro-batch 2 updates one key and
+    inserts another: the sink must converge to latest-per-key (no
+    append duplicates), proving the foreachBatch COW merge."""
+    from automotive_translation_pipeline_spark.streaming import (
+        streaming_upsert_query,
+    )
+
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "table")
+    schema = "k long, day string, val string, seq long"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"k": 1, "day": "d0", "val": "a", "seq": 1},
+                {"k": 2, "day": "d0", "val": "b", "seq": 1},
+                {"k": 3, "day": "d1", "val": "c", "seq": 1},
+            ]
+        )
+    )
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"k": 2, "day": "d0", "val": "b2", "seq": 2},
+                {"k": 2, "day": "d0", "val": "b_stale", "seq": 1},
+                {"k": 9, "day": "d1", "val": "new", "seq": 2},
+            ]
+        )
+    )
+    q = (
+        streaming_upsert_query(
+            stream, out, key_cols=("k",), partition_col="day",
+            checkpoint_dir=ckpt, seq_col="seq",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["k"]: r["val"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c", 9: "new"}
