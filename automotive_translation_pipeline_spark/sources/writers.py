@@ -147,6 +147,57 @@ def upsert_partitioned(
     return len(parts)
 
 
+def compact_dir(
+    spark,
+    path: str,
+    target_records_per_file: int = 1_000_000,
+    partition_col: str | None = None,
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite a parquet directory into
+    ~``target_records_per_file``-row files, atomically.
+
+    Streaming sinks and repeated upserts accumulate files; at 100 TB
+    the file COUNT (listing cost, task-per-file scheduling, row groups
+    too small for their stats to matter) degrades reads long before
+    data size does. This is the OPTIMIZE-equivalent on plain parquet:
+    one sized repartition + a directory swap — readers see the old or
+    the new layout, never a mix. For partitioned tables pass
+    ``partition_col`` so the rewrite keeps the directory structure
+    (repartitioned BY the partition column, so each dir gets few
+    files).
+
+    Returns (files_before, files_after).
+    """
+    import glob
+    import os
+    import shutil
+
+    def _count_files(p: str) -> int:
+        return len(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+
+    before = _count_files(path)
+    df = spark.read.parquet(path)
+    n = df.count()
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    if partition_col:
+        write_layout(
+            df,
+            tmp,
+            partition_by=(partition_col,),
+            max_records_per_file=target_records_per_file,
+        )
+    else:
+        n_files = max(1, -(-n // target_records_per_file))
+        df.repartition(n_files).write.mode("overwrite").option(
+            "maxRecordsPerFile", target_records_per_file
+        ).parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return before, _count_files(path)
+
+
 def write_request_jsonl(df: DataFrame, path: str) -> None:
     """R-6b: request JSONL sink — one JSON object per line.
 

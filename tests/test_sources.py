@@ -202,3 +202,30 @@ def test_upsert_partitioned_touches_only_affected_partitions(spark, tmp_path):
     got = {r["k"]: r["val"] for r in spark.read.parquet(path).collect()}
     assert got[5] == "UPDATED" and got[99] == "NEW" and got[6] == "v6"
     assert len(got) == 41
+
+
+def test_compact_dir_bounds_file_count(spark, tmp_path):
+    """Fragmented table (32 tiny files) compacts to few right-sized
+    files with identical contents; partitioned variant keeps the
+    directory structure."""
+    from automotive_translation_pipeline_spark.sources.writers import compact_dir
+
+    flat = str(tmp_path / "flat")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("p")
+    )
+    df.repartition(32).write.parquet(flat)
+    before, after = compact_dir(spark, flat, target_records_per_file=600)
+    assert before == 32 and after == 2
+    assert spark.read.parquet(flat).count() == 1000
+
+    parted = str(tmp_path / "parted")
+    df.repartition(16).write.partitionBy("p").parquet(parted)
+    before, after = compact_dir(
+        spark, parted, target_records_per_file=600, partition_col="p"
+    )
+    assert before > after
+    back = spark.read.parquet(parted)
+    assert back.count() == 1000
+    # partition discovery infers the dir values back as ints
+    assert {str(r["p"]) for r in back.select("p").distinct().collect()} == {"0", "1"}
