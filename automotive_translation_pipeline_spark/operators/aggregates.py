@@ -82,3 +82,38 @@ def group_counts(df: DataFrame, col: str) -> DataFrame:
     """R-22/R-23/R-24: the groupBy-count family (ledger status counts,
     language counts, per-batch extraction counts)."""
     return df.groupBy(col).agg(F.count("*").alias("n"))
+
+
+# --- incremental aggregate maintenance -------------------------------------
+#
+# At 100 TB the expensive thing is not the aggregation — it's re-reading
+# the 100 TB. count/sum (and anything derivable from them: avg, rates)
+# are self-decomposable, so a standing aggregate can be maintained from
+# the DELTA alone: keep a per-group state table of (n_rows, sum_*),
+# aggregate only the new partition, and merge states. Measures are
+# summed as exact decimals so the merged state is bit-identical to a
+# full recompute regardless of how many increments produced it.
+
+
+def agg_state(df: DataFrame, keys: list[str], measures: list[str]) -> DataFrame:
+    """Partial aggregate state for ``incremental``-maintainable
+    aggregates: per group, row count + exact decimal sum per measure."""
+    sums = [
+        F.sum(F.col(m).cast("decimal(28,6)")).alias(f"sum_{m}") for m in measures
+    ]
+    return df.groupBy(*keys).agg(F.count("*").alias("n_rows"), *sums)
+
+
+def merge_agg_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Merge partial states (same schema) into one: union + re-sum.
+    Decimal sums are associative/exact, so merge order never changes the
+    result — the merged state equals a from-scratch ``agg_state`` over
+    the concatenated inputs."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    sum_cols = [c for c in merged.columns if c.startswith("sum_")]
+    return merged.groupBy(*keys).agg(
+        F.sum("n_rows").alias("n_rows"),
+        *[F.sum(c).alias(c) for c in sum_cols],
+    )

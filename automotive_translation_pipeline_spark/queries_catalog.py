@@ -3038,3 +3038,148 @@ def ann_cosine_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf_indexed(
         spark, idx, emb.filter(F.col("vec_id") < 5), k=10, n_probe=4
     ).select("query_id", "vec_id", F.round("cosine", 4).alias("cosine_r"))
+
+
+# =========================================================================
+# incremental maintenance / skew / rollup / multimodal (round-3 widening)
+# =========================================================================
+
+
+@register(
+    "ivm_incremental_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE)
+             AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+             AS sum_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+             / count(*), 4) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the standing (returnflag,
+    linestatus) aggregate is maintained by merging a partial state over
+    the OLD data with a partial state over only the NEW shipdate slice
+    — the oracle recomputes from scratch over everything. At 100 TB the
+    base state is a tiny per-group table and each refresh reads only
+    the new partition; exact decimal sums make the merge equal a full
+    recompute bit-for-bit (reference analog: the rerun-from-stored-
+    responses analyze mode, auto_translate.py:1339-1396)."""
+    from .operators.aggregates import agg_state, merge_agg_states
+
+    t = load_testdata(spark, sf_dir)
+    li = t["lineitem"]
+    cutoff = "1997-07-01"
+    keys = ["l_returnflag", "l_linestatus"]
+    base = agg_state(
+        li.filter(F.col("l_shipdate") < cutoff), keys, ["l_quantity", "l_extendedprice"]
+    )
+    delta = agg_state(
+        li.filter(F.col("l_shipdate") >= cutoff), keys, ["l_quantity", "l_extendedprice"]
+    )
+    merged = merge_agg_states([base, delta], keys)
+    return merged.select(
+        *keys,
+        "n_rows",
+        F.round("sum_l_quantity", 2).cast("double").alias("sum_qty"),
+        F.round("sum_l_extendedprice", 2).cast("double").alias("sum_price"),
+        F.round(
+            F.col("sum_l_extendedprice").cast("double") / F.col("n_rows"), 4
+        ).alias("avg_price"),
+    )
+
+
+@register(
+    "skew_salted_join",
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi-join: the fact side is salted (deterministic
+    row-hash salt), the dimension side replicated ``factor`` times, so
+    one hot customer key spreads over ``factor`` tasks instead of one
+    straggler — the oracle is the PLAIN join, proving salting changes
+    the schedule, never the result. (AQE skew splitting is the first
+    line of defense; this is the explicit fallback when a single key
+    exceeds what split-and-replicate can fix.)"""
+    from .operators.skew import salted_join
+
+    t = load_testdata(spark, sf_dir)
+    orders = t["orders"].select("o_custkey", "o_totalprice")
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, key="o_custkey", factor=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
+             AS sum_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time downsample: raw events → 1-hour buckets ×
+    event_type with count/sum/min/max. This is the continuous-aggregate
+    shape: at 100 TB the rollup runs per ingest partition and appends —
+    combined with ``ivm_incremental_agg``'s state merge it maintains
+    itself without rescanning history. date_trunc stays native (no UDF)
+    so the scan prunes and the agg is map-side partial."""
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+    )
+
+
+@register("multimodal_feature_stats", None)
+def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end (rows-only: the media table is
+    synthesized in-session — binary content + typed metadata — and the
+    decode kernel is the documented deterministic stub, so there is no
+    parquet table for a SQL oracle). Exercises the real 100 TB path:
+    binary columns stream through Arrow into mapInPandas feature
+    extraction without touching the driver; per-type stats aggregate
+    the extracted features (operators/multimodal.py; parity +
+    determinism are pytest-asserted)."""
+    from .operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=96).repartition(8)
+    feats = extract_features(media)
+    return feats.groupBy("media_type").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max(F.size("feature")).alias("feature_dim"),
+        F.round(F.avg(F.element_at("feature", 1)), 4).alias("avg_bucket0"),
+    )

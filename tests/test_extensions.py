@@ -273,3 +273,47 @@ def test_dq_report_families(spark):
     assert got == {"null_v": 1, "v_nonneg": 1, "unique_k": 1, "fk_in_parent": 1}
     with pytest.raises(ValueError):
         dq_report(child)
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark):
+    """Any slicing of the input into increments, merged in any order,
+    yields the exact state a from-scratch aggregation produces."""
+    from automotive_translation_pipeline_spark.operators.aggregates import (
+        agg_state,
+        merge_agg_states,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") % 100 + 0.125).alias("x"),
+        (F.col("id") % 13).cast("double").alias("y"),
+    )
+    slices = [
+        df.filter(F.col("id") % 3 == i) for i in range(3)
+    ]
+    states = [agg_state(s, ["g"], ["x", "y"]) for s in slices]
+    merged = merge_agg_states([states[2], states[0], states[1]], ["g"])
+    full = agg_state(df, ["g"], ["x", "y"])
+    key = lambda r: r["g"]
+    got = sorted(merged.collect(), key=key)
+    want = sorted(full.collect(), key=key)
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+
+def test_multimodal_feature_stats_deterministic(spark):
+    """The stubbed decode path is replayable: two independent runs of
+    the synth→extract→aggregate chain produce identical rows."""
+    from automotive_translation_pipeline_spark.queries_catalog import (
+        multimodal_feature_stats,
+    )
+
+    a = sorted(
+        (r.asDict() for r in multimodal_feature_stats(spark, "").collect()),
+        key=lambda r: r["media_type"],
+    )
+    b = sorted(
+        (r.asDict() for r in multimodal_feature_stats(spark, "").collect()),
+        key=lambda r: r["media_type"],
+    )
+    assert a == b and len(a) == 3
+    assert all(r["feature_dim"] == 8 for r in a)
