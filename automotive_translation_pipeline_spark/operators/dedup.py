@@ -360,3 +360,58 @@ def embedding_near_dup(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+    len_col: str = "n_chars",
+    len_band: int = 10,
+    max_dist: int = 20,
+) -> DataFrame:
+    """Fuzzy near-dup pairs by true edit distance, with banded blocking.
+
+    Levenshtein is O(len²) per pair — the all-pairs version is the
+    classic scale killer. Blocking makes it tractable: candidates must
+    share ``block_cols`` AND sit within ``len_band`` characters of each
+    other (a necessary condition: edit distance ≥ length difference).
+    The length band is implemented as a band JOIN — one side explodes to
+    its own and both neighboring ``len_band``-wide buckets, the other
+    keeps its exact bucket — so the match is pure equi-join (one
+    shuffle, AQE-splittable), never a cross product. Each unordered pair
+    is produced exactly once (id <) because a ≤``len_band`` difference
+    never spans more than one bucket boundary. The distance itself is
+    the native JVM ``levenshtein`` — no Python in the hot path.
+    """
+    bucket = F.floor(F.col(len_col) / len_band)
+    left = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+        F.col(len_col).alias("len_a"),
+        *[F.col(c) for c in block_cols],
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("__bucket"),
+    )
+    right = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("text_b"),
+        F.col(len_col).alias("len_b"),
+        *[F.col(c) for c in block_cols],
+        bucket.alias("__bucket"),
+    )
+    return (
+        left.join(right, [*block_cols, "__bucket"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= len_band)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("text_a", "text_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )

@@ -161,3 +161,48 @@ def pair_by_stem(
     return left.withColumn("stem", stem(left_path)).join(
         right.withColumn("stem", stem(right_path)), "stem", "inner"
     )
+
+
+def cogroup_reconcile(
+    expected: DataFrame,
+    actual: DataFrame,
+    bucket_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Keyed reconciliation of two datasets via ``cogroup.applyInPandas``:
+    per bucket, how many expected keys, how many actual keys, how many
+    are missing (expected-only) and extra (actual-only).
+
+    This is the reference's per-batch expected-vs-parsed accounting
+    (auto_translate.py:955-1009) generalized: both sides shuffle ONCE on
+    the bucket key and meet pairwise in an Arrow-batched Python kernel —
+    no driver collection, no second shuffle, and each bucket's working
+    set is bounded by its own rows, so the 100 TB case is governed by
+    bucket granularity, not table size. (A full-outer-join + groupBy
+    expresses the same thing relationally — that twin IS the oracle —
+    but cogroup keeps per-group logic open-ended for kernels that a
+    join cannot express, e.g. order-sensitive diffing.)
+    """
+    import pandas as pd
+
+    def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        e = set(left[key_col]) if len(left) else set()
+        a = set(right[key_col]) if len(right) else set()
+        return pd.DataFrame(
+            {
+                "bucket": [key[0]],
+                "n_expected": [len(e)],
+                "n_actual": [len(a)],
+                "n_missing": [len(e - a)],
+                "n_extra": [len(a - e)],
+            }
+        )
+
+    out_schema = (
+        "bucket long, n_expected long, n_actual long, n_missing long, n_extra long"
+    )
+    return (
+        expected.groupBy(bucket_col)
+        .cogroup(actual.groupBy(bucket_col))
+        .applyInPandas(reconcile, out_schema)
+    )

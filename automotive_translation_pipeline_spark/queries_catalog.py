@@ -3183,3 +3183,101 @@ def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.size("feature")).alias("feature_dim"),
         F.round(F.avg(F.element_at("feature", 1)), 4).alias("avg_bucket0"),
     )
+
+
+@register(
+    "dedup_edit_distance",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.text, b.text) AS edit_dist
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 10
+    WHERE levenshtein(a.text, b.text) <= 20
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True-edit-distance near-dup pairs with banded length blocking:
+    the length band becomes an exploded-bucket equi-join (edit distance
+    is lower-bounded by length difference, so no true pair is lost),
+    and levenshtein runs native JVM-side on the surviving candidates
+    only. The oracle is the plain blocked theta-join — same pairs, no
+    banding."""
+    from .operators.dedup import edit_distance_pairs
+
+    t = load_testdata(spark, sf_dir)
+    return edit_distance_pairs(
+        t["documents"], len_band=10, max_dist=20
+    )
+
+
+@register(
+    "cogroup_reconcile_orders",
+    """
+    SELECT bucket,
+           count(o_orderkey) AS n_expected,
+           count(l_key) AS n_actual,
+           count(CASE WHEN l_key IS NULL THEN 1 END) AS n_missing,
+           count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_extra
+    FROM (
+        SELECT coalesce(o.o_orderkey % 64, l.l_key % 64) AS bucket,
+               o.o_orderkey, l.l_key
+        FROM orders o
+        FULL OUTER JOIN
+             (SELECT DISTINCT l_orderkey AS l_key FROM lineitem) l
+          ON o.o_orderkey = l.l_key)
+    GROUP BY bucket
+    """,
+)
+def cogroup_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided keyed reconciliation via cogroup.applyInPandas: per
+    64-way bucket, expected order keys vs order keys that actually
+    appear in lineitem — missing = orders with no lines, extra = lines
+    referencing no order. One shuffle per side, Arrow-batched pairwise
+    kernel, per-bucket bounded memory; the relational twin (full outer
+    join + groupBy) is the oracle."""
+    from .operators.joins import cogroup_reconcile
+
+    t = load_testdata(spark, sf_dir)
+    expected = t["orders"].select(
+        F.col("o_orderkey").alias("key"), (F.col("o_orderkey") % 64).alias("bucket")
+    )
+    actual = (
+        t["lineitem"]
+        .select(F.col("l_orderkey").alias("key"))
+        .distinct()
+        .withColumn("bucket", F.col("key") % 64)
+    )
+    return cogroup_reconcile(expected, actual, bucket_col="bucket", key_col="key")
+
+
+@register(
+    "events_props_variant",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS n,
+           min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless semi-structured path: props parses to the Spark 4
+    VARIANT type (binary-encoded, no up-front schema — the open-content
+    twin of r4's fixed-struct from_json) and fields are pulled with
+    variant_get path expressions, then aggregated. At 100 TB variant
+    beats re-parsing JSON strings per access: parse once, extract many
+    times from the binary encoding."""
+    t = load_testdata(spark, sf_dir)
+    k = F.variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        t["events"]
+        .select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -317,3 +317,25 @@ def test_multimodal_feature_stats_deterministic(spark):
     )
     assert a == b and len(a) == 3
     assert all(r["feature_dim"] == 8 for r in a)
+
+
+def test_edit_distance_pairs_banding_finds_cross_bucket_dups(spark):
+    """Near-identical texts land in the result exactly once, even when
+    their lengths straddle a bucket boundary; unrelated texts don't."""
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dogs!!!!!!", "en"),  # near-dup, longer
+        (3, "completely different sentence about spark engines here", "en"),
+        (4, "the quick brown fox jumps over the lazy dog", "de"),  # other block
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, lang, len(t)) for i, t, lang, in rows],
+        ["doc_id", "text", "lang", "n_chars"],
+    )
+    got = edit_distance_pairs(docs, len_band=10, max_dist=10).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+    assert got[0]["edit_dist"] <= 10

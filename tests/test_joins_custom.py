@@ -96,3 +96,23 @@ def test_range_join_binned_matches_naive(spark):
         ).collect()
     )
     assert got == naive and got  # non-empty and identical
+
+
+def test_cogroup_reconcile_missing_and_extra(spark):
+    from automotive_translation_pipeline_spark.operators.joins import (
+        cogroup_reconcile,
+    )
+
+    expected = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], ["key", "bucket"]
+    )
+    actual = spark.createDataFrame(
+        [(1, 0), (9, 0), (3, 1), (4, 1)], ["key", "bucket"]
+    )
+    got = {
+        r["bucket"]: r.asDict()
+        for r in cogroup_reconcile(expected, actual, "bucket", "key").collect()
+    }
+    assert got[0]["n_missing"] == 1 and got[0]["n_extra"] == 1
+    assert got[1]["n_missing"] == 0 and got[1]["n_extra"] == 0
+    assert got[1]["n_expected"] == 2 and got[1]["n_actual"] == 2
