@@ -3281,3 +3281,49 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register("parse_udtf_lateral", None)
+def parse_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parse cascade as a Spark 4 Python UDTF in a LATERAL join:
+    response blobs (synthesized deterministically from documents in the
+    three reference content families — JSON map, fenced JSON, numbered
+    lines) fan out to (id, translation, strategy) rows. Rows-only: the
+    UDTF's imperative salvage isn't SQL-expressible in DuckDB, but
+    parity with the native cascade — whose full SQL replica IS oracle-
+    checked (pipeline_rows) — is pytest-asserted."""
+    from .functions.parse_udtf import register_parse_udtf
+
+    register_parse_udtf(spark)
+    t = load_testdata(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text").filter(F.col("doc_id") < 300)
+    batched = docs.groupBy((F.col("doc_id") % 30).alias("batch_id")).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("doc_id").cast("string"), F.col("text")))
+        ).alias("payload")
+    )
+    content = (
+        F.when(F.col("batch_id") % 3 == 0, F.to_json(F.col("payload")))
+        .when(
+            F.col("batch_id") % 3 == 1,
+            F.concat(F.lit("```json\n"), F.to_json(F.col("payload")), F.lit("\n```")),
+        )
+        .otherwise(
+            F.array_join(
+                F.transform(
+                    F.map_entries(F.col("payload")),
+                    lambda e: F.concat(e["key"], F.lit(". "), e["value"]),
+                ),
+                "\n",
+            )
+        )
+    )
+    batched.select("batch_id", content.alias("content")).createOrReplaceTempView(
+        "udtf_responses"
+    )
+    return spark.sql(
+        """
+        SELECT r.batch_id, p.description_id, p.strategy
+        FROM udtf_responses r, LATERAL parse_translations_udtf(r.content) p
+        """
+    )

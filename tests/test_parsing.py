@@ -90,3 +90,43 @@ def test_fence_skip_lines(spark):
     # not JSON, so the fallback runs on raw lines, skipping fences.
     m = _parse(spark, blob)
     assert m == {"21": "అనువాదం ఒకటి"}
+
+
+def test_udtf_parity_with_native_cascade(spark):
+    """The Python UDTF and the native expression cascade agree on every
+    reference response family (the UDTF is the extensibility seam; the
+    cascade is the hot path — they must not drift)."""
+    from automotive_translation_pipeline_spark.functions.parse_udtf import (
+        register_parse_udtf,
+    )
+
+    register_parse_udtf(spark)
+    blobs = [PERFECT_JSON, FENCED_JSON, LEGACY_LINES, NUMBERED_LINES, TUPLE_LINES]
+    df = spark.createDataFrame([(i, b) for i, b in enumerate(blobs)], "i int, content string")
+    df.createOrReplaceTempView("blobs")
+    native = {
+        (r["i"], r["description_id"]): r["translation"]
+        for r in df.select(
+            "i", F.explode(parse_translations(F.col("content")))
+        ).toDF("i", "description_id", "translation").collect()
+    }
+    via_udtf = {
+        (r["i"], r["description_id"]): r["translation"]
+        for r in spark.sql(
+            "SELECT b.i, p.description_id, p.translation "
+            "FROM blobs b, LATERAL parse_translations_udtf(b.content) p"
+        ).collect()
+    }
+    assert via_udtf == native and len(native) == 10
+
+
+def test_udtf_empty_and_garbage_yield_no_rows(spark):
+    from automotive_translation_pipeline_spark.functions.parse_udtf import (
+        parse_content,
+    )
+
+    assert parse_content(None) == []
+    assert parse_content("   ") == []
+    assert parse_content("{broken json") == []
+    # suspicious-only payload: values all blocklisted/short
+    assert parse_content('{"1": "ok", "2": "null"}') == []
