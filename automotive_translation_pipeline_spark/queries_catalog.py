@@ -3327,3 +3327,251 @@ def parse_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_responses r, LATERAL parse_translations_udtf(r.content) p
         """
     )
+
+
+# =========================================================================
+# Time-series / warehouse extensions: calendar-spine gap fill, SCD2
+# interval build, batch sessionization, forward fill, unpivot. These are
+# the maintenance shapes a 100 TB training-data warehouse runs daily;
+# each is a single-shuffle plan (window partitions and group keys reuse
+# the same user_id/day clustering).
+# =========================================================================
+
+
+@register(
+    "spine_gap_fill_daily",
+    """
+    WITH bounds AS (
+        SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+               CAST(max(o_orderdate) AS DATE) AS hi
+        FROM orders),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+            AS day
+        FROM bounds),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2)
+                    AS DOUBLE) AS revenue
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY 1)
+    SELECT day,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(revenue, 0.0) AS revenue
+    FROM spine LEFT JOIN daily USING (day)
+    """,
+)
+def spine_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap fill: generate the full day spine with
+    `sequence()` + `explode` from a one-row bounds aggregate (no
+    driver collect), left-join the sparse daily aggregate onto it, and
+    zero-fill the gaps. At scale the spine is always tiny (days, not
+    rows) so the join broadcasts the aggregated side; the fact scan
+    aggregates map-side on the date key. Exact decimal sum keeps the
+    revenue hash order-independent."""
+    t = load_testdata(spark, sf_dir)
+    orders = t["orders"]
+    daily = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    spine = orders.agg(
+        F.to_date(F.min("o_orderdate")).alias("lo"),
+        F.to_date(F.max("o_orderdate")).alias("hi"),
+    ).select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )
+
+
+@register(
+    "scd2_event_type_history",
+    """
+    SELECT user_id, event_type AS status, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               IS NULL AS is_current
+    FROM (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events)
+    WHERE prev_type IS NULL OR prev_type <> event_type
+    """,
+)
+def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval build: collapse the per-user event stream into
+    validity intervals (valid_from, valid_to, is_current) at every
+    event_type change — the slowly-changing-dimension shape the
+    reference's ledger state machine (SURVEY §1.6) implies but stores
+    as point rows. Both windows share PARTITION BY user_id ORDER BY
+    (ts, event_id), so the whole query is ONE Exchange + one Sort."""
+    t = load_testdata(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        t["events"]
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    nxt = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "events_sessionize_batch",
+    """
+    SELECT user_id, sess_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types,
+           CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
+               AS session_value
+    FROM (
+        SELECT user_id, ts, event_id, event_type, value,
+               CAST(sum(CASE WHEN new_sess THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+        FROM (
+            SELECT user_id, ts, event_id, event_type, value,
+                   coalesce(ts - lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                            > INTERVAL 30 MINUTE, TRUE) AS new_sess
+            FROM events))
+    GROUP BY user_id, sess_id
+    """,
+)
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands with a 30-minute gap) +
+    per-session stats. Unlike `stream_session_windows` (the built-in
+    session_window aggregation), this is the window-function
+    formulation: lag → boundary flag → running sum = session id —
+    the form that composes with arbitrary per-session aggregates
+    (distinct types, exact value sums). lag and the running sum share
+    one (user_id)-partitioned sort; the final groupBy adds the only
+    other exchange."""
+    t = load_testdata(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        t["events"]
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .withColumn(
+            "new_sess",
+            F.coalesce(
+                (F.col("ts") - F.lag("ts").over(w)) > F.expr("INTERVAL 30 MINUTES"),
+                F.lit(True),
+            ).cast("int"),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return flagged.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+        .cast("double")
+        .alias("session_value"),
+    )
+
+
+@register(
+    "ts_ffill_purchase_value",
+    """
+    SELECT event_id, user_id,
+           round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                            IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING), 2) AS last_purchase_value
+    FROM events
+    """,
+)
+def ts_ffill_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last-observation-carried-forward): every event
+    carries the user's most recent purchase value — `last(...,
+    ignorenulls=True)` over a running row frame. The canonical
+    time-series imputation; one shuffle on user_id, no self-join, no
+    driver state. NULL until the user's first purchase."""
+    t = load_testdata(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obs = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return t["events"].select(
+        "event_id",
+        "user_id",
+        F.round(F.last(obs, ignorenulls=True).over(w), 2).alias(
+            "last_purchase_value"
+        ),
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           round(l_quantity, 2) AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+           round(l_extendedprice, 2) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount',
+           round(l_discount, 2) FROM lineitem
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt: wide measure columns → long (measure, val) rows
+    via the native `unpivot` (Spark's STACK — one scan, no union of
+    three scans like the SQL oracle spells; the generator expands
+    in-task with zero extra exchanges)."""
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "measure",
+            "val",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "measure",
+            F.round("val", 2).alias("val"),
+        )
+    )
