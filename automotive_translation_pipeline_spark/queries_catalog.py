@@ -3575,3 +3575,281 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("val", 2).alias("val"),
         )
     )
+
+
+# =========================================================================
+# Training-data curation extensions: repetition/quality filters, PII
+# scrubbing, vocabulary heavy hitters, robust (winsorized) statistics.
+# All stay in native expressions (no Python UDFs) so the scans prune and
+# whole-stage codegen covers the hot path at corpus scale.
+# =========================================================================
+
+
+@register(
+    "text_repetition_ratio",
+    """
+    SELECT doc_id,
+           round(n_distinct * 1.0 / n_words, 4) AS distinct_ratio,
+           round(top_count * 1.0 / n_words, 4) AS top_word_share
+    FROM (
+        SELECT doc_id, count(*) AS n_distinct, max(c) AS top_count,
+               any_value(n_words) AS n_words
+        FROM (
+            SELECT doc_id, n_words, w, count(*) AS c
+            FROM (
+                SELECT doc_id, len(words) AS n_words, unnest(words) AS w
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(lower(trim(text)), '\\s+')
+                                 AS words
+                      FROM documents))
+            GROUP BY doc_id, n_words, w)
+        GROUP BY doc_id)
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document repetition profile (the Gopher-style repetition filter):
+    distinct-word ratio and the share of the single most frequent word.
+    explode → two-level aggregation; both groupBys hash on doc_id so
+    AQE coalesces them onto one exchange lineage. Ratios are exact
+    integer divisions — hash-stable across engines."""
+    t = load_testdata(spark, sf_dir)
+    words = t["documents"].select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words"),
+    )
+    per_word = (
+        words.select(
+            "doc_id", F.size("words").alias("n_words"), F.explode("words").alias("w")
+        )
+        .groupBy("doc_id", "n_words", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_word.groupBy("doc_id", "n_words")
+        .agg(F.count("*").alias("n_distinct"), F.max("c").alias("top_count"))
+        .select(
+            "doc_id",
+            F.round(F.col("n_distinct") * 1.0 / F.col("n_words"), 4).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.col("top_count") * 1.0 / F.col("n_words"), 4).alias(
+                "top_word_share"
+            ),
+        )
+    )
+
+
+@register(
+    "text_gopher_rules",
+    """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           round(sum(CASE WHEN passes THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+               AS pass_rate
+    FROM (
+        SELECT lang,
+               (wc BETWEEN 5 AND 1000)
+               AND (nonspace * 1.0 / wc BETWEEN 3 AND 10)
+               AND (symbols * 1.0 / greatest(length(txt), 1) < 0.1)
+               AND (alpha_words * 1.0 / wc >= 0.8) AS passes
+        FROM (
+            SELECT lang, txt,
+                   len(words) AS wc,
+                   length(regexp_replace(txt, '\\s+', '', 'g')) AS nonspace,
+                   length(regexp_replace(txt, '[a-z0-9\\s]', '', 'g'))
+                       AS symbols,
+                   len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+                       AS alpha_words
+            FROM (SELECT lang, lower(trim(text)) AS txt,
+                         regexp_split_to_array(lower(trim(text)), '\\s+')
+                             AS words
+                  FROM documents)))
+    GROUP BY lang
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style document quality gate, rolled up per language:
+    word-count bounds, mean word length in [3,10], symbol ratio < 10%,
+    and >= 80% alphabetic words. Every rule is a native expression over
+    one split() — a single scan-side projection feeding a tiny
+    aggregate, exactly how a corpus filter should run at 100 TB (the
+    pass/fail bit would become the partition pruning column of the
+    cleaned copy)."""
+    t = load_testdata(spark, sf_dir)
+    txt = F.lower(F.trim(F.col("text")))
+    d = t["documents"].select(
+        "lang",
+        txt.alias("txt"),
+        F.split(txt, r"\s+").alias("words"),
+    )
+    d = d.select(
+        "lang",
+        F.size("words").alias("wc"),
+        F.length(F.regexp_replace(F.col("txt"), r"\s+", "")).alias("nonspace"),
+        F.length(F.regexp_replace(F.col("txt"), r"[a-z0-9\s]", "")).alias(
+            "symbols"
+        ),
+        F.size(F.filter(F.col("words"), lambda w: w.rlike("[a-z]"))).alias(
+            "alpha_words"
+        ),
+        F.greatest(F.length("txt"), F.lit(1)).alias("txt_len"),
+    )
+    passes = (
+        F.col("wc").between(5, 1000)
+        & (F.col("nonspace") * 1.0 / F.col("wc")).between(3, 10)
+        & (F.col("symbols") * 1.0 / F.col("txt_len") < 0.1)
+        & (F.col("alpha_words") * 1.0 / F.col("wc") >= 0.8)
+    )
+    return (
+        d.select("lang", passes.alias("passes"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("passes").cast("int")).alias("n_pass"),
+            F.round(
+                F.sum(F.col("passes").cast("int")) * 1.0 / F.count("*"), 4
+            ).alias("pass_rate"),
+        )
+    )
+
+
+@register(
+    "text_pii_scrub",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(txt,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(txt, '\\+?\\d[\\d-]{2,}')) AS INT)
+               AS n_numbers,
+           md5(regexp_replace(
+                   regexp_replace(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+',
+                                  '<EMAIL>', 'g'),
+                   '\\+?\\d[\\d-]{2,}', '<NUM>', 'g')) AS scrubbed_fp
+    FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or +1-555-'
+                         || CAST(doc_id % 10000 AS VARCHAR)
+                    ELSE text END AS txt
+        FROM documents)
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact email addresses and phone-like
+    digit runs, fingerprint the scrubbed text. PII is injected
+    deterministically (every 7th doc gets a synthetic email + phone
+    appended) so the redaction path is actually exercised — the same
+    fault-injection pattern as analyze_full_taxonomy. Pure
+    regexp_extract_all / regexp_replace — the scrub runs inside the
+    scan projection with zero shuffles."""
+    t = load_testdata(spark, sf_dir)
+    email_re = r"[a-z0-9._%+-]+@[a-z0-9.-]+"
+    num_re = r"\+?\d[\d-]{2,}"
+    txt = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            (F.col("doc_id") % 10000).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    d = t["documents"].select("doc_id", txt.alias("txt"))
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("txt", F.lit(email_re), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("txt", F.lit(num_re), F.lit(0))).alias(
+            "n_numbers"
+        ),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("txt", email_re, "<EMAIL>"), num_re, "<NUM>"
+            )
+        ).alias("scrubbed_fp"),
+    )
+
+
+@register(
+    "heavy_hitters_words",
+    """
+    SELECT w, count(*) AS n
+    FROM (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents)
+    GROUP BY w
+    ORDER BY n DESC, w ASC
+    LIMIT 10
+    """,
+)
+def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary heavy hitters: global top-10 words. explode →
+    two-phase aggregate (map-side partial combine collapses the heavy
+    keys before the shuffle — exactly the skew this query exists to
+    find) → TakeOrdered with a total tie-break order. At corpus scale
+    the same plan holds because the partial agg bounds the shuffle to
+    |vocab| rows per task."""
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(10)
+    )
+
+
+@register(
+    "profile_winsorized_stats",
+    """
+    WITH pct AS (
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.05), 2) AS lo,
+               round(quantile_cont(l_extendedprice, 0.95), 2) AS hi
+        FROM lineitem GROUP BY 1)
+    SELECT l_returnflag,
+           any_value(lo) AS p05,
+           any_value(hi) AS p95,
+           round(CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi)
+                               AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4)
+               AS winsorized_mean
+    FROM lineitem JOIN pct USING (l_returnflag)
+    GROUP BY l_returnflag
+    """,
+)
+def profile_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics via winsorization: clip each group's values to
+    its exact [p05, p95] (percentiles rounded to cents so the clip
+    boundary is bit-identical across engines) and report the clipped
+    mean. Two passes: a tiny per-group percentile aggregate broadcast
+    back onto the fact scan, then one exact decimal mean — the
+    outlier-resistant profile for uniform synthetic data where z-score
+    outliers cannot exist (max |z| ~ 1.73)."""
+    t = load_testdata(spark, sf_dir)
+    li = t["lineitem"].select("l_returnflag", "l_extendedprice")
+    pct = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.05)"), 2).alias("lo"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("hi"),
+    )
+    clipped = li.join(F.broadcast(pct), "l_returnflag").select(
+        "l_returnflag",
+        "lo",
+        "hi",
+        F.least(
+            F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
+        ).alias("v"),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.first("lo").alias("p05"),
+        F.first("hi").alias("p95"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(28,6)")).cast("double") / F.count("*"),
+            4,
+        ).alias("winsorized_mean"),
+    )
