@@ -3853,3 +3853,57 @@ def profile_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("winsorized_mean"),
     )
+
+
+@register(
+    "pyds_request_roundtrip",
+    """
+    SELECT 'batch-' || lpad(CAST(doc_id % 20 AS VARCHAR), 4, '0')
+               AS custom_id,
+           count(*) AS n_ids,
+           sum(length(text)) AS sum_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def pyds_request_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python DataSource (DataSourceV2) round trip: documents →
+    request-map batches → the `request_jsonl` SINK (commit/abort
+    protocol, reference v2 line format) → the `request_jsonl` SOURCE
+    (one input partition per file, payload map decoded in-source) →
+    explode → per-batch aggregate. The oracle recomputes the same
+    aggregate straight from `documents`, so a value match proves the
+    text content survived the JSONL write+read bit-exactly
+    (sources/pyds.py; format per auto_translate.py:303-332)."""
+    import tempfile
+
+    from .sources import register_request_jsonl
+
+    register_request_jsonl(spark)
+    t = load_testdata(spark, sf_dir)
+    batched = (
+        t["documents"]
+        .groupBy((F.col("doc_id") % 20).alias("batch_no"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(F.col("doc_id").cast("string"), F.col("text"))
+                )
+            ).alias("payload")
+        )
+        .select(
+            F.format_string("batch-%04d", "batch_no").alias("custom_id"),
+            "payload",
+        )
+    )
+    store = tempfile.mkdtemp(prefix="pyds_roundtrip_")
+    batched.write.format("request_jsonl").mode("overwrite").save(store)
+    back = spark.read.format("request_jsonl").load(store)
+    return (
+        back.select("custom_id", F.explode("payload").alias("k", "v"))
+        .groupBy("custom_id")
+        .agg(
+            F.count("*").alias("n_ids"),
+            F.sum(F.length("v")).alias("sum_chars"),
+        )
+    )

@@ -1,3 +1,7 @@
+from .pyds import (  # noqa: F401
+    RequestJsonlDataSource,
+    register_request_jsonl,
+)
 from .readers import (  # noqa: F401
     load_testdata,
     read_descriptions_csv,
