@@ -2,6 +2,7 @@ from .jobs import (  # noqa: F401
     event_session_windows,
     event_window_counts,
     ledger_state_stream,
+    ledger_state_stream_tws,
     repair_pass,
     streaming_dedup,
     streaming_upsert_query,

@@ -15,6 +15,7 @@ from automotive_translation_pipeline_spark.streaming import (
     event_session_windows,
     event_window_counts,
     ledger_state_stream,
+    ledger_state_stream_tws,
     repair_pass,
 )
 
@@ -378,3 +379,96 @@ def test_streaming_upsert_sink_merges_micro_batches(spark, tmp_path):
     q.stop()
     got = {r["k"]: r["val"] for r in spark.read.parquet(out).collect()}
     assert got == {1: "a", 2: "b2", 3: "c", 9: "new"}
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeListState:
+    def __init__(self):
+        self._items = []
+
+    def appendValue(self, v):
+        self._items.append(v)
+
+    def get(self):
+        return iter(self._items)
+
+
+class _FakeHandle:
+    """Duck-typed StatefulProcessorHandle: the processor only calls
+    getValueState/getListState."""
+
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def getListState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeListState())
+
+
+def test_tws_processor_carries_state_across_batches():
+    """The transformWithState job tracker's per-key logic, driven
+    directly against a fake handle (the real operator needs the
+    protobuf state protocol, absent in this container): state must
+    carry across handleInputRows calls (no duplicate None→submitted),
+    duplicate statuses advance the ordinal without emitting, and the
+    ListState audit trail grows monotonically."""
+    import pandas as pd
+
+    from automotive_translation_pipeline_spark.streaming.jobs import (
+        _JobTrackerProcessor,
+    )
+
+    proc = _JobTrackerProcessor(ttl_ms=1000)
+    proc.init(_FakeHandle())
+    b1 = pd.DataFrame(
+        {"status": ["submitted", "in_progress"], "timestamp": [1, 2]}
+    )
+    out1 = pd.concat(proc.handleInputRows(("batch_a",), iter([b1]), None))
+    assert list(
+        out1[["prev_status", "status", "n_updates", "trail_len"]].itertuples(
+            index=False, name=None
+        )
+    ) == [(None, "submitted", 1, 1), ("submitted", "in_progress", 2, 2)]
+
+    # batch 2: duplicate in_progress (no emission, ordinal advances),
+    # then completed — state survived, so ordinal continues at 4.
+    b2 = pd.DataFrame({"status": ["in_progress", "completed"], "timestamp": [3, 4]})
+    out2 = pd.concat(proc.handleInputRows(("batch_a",), iter([b2]), None))
+    assert list(
+        out2[["prev_status", "status", "n_updates", "trail_len"]].itertuples(
+            index=False, name=None
+        )
+    ) == [("in_progress", "completed", 4, 3)]
+
+
+def test_tws_operator_raises_clear_error_without_protobuf(spark):
+    """Without the protobuf package the operator must fail fast with an
+    actionable message, not crash the streaming query at runtime."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf present; gate inactive")
+    except ImportError:
+        pass
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "cast(value as string) AS job_id",
+        "'submitted' AS status",
+        "value AS timestamp",
+    )
+    with pytest.raises(RuntimeError, match="protobuf"):
+        ledger_state_stream_tws(stream)
