@@ -3907,3 +3907,76 @@ def pyds_request_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("v")).alias("sum_chars"),
         )
     )
+
+
+@register(
+    "collation_ci_profile",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT txt) AS n_distinct_binary,
+           count(DISTINCT lower(txt)) AS n_distinct_ci
+    FROM (
+        SELECT source,
+               CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END AS txt
+        FROM documents)
+    GROUP BY source
+    """,
+)
+def collation_ci_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware distinct counts (Spark 4 collations): the same
+    column counted under binary equality vs UNICODE_CI. Case variants
+    are injected deterministically (every 3rd doc upper-cased) so the
+    two counts actually diverge. `collate()` pushes the comparison
+    semantics INTO the hash-aggregate's key — no lower() projection,
+    and at scale the collated key participates in codegen like any
+    string; the oracle's lower() is the portable equivalent for
+    ASCII."""
+    t = load_testdata(spark, sf_dir)
+    txt = F.when(
+        F.col("doc_id") % 3 == 0, F.upper(F.col("text"))
+    ).otherwise(F.col("text"))
+    return (
+        t["documents"]
+        .select("source", txt.alias("txt"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct(F.col("txt")).alias("n_distinct_binary"),
+            F.count_distinct(F.collate(F.col("txt"), "UNICODE_CI")).alias(
+                "n_distinct_ci"
+            ),
+        )
+    )
+
+
+@register(
+    "pipe_syntax_priority_rollup",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+               AS revenue
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def pipe_syntax_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4): the same logical plan as the plain
+    GROUP BY oracle, expressed as a |> pipeline — scan |> filter |>
+    aggregate. Pipe operators compile to identical Catalyst plans
+    (filter still reaches the scan as a PushedFilter), so the surface
+    is free; declared here to pin that the engine accepts it."""
+    t = load_testdata(spark, sf_dir)
+    t["orders"].createOrReplaceTempView("orders_pipe_v")
+    return spark.sql(
+        """
+        FROM orders_pipe_v
+        |> WHERE o_orderstatus <> 'F'
+        |> AGGREGATE count(*) AS n_orders,
+                     CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2)
+                          AS DOUBLE) AS revenue
+           GROUP BY o_orderpriority
+        """
+    ).select("o_orderpriority", "n_orders", "revenue")
