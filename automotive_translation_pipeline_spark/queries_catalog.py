@@ -3980,3 +3980,26 @@ def pipe_syntax_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY o_orderpriority
         """
     ).select("o_orderpriority", "n_orders", "revenue")
+
+
+@register(
+    "global_index_documents",
+    """
+    SELECT doc_id,
+           row_number() OVER (ORDER BY doc_id) AS global_index
+    FROM documents
+    """,
+)
+def global_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global row numbering WITHOUT the single-partition window
+    the oracle's `row_number() OVER (ORDER BY ...)` implies: range
+    repartition → per-partition row_number → tiny cumulative offset
+    table broadcast back (operators/indexing.py:with_global_index).
+    Same numbers, but the heavy path stays parallel — the difference
+    between a 100 TB sort and a one-task straggler."""
+    from .operators.indexing import with_global_index
+
+    t = load_testdata(spark, sf_dir)
+    return with_global_index(
+        t["documents"].select("doc_id"), order_by=["doc_id"]
+    ).select("doc_id", "global_index")

@@ -49,6 +49,10 @@ HEADLINE = [
     "dedup_components",
     "ann_cosine_topk",
     "text_quality_scores",
+    "events_sessionize_batch",
+    "ts_ffill_purchase_value",
+    "heavy_hitters_words",
+    "unpivot_lineitem_measures",
 ]
 
 

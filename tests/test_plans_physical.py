@@ -245,3 +245,32 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_global_index_parallel_plan_and_parity(spark, sf_dir):
+    """with_global_index must number identically to a global
+    row_number() but WITHOUT collapsing the data path into one task:
+    the only SinglePartition exchange allowed is the P-row offsets
+    table; the data path goes through RangePartitioning."""
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    from automotive_translation_pipeline_spark.operators.indexing import (
+        with_global_index,
+    )
+    from automotive_translation_pipeline_spark.sources import load_testdata
+
+    docs = load_testdata(spark, sf_dir)["documents"].select("doc_id")
+    # scatter input across partitions to prove ordering is reconstructed
+    scattered = docs.repartition(7)
+    out = with_global_index(scattered, order_by=["doc_id"])
+
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "rangepartitioning" in plan
+    assert plan.count("singlepartition") <= 1  # offsets table only
+
+    expected = docs.select(
+        "doc_id", F.row_number().over(Window.orderBy("doc_id")).alias("rn")
+    )
+    got = {r.doc_id: r.global_index for r in out.collect()}
+    assert got == {r.doc_id: r.rn for r in expected.collect()}
