@@ -4003,3 +4003,21 @@ def global_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_global_index(
         t["documents"].select("doc_id"), order_by=["doc_id"]
     ).select("doc_id", "global_index")
+
+
+@register("heavy_hitters_cms", None)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (rows-only: sketch estimates are
+    approximate by construction — accuracy vs the exact top-10 is
+    pytest-asserted instead). The scale path for `heavy_hitters_words`:
+    per-partition linear sketches merge by addition, so the shuffle is
+    O(partitions × sketch), never O(vocabulary)
+    (operators/sketches.py:topk_heavy_hitters_cms)."""
+    from .operators.sketches import topk_heavy_hitters_cms
+
+    t = load_testdata(spark, sf_dir)
+    words = t["documents"].select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    )
+    top = topk_heavy_hitters_cms(words, "w", k=10)
+    return spark.createDataFrame(top, "w string, est_count long")
