@@ -4021,3 +4021,163 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = topk_heavy_hitters_cms(words, "w", k=10)
     return spark.createDataFrame(top, "w string, est_count long")
+
+
+@register(
+    "events_funnel_stages",
+    """
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS stage_view,
+           CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS stage_click,
+           CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS stage_purchase
+    FROM (
+        SELECT user_id, t_view, t_click, t_purchase
+        FROM (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+            FROM events GROUP BY user_id) v
+        LEFT JOIN (
+            SELECT user_id, t_view AS tv2,
+                   min(CASE WHEN event_type = 'click' AND ts > t_view
+                            THEN ts END) AS t_click
+            FROM events JOIN (
+                SELECT user_id AS u2,
+                       min(CASE WHEN event_type = 'view' THEN ts END)
+                           AS t_view
+                FROM events GROUP BY user_id) ON user_id = u2
+            GROUP BY user_id, t_view) c USING (user_id)
+        LEFT JOIN (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'purchase' AND ts > t_click
+                            THEN ts END) AS t_purchase
+            FROM events JOIN (
+                SELECT user_id AS u3,
+                       min(CASE WHEN e2.event_type = 'click'
+                                AND e2.ts > t_view THEN e2.ts END) AS t_click
+                FROM events e2 JOIN (
+                    SELECT user_id AS u2,
+                           min(CASE WHEN event_type = 'view' THEN ts END)
+                               AS t_view
+                    FROM events GROUP BY user_id) ON e2.user_id = u2
+                GROUP BY e2.user_id) ON user_id = u3
+            GROUP BY user_id) p USING (user_id))
+    """,
+)
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click after view → purchase after click):
+    how many users reach each stage. ONE aggregation pass: per-user
+    earliest view via min(when), then earliest qualifying click/
+    purchase via min-over-window conditions — expressed as a single
+    groupBy with conditional aggregates over per-user first-times (the
+    oracle spells the same thing as three self-joins; Spark computes it
+    in one shuffle on user_id with no self-join at all)."""
+    t = load_testdata(spark, sf_dir)
+    ev = t["events"].select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    tv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    with_tv = ev.withColumn("t_view", tv)
+    tc = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(w)
+    with_tc = with_tv.withColumn("t_click", tc)
+    tp = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        with_tc.withColumn("t_purchase", tp)
+        .groupBy("user_id")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.first("t_click").alias("t_click"),
+            F.first("t_purchase").alias("t_purchase"),
+        )
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("stage_view"),
+        F.sum(F.col("t_click").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("stage_click"),
+        F.sum(F.col("t_purchase").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("stage_purchase"),
+    )
+
+
+@register(
+    "events_type_sequences",
+    """
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS type_seq,
+           count(*) AS n_events
+    FROM events
+    WHERE event_id % 20 = 0
+    GROUP BY user_id
+    """,
+)
+def events_type_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event-type path (the session-path mining
+    primitive): collect structs of (ts, event_id, type), array_sort on
+    the total order, project the types, join with '>'. All native
+    array functions — the sort happens inside the aggregate buffer,
+    not as a window shuffle. Thinned to every 20th event to keep the
+    path strings readable."""
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("event_id") % 20 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("type_seq"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "profile_bool_aggs",
+    """
+    SELECT event_type,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 95) AS any_gt95,
+           CAST(count(*) FILTER (value > 95) AS BIGINT) AS n_gt95
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def profile_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any + FILTER counts): the assertion
+    layer of a dq scan expressed natively — one partial-aggregable
+    pass, no udf, no second scan."""
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.every(F.col("value") >= 0).alias("all_nonneg"),
+            F.some(F.col("value") > 95).alias("any_gt95"),
+            F.count_if(F.col("value") > 95).alias("n_gt95"),
+        )
+    )
