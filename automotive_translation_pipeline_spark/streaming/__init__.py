@@ -8,3 +8,8 @@ from .jobs import (  # noqa: F401
     streaming_upsert_query,
     view_purchase_attribution,
 )
+from .state_inspect import (  # noqa: F401
+    state_metadata,
+    state_rows,
+    state_skew,
+)

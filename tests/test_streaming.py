@@ -472,3 +472,68 @@ def test_tws_operator_raises_clear_error_without_protobuf(spark):
     )
     with pytest.raises(RuntimeError, match="protobuf"):
         ledger_state_stream_tws(stream)
+
+
+def test_state_inspection_reads_live_checkpoint(spark, tmp_path):
+    """State Data Source reader (streaming/state_inspect.py): after a
+    windowed-agg micro-batch, the checkpoint must expose the operator
+    in state-metadata, the open windows as keyed state rows, and a
+    partition-level skew profile that sums to the key count."""
+    from automotive_translation_pipeline_spark.streaming import (
+        state_metadata,
+        state_rows,
+        state_skew,
+    )
+
+    src = tmp_path / "state_src"
+    src.mkdir()
+    rows = [
+        {"user_id": i % 3, "ts": f"2024-01-01T00:{i:02d}:00", "v": 1.0}
+        for i in range(20)
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, v double"
+    ).json(str(src))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "user_id")
+        .count()
+    )
+    ck = str(tmp_path / "ck")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("state_inspect_probe")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    meta = state_metadata(spark, ck).collect()
+    assert len(meta) == 1 and meta[0]["operatorName"] == "stateStoreSave"
+
+    st = state_rows(spark, ck)
+    # live state = (window, user) groups the watermark has NOT evicted;
+    # every one of them must have been emitted by the update-mode sink
+    # (the sink may additionally hold evicted keys and per-batch
+    # re-emissions, so sink ⊇ state, not equality)
+    state_keys = {
+        (r["key"]["window"]["start"], r["key"]["user_id"])
+        for r in st.collect()
+    }
+    n_keys = len(state_keys)
+    assert 0 < n_keys == st.count()
+    sink_keys = {
+        (r["window"]["start"], r["user_id"])
+        for r in spark.sql(
+            "SELECT window, user_id FROM state_inspect_probe"
+        ).collect()
+    }
+    assert state_keys <= sink_keys
+    assert {u for _, u in state_keys} == {0, 1, 2}
+
+    skew = state_skew(spark, ck).collect()
+    assert sum(r["n_keys"] for r in skew) == n_keys
+    assert skew[0]["n_keys"] >= skew[-1]["n_keys"]
