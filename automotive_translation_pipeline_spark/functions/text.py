@@ -155,3 +155,23 @@ def word_shingles(c: Column, k: int = 3) -> Column:
         z, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(k)])
     )
     return F.when(n >= k, shingles).otherwise(F.array().cast("array<string>"))
+
+
+def gopher_pass(c: Column) -> Column:
+    """Gopher/C4-style document quality gate as one boolean expression:
+    5 <= word count <= 1000, mean word length in [3, 10], symbol ratio
+    under 10%, and at least 80% of words contain a letter. Pure native
+    expressions — usable as a scan-level filter (pushes ahead of any
+    join/agg) and identical to the `text_gopher_rules` oracle SQL."""
+    txt = F.lower(F.trim(c))
+    words = F.split(txt, r"\s+")
+    wc = F.size(words)
+    nonspace = F.length(F.regexp_replace(txt, r"\s+", ""))
+    symbols = F.length(F.regexp_replace(txt, r"[a-z0-9\s]", ""))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    return (
+        wc.between(5, 1000)
+        & (nonspace * 1.0 / wc).between(3, 10)
+        & (symbols * 1.0 / F.greatest(F.length(txt), F.lit(1)) < 0.1)
+        & (alpha_words * 1.0 / wc >= 0.8)
+    )

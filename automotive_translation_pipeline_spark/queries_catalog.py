@@ -3675,33 +3675,12 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, exactly how a corpus filter should run at 100 TB (the
     pass/fail bit would become the partition pruning column of the
     cleaned copy)."""
+    from .functions.text import gopher_pass
+
     t = load_testdata(spark, sf_dir)
-    txt = F.lower(F.trim(F.col("text")))
-    d = t["documents"].select(
-        "lang",
-        txt.alias("txt"),
-        F.split(txt, r"\s+").alias("words"),
-    )
-    d = d.select(
-        "lang",
-        F.size("words").alias("wc"),
-        F.length(F.regexp_replace(F.col("txt"), r"\s+", "")).alias("nonspace"),
-        F.length(F.regexp_replace(F.col("txt"), r"[a-z0-9\s]", "")).alias(
-            "symbols"
-        ),
-        F.size(F.filter(F.col("words"), lambda w: w.rlike("[a-z]"))).alias(
-            "alpha_words"
-        ),
-        F.greatest(F.length("txt"), F.lit(1)).alias("txt_len"),
-    )
-    passes = (
-        F.col("wc").between(5, 1000)
-        & (F.col("nonspace") * 1.0 / F.col("wc")).between(3, 10)
-        & (F.col("symbols") * 1.0 / F.col("txt_len") < 0.1)
-        & (F.col("alpha_words") * 1.0 / F.col("wc") >= 0.8)
-    )
     return (
-        d.select("lang", passes.alias("passes"))
+        t["documents"]
+        .select("lang", gopher_pass(F.col("text")).alias("passes"))
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
@@ -4179,5 +4158,88 @@ def profile_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.every(F.col("value") >= 0).alias("all_nonneg"),
             F.some(F.col("value") > 95).alias("any_gt95"),
             F.count_if(F.col("value") > 95).alias("n_gt95"),
+        )
+    )
+
+
+@register(
+    "curation_pipeline_rows",
+    f"""
+    WITH gated AS (
+        SELECT doc_id, lang, text,
+               md5({_DUCK_NORM.format(c="text")}) AS fp
+        FROM (
+            SELECT doc_id, lang, text,
+                   len(words) AS wc,
+                   length(regexp_replace(txt, '\\s+', '', 'g')) AS nonspace,
+                   length(regexp_replace(txt, '[a-z0-9\\s]', '', 'g'))
+                       AS symbols,
+                   len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+                       AS alpha_words
+            FROM (SELECT doc_id, lang, text, lower(trim(text)) AS txt,
+                         regexp_split_to_array(lower(trim(text)), '\\s+')
+                             AS words
+                  FROM documents))
+        WHERE (wc BETWEEN 5 AND 1000)
+          AND (nonspace * 1.0 / wc BETWEEN 3 AND 10)
+          AND (symbols * 1.0 / greatest(length(trim(text)), 1) < 0.1)
+          AND (alpha_words * 1.0 / wc >= 0.8)),
+    deduped AS (
+        SELECT doc_id, lang, text
+        FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+                  AS rn
+              FROM gated)
+        WHERE rn = 1)
+    SELECT lang,
+           CASE WHEN {_DUCK_BUCKET.format(k="doc_id")} < 1000
+                THEN 'eval' ELSE 'train' END AS split,
+           count(*) AS n_docs,
+           sum({_DUCK_BPE.format(c="text")}) AS total_tokens
+    FROM deduped
+    GROUP BY lang, split
+    """,
+)
+def curation_pipeline_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation flagship: quality gate → exact dedup →
+    leak-proof split → token accounting, composed as ONE declarative
+    plan (the training-data sibling of `pipeline_rows`):
+
+    1. `gopher_pass` filter — scan-level projection, pushes into the
+       read; rejected docs never leave the scan;
+    2. exact dedup on the md5 fingerprint, keeping the SMALLEST doc_id
+       per group (row_number, not dropDuplicates — deterministic under
+       any partitioning);
+    3. md5-keyed train/eval split — a pure function of the key, so
+       re-runs and incremental loads can never leak a doc across the
+       boundary;
+    4. per-(lang, split) doc and BPE-token totals — the numbers a
+       tokenizer-budget plan is made from.
+
+    One shuffle for the dedup window, one for the final aggregate; at
+    100 TB both hash on high-cardinality keys (fingerprint, then
+    lang×split via partial agg)."""
+    from .functions.text import bpe_token_count, doc_fingerprint, gopher_pass
+    from .operators.sampling import split_of
+
+    t = load_testdata(spark, sf_dir)
+    gated = (
+        t["documents"]
+        .filter(gopher_pass(F.col("text")))
+        .select(
+            "doc_id", "lang", "text", doc_fingerprint(F.col("text")).alias("fp")
+        )
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+    return (
+        deduped.withColumn("split", split_of(F.col("doc_id"), eval_fraction=0.10))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(bpe_token_count(F.col("text"))).alias("total_tokens"),
         )
     )

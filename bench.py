@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_components",
     "ann_cosine_topk",
     "text_quality_scores",
+    "curation_pipeline_rows",
     "events_sessionize_batch",
     "ts_ffill_purchase_value",
     "heavy_hitters_words",
