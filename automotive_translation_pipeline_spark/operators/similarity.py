@@ -523,3 +523,89 @@ def cosine_topk_ivf_indexed(
     return _probe_and_score(
         assigned, cent_df, queries, k, n_probe, id_col, vec_col, query_id_col
     )
+
+
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k on the Arrow fast path: same contract and
+    results as `cosine_topk_bruteforce`, different kernel.
+
+    The brute-force variant evaluates one `aggregate(zip_with(...))`
+    expression PER (corpus row × query) — fine for narrow vectors, but
+    the expression interpreter touches every float individually. Here
+    each Arrow batch becomes one numpy matrix (zero-copy flatten +
+    reshape — the list<float> layout IS the matrix) and all similarities
+    for the batch compute as a single `corpus_block @ Q.T` BLAS matmul,
+    with a per-batch argpartition keeping only the local top-k per
+    query. The JVM→Python boundary moves each corpus block once, and
+    only (batches × queries × k) candidate rows come back — the global
+    window then reduces candidates, never the full score matrix.
+
+    Queries are collected to the driver and closed over (they are the
+    broadcast side by contract, same as the brute-force variant)."""
+    import numpy as np
+    import pyarrow as pa
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    dim = qmat.shape[1]
+    out_schema = pa.schema(
+        [
+            (query_id_col, pa.int64()),
+            (id_col, pa.int64()),
+            ("cosine", pa.float64()),
+        ]
+    )
+
+    def kernel(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            flat = batch.column(vec_col)
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            emb = (
+                flat.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, dim)
+            )
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            sims = emb @ qmat.T  # (n corpus, m queries)
+            sims[ids[:, None] == qids[None, :]] = -np.inf  # self-matches
+            kk = min(k, n)
+            # local top-k per query: argpartition on each column
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk, :]
+            q_idx = np.repeat(np.arange(len(qids)), kk)
+            c_idx = top.T.reshape(-1)
+            mask = np.isfinite(sims[c_idx, q_idx])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids[q_idx][mask]),
+                    pa.array(ids[c_idx][mask]),
+                    pa.array(sims[c_idx, q_idx][mask]),
+                ],
+                schema=out_schema,
+            )
+
+    local = corpus.select(id_col, vec_col).mapInArrow(
+        kernel, f"{query_id_col} long, {id_col} long, cosine double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        local.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(query_id_col, id_col, "cosine")
+    )

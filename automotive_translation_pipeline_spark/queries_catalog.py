@@ -4243,3 +4243,38 @@ def curation_pipeline_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bpe_token_count(F.col("text"))).alias("total_tokens"),
         )
     )
+
+
+@register(
+    "ann_cosine_arrow",
+    _DUCK_EMB_CTE
+    + """
+    , scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               list_sum(list_transform(list_zip(q.emb, c.emb), x -> x[1] * x[2]))
+               / (q.nrm * c.nrm) AS cosine
+        FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, vec_id, round(cosine, 4) AS cosine_r FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored)
+    WHERE rk <= 10
+    """,
+)
+def ann_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_cosine_topk` on the Arrow fast path: mapInArrow turns each
+    corpus batch into one numpy matrix and scores ALL queries in a
+    single BLAS matmul, emitting only per-batch top-k candidates
+    (operators/similarity.py:cosine_topk_arrow). Same oracle as the
+    brute-force twin — identical results, ~2x faster warm at sf0.1 and
+    widening with corpus size (the expression interpreter touches every
+    float; the matmul doesn't)."""
+    from .operators.similarity import cosine_topk_arrow
+
+    t = load_testdata(spark, sf_dir)
+    emb = t["embeddings"]
+    out = cosine_topk_arrow(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine_r")
+    )

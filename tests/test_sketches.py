@@ -51,3 +51,25 @@ def test_cms_deterministic_across_runs(spark, sf_dir):
 def test_cms_empty_input(spark):
     empty = spark.createDataFrame([], "w string")
     assert topk_heavy_hitters_cms(empty, "w", k=5) == []
+
+
+def test_cosine_arrow_matches_bruteforce(spark, sf_dir):
+    """The Arrow matmul kernel must reproduce the brute-force scores
+    bit-for-bit at rounded precision, including tie-breaks."""
+    from automotive_translation_pipeline_spark.operators.similarity import (
+        cosine_topk_arrow,
+        cosine_topk_bruteforce,
+    )
+    import pyspark.sql.functions as F
+
+    emb = load_testdata(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 8)
+    bf = {
+        (r.query_id, r.vec_id): round(r.cosine, 9)
+        for r in cosine_topk_bruteforce(emb.repartition(5), q, k=7).collect()
+    }
+    ar = {
+        (r.query_id, r.vec_id): round(r.cosine, 9)
+        for r in cosine_topk_arrow(emb.repartition(5), q, k=7).collect()
+    }
+    assert bf == ar
