@@ -4278,3 +4278,26 @@ def ann_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", F.round("cosine", 4).alias("cosine_r")
     )
+
+
+@register("agg_hll_mergeable", None)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counts via Datasketches HLL (rows-only:
+    sketch internals are engine-specific, so no DuckDB twin; the merge
+    law — union of per-source sketches == whole-table sketch — and
+    exactness at this cardinality are pytest-asserted). This is the
+    continuous-aggregate companion: per-partition sketches persist
+    with the rollup and re-aggregate to any grouping without
+    rescanning history, unlike count(DISTINCT) which cannot merge."""
+    from .functions.text import doc_fingerprint
+
+    t = load_testdata(spark, sf_dir)
+    sketches = (
+        t["documents"]
+        .select("lang", doc_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("lang")
+        .agg(F.hll_sketch_agg("fp").alias("sk"), F.count("*").alias("n_docs"))
+    )
+    return sketches.select(
+        "lang", "n_docs", F.hll_sketch_estimate("sk").alias("est_distinct")
+    )

@@ -73,3 +73,33 @@ def test_cosine_arrow_matches_bruteforce(spark, sf_dir):
         for r in cosine_topk_arrow(emb.repartition(5), q, k=7).collect()
     }
     assert bf == ar
+
+
+def test_hll_sketches_merge_and_match_exact(spark, sf_dir):
+    """HLL sketch law: union of per-group sketches and one whole-table
+    sketch both estimate the true distinct count within HLL's error
+    bound. (They need not be byte-identical: the union path may settle
+    on a different internal representation, so estimates can differ by
+    a few counts — e.g. 497 vs 501 on ~500 true distincts. The
+    re-aggregation CONTRACT is bounded error, not bit equality.)"""
+    from automotive_translation_pipeline_spark.functions.text import (
+        doc_fingerprint,
+    )
+
+    docs = load_testdata(spark, sf_dir)["documents"].select(
+        "lang", doc_fingerprint(F.col("text")).alias("fp")
+    )
+    per_group = docs.groupBy("lang").agg(F.hll_sketch_agg("fp").alias("sk"))
+    merged_est = (
+        per_group.agg(F.hll_union_agg("sk").alias("u"))
+        .select(F.hll_sketch_estimate("u").alias("est"))
+        .first()["est"]
+    )
+    whole_est = docs.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("fp")).alias("est")
+    ).first()["est"]
+    exact = docs.select("fp").distinct().count()
+    # lgConfigK=12 → relative standard error ~1.04/sqrt(4096) ≈ 1.6%;
+    # 3 sigma ≈ 5%. Both paths must land inside it.
+    for est in (merged_est, whole_est):
+        assert abs(est - exact) / exact < 0.05, (est, exact)
