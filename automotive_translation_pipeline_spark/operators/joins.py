@@ -16,6 +16,16 @@ from pyspark.sql import functions as F
 FAILED_SENTINEL = "[TRANSLATION_FAILED]"
 
 
+def _epoch_micros(c: Column) -> Column:
+    """``unix_micros`` that accepts BOTH timestamp flavors. Spark 4
+    rejects ``unix_micros(TIMESTAMP_NTZ)`` outright; casting NTZ →
+    TIMESTAMP first reinterprets the wall-clock under the session
+    timezone (pinned to UTC in session.py), which is exactly the
+    instant the DuckDB oracle computes. LTZ input passes through the
+    cast unchanged, so the helper is flavor-agnostic."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def rejoin_results(
     expected: DataFrame,
     parsed: DataFrame,
@@ -131,14 +141,14 @@ def range_join_binned(
     |left|×|intervals|."""
     micros = 1_000_000 * bin_secs
     l_binned = left.withColumn(
-        "__bin", (F.unix_micros(F.col(ts_col)) / micros).cast("long")
+        "__bin", (_epoch_micros(F.col(ts_col)) / micros).cast("long")
     )
     i_binned = intervals.withColumn(
         "__bin",
         F.explode(
             F.sequence(
-                (F.unix_micros(F.col(start_col)) / micros).cast("long"),
-                (F.unix_micros(F.col(end_col)) / micros).cast("long"),
+                (_epoch_micros(F.col(start_col)) / micros).cast("long"),
+                (_epoch_micros(F.col(end_col)) / micros).cast("long"),
             )
         ),
     )

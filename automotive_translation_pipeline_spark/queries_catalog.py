@@ -481,19 +481,23 @@ def r29_sequence_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f2_token_count",
     f"""
     SELECT doc_id,
-           length(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
-           {_DUCK_BPE.format(c="text")} AS n_bpe_tokens
+           cast(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_ws_tokens,
+           cast({_DUCK_BPE.format(c="text")} AS BIGINT) AS n_bpe_tokens
     FROM documents
     """,
 )
 def f2_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F-2: whitespace + BPE-ish token counts (tiktoken stand-in,
-    auto_translate.py:259-260)."""
+    auto_translate.py:259-260). Both counts are BIGINT on both engines:
+    DuckDB's list_sum returns HUGEINT, whose 128-bit width hashes
+    differently from Spark's INT even when every value is identical —
+    the explicit cast pins one wire type."""
     t = load_testdata(spark, sf_dir)
     return t["documents"].select(
         "doc_id",
-        token_count(F.col("text")).alias("n_ws_tokens"),
-        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
     )
 
 

@@ -98,6 +98,48 @@ def test_range_join_binned_matches_naive(spark):
     assert got == naive and got  # non-empty and identical
 
 
+def test_range_join_binned_timestamp_ntz(spark):
+    """Regression: the real ``events`` scan yields TIMESTAMP_NTZ, and
+    Spark 4 rejects ``unix_micros`` on NTZ — the operator must bin
+    NTZ-safely. Built from the actual testdata scan, then checked
+    against the naive inequality join."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    from automotive_translation_pipeline_spark.sources.readers import load_testdata
+
+    ev = load_testdata(spark, sf_dir)["events"]
+    assert dict(ev.dtypes)["ts"] in ("timestamp_ntz", "timestamp")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+        F.col("event_id").alias("error_id"),
+    )
+    got = sorted(
+        (r["click_id"], r["error_id"])
+        for r in range_join_binned(
+            clicks, errors, key="user_id", ts_col="ts",
+            start_col="start", end_col="end", bin_secs=3600,
+        ).collect()
+    )
+    naive = sorted(
+        (r["click_id"], r["error_id"])
+        for r in clicks.alias("c")
+        .join(
+            errors.alias("e"),
+            (F.col("c.user_id") == F.col("e.user_id"))
+            & (F.col("c.ts") >= F.col("e.start"))
+            & (F.col("c.ts") <= F.col("e.end")),
+        )
+        .collect()
+    )
+    assert got == naive and got
+
+
 def test_cogroup_reconcile_missing_and_extra(spark):
     from automotive_translation_pipeline_spark.operators.joins import (
         cogroup_reconcile,
