@@ -5,9 +5,10 @@ Two paths:
 
 * ``cosine_topk_bruteforce`` — exact top-k: broadcast the (small) query
   set against the corpus, JVM-side ``zip_with``/``aggregate`` dot
-  product, per-query window top-k. At 100 TB the corpus side stays
-  partitioned; each partition scores locally and the window reduces
-  k·|Q| rows — no corpus shuffle at all.
+  product, then a two-level top-k merge (local per-partition window,
+  then a global per-query window over at most partitions x |Q| x k
+  candidates) so the full score set never shuffles into |Q| skewed
+  partitions.
 * ``cosine_topk_lsh`` — approximate: random-hyperplane (SRP) bucketing
   prunes the corpus to same-bucket candidates before exact scoring.
   The classic recall/cost trade; bucket width = ``n_planes`` bits.
@@ -49,6 +50,18 @@ def cosine_topk_bruteforce(
     """Exact cosine top-k: for every query vector, the k nearest corpus
     vectors (self-matches excluded when ids collide).
 
+    Two-level top-k merge: a FIRST window over
+    ``(spark_partition_id(), query_id)`` keeps only each scan
+    partition's local k per query, so the global per-query window sees
+    at most partitions x |Q| x k rows instead of the full
+    |corpus| x |Q| score set. Without the pre-reduce, the final window
+    shuffles every score into |Q| partitions — at a 100 TB corpus with
+    a handful of queries that is a catastrophic skewed shuffle; with
+    it, the big shuffle keys on the much-higher-cardinality
+    (partition, query) pair and the skewed one moves only the merged
+    candidates. Local top-k survives global top-k exactly (any global
+    winner is a local winner), so results are identical.
+
     Returns (query_id, vec_id, cosine) with deterministic tie-break on
     vec_id.
     """
@@ -65,12 +78,21 @@ def cosine_topk_bruteforce(
             "cosine",
             _dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qnorm") * F.col("__cnorm")),
         )
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    local_w = Window.partitionBy("__pid", query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    candidates = (
+        scored.withColumn("__lrk", F.row_number().over(local_w))
+        .filter(F.col("__lrk") <= k)
+        .drop("__pid", "__lrk")
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col)
     )
     return (
-        scored.withColumn("__rk", F.row_number().over(w))
+        candidates.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .select(query_id_col, id_col, "cosine")
     )

@@ -75,6 +75,26 @@ def test_ann_corpus_never_shuffles_for_join(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_ann_bruteforce_prereduces_before_global_window(spark, sf_dir):
+    """The global per-query top-k window must consume the pre-reduced
+    candidate set (<= partitions x |Q| x k rows), never the raw
+    |corpus| x |Q| score set — otherwise the final window is a skewed
+    shuffle into |Q| partitions. Plan text reads top-down, so the
+    global window appears first, then the local-top-k filter, then the
+    local (__pid, query_id) window below it."""
+    plan = _physical(spark, "ann_cosine_topk", sf_dir)
+    windows = [i for i, l in enumerate(plan.splitlines()) if "Window" in l]
+    assert len(windows) >= 2, plan
+    lines = plan.splitlines()
+    global_w = windows[0]
+    local_w = windows[-1]
+    assert "__pid" in lines[local_w] and "__pid" not in lines[global_w]
+    lrk_filter = [
+        i for i, l in enumerate(lines) if "Filter" in l and "__lrk" in l
+    ]
+    assert lrk_filter and global_w < lrk_filter[0] < local_w, plan
+
+
 def test_topk_never_global_sorts(spark, sf_dir):
     plan = _physical(spark, "r28_topk_recent", sf_dir)
     assert "TakeOrderedAndProject" in plan

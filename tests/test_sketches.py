@@ -99,6 +99,7 @@ def test_hll_sketches_merge_and_match_exact(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_sketch_agg("fp")).alias("est")
     ).first()["est"]
     exact = docs.select("fp").distinct().count()
+    assert exact > 0, "documents fixture yielded no distinct fingerprints"
     # lgConfigK=12 → relative standard error ~1.04/sqrt(4096) ≈ 1.6%;
     # 3 sigma ≈ 5%. Both paths must land inside it.
     for est in (merged_est, whole_est):
