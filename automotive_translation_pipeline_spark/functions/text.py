@@ -35,6 +35,33 @@ def bpe_token_count(c: Column) -> Column:
     )
 
 
+def accurate_token_count(c: Column, encoding: str = "cl100k_base") -> Column:
+    """F-2 exact path: true tiktoken counts when the library is
+    installed (the reference's count_tokens, auto_translate.py:259-260),
+    else the deterministic ``bpe_token_count`` heuristic.
+
+    The tiktoken branch is an Arrow-batched pandas UDF — the encoder is
+    CPU-bound Python, so this is deliberately OFF the oracle-checked
+    query path (oracles pin the engine-portable heuristic); packing
+    still works on either, since batch assignment only needs a
+    consistent cost measure. The fallback keeps the function total in
+    this container, where tiktoken is absent."""
+    try:
+        import tiktoken
+    except ImportError:
+        return bpe_token_count(c).cast("bigint")
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def _count(s: pd.Series) -> pd.Series:
+        enc = tiktoken.get_encoding(encoding)
+        return s.fillna("").map(lambda t: len(enc.encode(t)))
+
+    return _count(c)
+
+
 def estimated_cost(c: Column, output_factor: float = 1.8) -> Column:
     """R-17 packing cost: input tokens + expected output tokens
     (EXPECTED_OUTPUT_FACTOR=1.8, reference auto_translate.py:32,289)."""

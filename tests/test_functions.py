@@ -101,3 +101,34 @@ def test_word_shingles(spark):
     assert got == ["a b c", "b c d"]
     # Shorter than k → no shingles.
     assert _one(spark, lambda c: word_shingles(c, 3), "a b") == []
+
+
+def test_accurate_token_count_fallback_contract(spark):
+    """accurate_token_count must be total in every environment: exact
+    tiktoken counts when the library exists, byte-identical to the
+    bpe_token_count heuristic when it does not."""
+    from automotive_translation_pipeline_spark.functions.text import (
+        accurate_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [("the quick brown fox",), ("internationalization",), ("",), (None,)],
+        "v string",
+    )
+    rows = df.select(
+        accurate_token_count(F.col("v")).alias("n"),
+        bpe_token_count(F.col("v")).cast("bigint").alias("h"),
+    ).collect()
+    try:
+        import tiktoken  # noqa: F401
+
+        have_tiktoken = True
+    except ImportError:
+        have_tiktoken = False
+    if have_tiktoken:
+        assert all(r["n"] is not None and r["n"] >= 0 for r in rows)
+        nonempty = [r for r in rows if r["h"] and r["h"] > 0]
+        # real encoder stays within 4x of the heuristic on plain text
+        assert all(r["n"] <= 4 * r["h"] + 4 for r in nonempty)
+    else:
+        assert all(r["n"] == r["h"] for r in rows)
