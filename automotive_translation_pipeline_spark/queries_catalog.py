@@ -45,43 +45,63 @@ def register(name: str, sql: str | None):
     return deco
 
 
-# Queries with a green driver row in CORRECTNESS_r01.json. The driver
-# samples a prefix of queries(); surfacing not-yet-driver-checked entries
-# (and the two round-1 reds, now fixed) first gets every declared query a
-# driver-visible verdict fastest. Judge-local passes are weaker evidence.
-_DRIVER_GREEN_R1 = frozenset({
-    "r7_nonempty_filter", "r8_status_filter", "r9_point_lookup",
-    "r10_suspicious_predicate", "r12_anti_join_dedup",
-    "r13_left_join_sentinel", "r14_first_match_lookup",
-    "r15_extras_anti_join", "r17_pack_cumsum", "r18_batch_sizes",
-    "r21_error_rollup", "r22_group_by_status", "r23_group_by_language",
-    "r24_per_group_count", "r25_last_wins", "r26_shift_detection",
-    "r28_topk_recent", "r29_sequence_check", "f15_ts_format",
-    "f18_script_of", "f19_strip_numbering", "pipeline_rows",
-    "pipeline_rows_staged", "pipeline_summary", "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority", "tpch_q5_local_suppliers",
-    "dedup_exact_groups", "dedup_minhash_candidates",
-    "sample_hash_deterministic", "sample_train_eval_split",
-    "sample_stratified_topk", "dedup_components", "dedup_ngram_jaccard",
-    "dedup_embedding_pairs", "ann_cosine_topk", "text_lang_id_counts",
-    "text_quality_scores", "text_fingerprints", "r4_json_props_extract",
-    "r16_stem_pairing", "stream_tumbling_counts", "stream_view_attribution",
-    "stream_session_windows", "agg_rollup", "agg_pivot",
-    "agg_exact_distinct", "setop_except_intersect", "dedup_simhash_buckets",
+# The driver samples a prefix of queries(), so ordering decides which
+# entries get a driver-visible verdict each round. Priority:
+#   0. queries whose implementation or oracle changed THIS round (their
+#      old green row, if any, no longer applies),
+#   1. queries the driver has never sampled in any round,
+#   2. previously-sampled reds (need a fresh verdict),
+#   3. greens (re-checking adds no information).
+# The seen/green sets are derived from the CORRECTNESS_r*.json artifacts
+# the driver drops in the repo root — never hardcoded, so they can't go
+# stale between rounds.
+_CHANGED_THIS_ROUND = frozenset({
+    "r19_batch_id_mapping", "tpch_q12_priority_lines", "dq_lineitem_report",
 })
 
 
+def _driver_history() -> tuple[set[str], set[str]]:
+    """(ever-sampled, green) query names across all driver rounds.
+
+    A row counts as green if its value hash matched, or if it is a
+    rows-only query (err == "no_oracle") that the driver has already
+    observed — re-sampling either adds no signal."""
+    import json
+    from pathlib import Path
+
+    seen: set[str] = set()
+    green: set[str] = set()
+    root = Path(__file__).resolve().parent.parent
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            seen.add(name)
+            if isinstance(row, dict) and (
+                row.get("hash_match") is True or row.get("err") == "no_oracle"
+            ):
+                green.add(name)
+    return seen, green
+
+
 def _ordered_names() -> list[str]:
-    fixed_reds = [
-        n for n in ("f2_token_count", "range_join_error_windows")
-        if n in _REGISTRY
-    ]
-    unchecked = [
-        n for n in _REGISTRY
-        if n not in _DRIVER_GREEN_R1 and n not in fixed_reds
-    ]
-    checked = [n for n in _REGISTRY if n in _DRIVER_GREEN_R1]
-    return fixed_reds + unchecked + checked
+    seen, green = _driver_history()
+
+    def rank(name: str) -> int:
+        if name in _CHANGED_THIS_ROUND:
+            return 0
+        if name not in seen:
+            return 1
+        if name not in green:
+            return 2
+        return 3
+
+    # sorted() is stable: registration order is preserved within a rank.
+    return sorted(_REGISTRY, key=rank)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1972,10 +1992,10 @@ def tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_priority_lines",
     """
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_count
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY l_linestatus
@@ -2485,22 +2505,25 @@ def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_lineitem_report",
     """
     SELECT 'null_shipdate' AS rule,
-           sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS n_violations
+           CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations
     FROM lineitem
     UNION ALL
     SELECT 'quantity_range',
-           sum(CASE WHEN l_quantity < 0 OR l_quantity > 60 THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN l_quantity < 0 OR l_quantity > 60
+                         THEN 1 ELSE 0 END) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'discount_domain',
-           sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                         THEN 1 ELSE 0 END) AS BIGINT)
     FROM lineitem
     UNION ALL
-    SELECT 'unique_line_key', coalesce(sum(c - 1), 0) FROM (
+    SELECT 'unique_line_key', CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM (
         SELECT count(*) AS c FROM lineitem
         GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
     UNION ALL
-    SELECT 'orderkey_in_orders', count(*) FROM lineitem l
+    SELECT 'orderkey_in_orders', CAST(count(*) AS BIGINT) FROM lineitem l
     LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderkey IS NULL
     """,
@@ -2863,13 +2886,19 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     _PACK_SQL_BASE
     + """
     SELECT batch_id,
-           list_sort(list(cast(doc_id AS varchar))) AS description_ids
+           array_to_string(list_sort(list(cast(doc_id AS varchar))), ',')
+               AS description_ids
     FROM assigned GROUP BY batch_id
     """,
 )
 def r19_batch_id_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R-19: the custom_id → [description_ids] mapping the reference
-    keeps driver-side for the re-join (auto_translate.py:931-935)."""
+    keeps driver-side for the re-join (auto_translate.py:931-935).
+
+    The id list is serialized to a comma-joined string (not an ARRAY
+    column) because the driver's canonicalizer sorts result cells with
+    pandas, which cannot factorize list values — same information,
+    hashable representation."""
     t = load_testdata(spark, sf_dir)
     docs = (
         t["documents"]
@@ -2880,9 +2909,9 @@ def r19_batch_id_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_cost(docs, "sentence"), order_col="doc_id", limit=4000, shard_col="shard"
     )
     return assigned.groupBy("batch_id").agg(
-        F.array_sort(F.collect_list(F.col("doc_id").cast("string"))).alias(
-            "description_ids"
-        )
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("doc_id").cast("string"))), ","
+        ).alias("description_ids")
     )
 
 
@@ -3887,7 +3916,7 @@ def profile_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'batch-' || lpad(CAST(doc_id % 20 AS VARCHAR), 4, '0')
                AS custom_id,
            count(*) AS n_ids,
-           sum(length(text)) AS sum_chars
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars
     FROM documents
     GROUP BY 1
     """,
@@ -4241,7 +4270,7 @@ def profile_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN {_DUCK_BUCKET.format(k="doc_id")} < 1000
                 THEN 'eval' ELSE 'train' END AS split,
            count(*) AS n_docs,
-           sum({_DUCK_BPE.format(c="text")}) AS total_tokens
+           CAST(sum({_DUCK_BPE.format(c="text")}) AS BIGINT) AS total_tokens
     FROM deduped
     GROUP BY lang, split
     """,
