@@ -57,6 +57,7 @@ def register(name: str, sql: str | None):
 # stale between rounds.
 _CHANGED_THIS_ROUND = frozenset({
     "r19_batch_id_mapping", "tpch_q12_priority_lines", "dq_lineitem_report",
+    "multimodal_feature_stats",
 })
 
 
@@ -3239,25 +3240,47 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_feature_stats", None)
+@register(
+    "multimodal_feature_stats",
+    """
+    SELECT CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp' ELSE 'wav' END AS format,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(coalesce(sum(CASE WHEN doc_id % 5 < 4
+                                  THEN doc_id % 497 + 16 END), 0)
+                AS BIGINT) AS sum_width,
+           CAST(coalesce(sum(CASE WHEN doc_id % 5 < 4
+                                  THEN doc_id % 383 + 16 END), 0)
+                AS BIGINT) AS sum_height,
+           CAST(coalesce(sum(CASE WHEN doc_id % 5 = 4
+                                  THEN (doc_id % 90 + 1) * 250 END), 0)
+                AS BIGINT) AS sum_duration_ms
+    FROM documents GROUP BY 1
+    """,
+)
 def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end (rows-only: the media table is
-    synthesized in-session — binary content + typed metadata — and the
-    decode kernel is the documented deterministic stub, so there is no
-    parquet table for a SQL oracle). Exercises the real 100 TB path:
-    binary columns stream through Arrow into mapInPandas feature
-    extraction without touching the driver; per-type stats aggregate
-    the extracted features (operators/multimodal.py; parity +
-    determinism are pytest-asserted)."""
-    from .operators.multimodal import extract_features, synth_media
+    """Multimodal metadata end-to-end, now with a real oracle (round-1/2
+    roadmap item): binary media cells are synthesized from doc_id with
+    REAL container headers (PNG/JPEG/GIF/BMP/WAV magic bytes), streamed
+    through Arrow into the pure-Python header parser
+    (operators/multimodal.py:parse_media_header — no PIL/ffmpeg needed),
+    and the PARSED width/height/duration aggregates must reproduce the
+    oracle's plain arithmetic on doc_id. If builder or parser drift, the
+    hashes diverge — a genuine round-trip check, not a stub. Pixel
+    decode stays dependency-gated; the feature-histogram path keeps its
+    pytest coverage."""
+    from .operators.multimodal import media_from_ids, media_metadata
 
-    media = synth_media(spark, n=96).repartition(8)
-    feats = extract_features(media)
-    return feats.groupBy("media_type").agg(
+    t = load_testdata(spark, sf_dir)
+    media = media_from_ids(t["documents"].select("doc_id"))
+    meta = media_metadata(media)
+    return meta.groupBy("format").agg(
         F.count("*").alias("n_items"),
-        F.sum("n_bytes").alias("total_bytes"),
-        F.max(F.size("feature")).alias("feature_dim"),
-        F.round(F.avg(F.element_at("feature", 1)), 4).alias("avg_bucket0"),
+        F.coalesce(F.sum("width"), F.lit(0)).cast("long").alias("sum_width"),
+        F.coalesce(F.sum("height"), F.lit(0)).cast("long").alias("sum_height"),
+        F.coalesce(F.sum("duration_ms"), F.lit(0))
+        .cast("long")
+        .alias("sum_duration_ms"),
     )
 
 

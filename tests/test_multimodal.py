@@ -7,11 +7,75 @@ import pytest
 
 from automotive_translation_pipeline_spark.operators.multimodal import (
     FEATURE_DIM,
+    bmp_bytes,
     extract_features,
     frame_sample_plan,
+    gif_bytes,
+    jpeg_bytes,
+    media_from_ids,
+    media_metadata,
+    parse_media_header,
+    png_bytes,
     resize_images,
     synth_media,
+    wav_bytes,
 )
+
+
+def test_header_codec_roundtrip():
+    assert parse_media_header(png_bytes(640, 480)) == ("png", 640, 480, None)
+    assert parse_media_header(jpeg_bytes(31, 17)) == ("jpeg", 31, 17, None)
+    assert parse_media_header(gif_bytes(12, 8)) == ("gif", 12, 8, None)
+    assert parse_media_header(bmp_bytes(300, 200)) == ("bmp", 300, 200, None)
+    fmt, w, h, dur = parse_media_header(wav_bytes(2500, sample_rate=1000))
+    assert (fmt, w, h, dur) == ("wav", None, None, 2500)
+    assert parse_media_header(b"not a media file")[0] == "unknown"
+    assert parse_media_header(b"")[0] == "unknown"
+    assert parse_media_header(None)[0] == "unknown"
+    # Trailing payload after the container end must not confuse parsing.
+    assert parse_media_header(png_bytes(9, 9, b"\xff" * 100))[1:3] == (9, 9)
+
+
+def test_jpeg_parse_skips_leading_segments():
+    # APP0/JFIF before SOF0 — the segment walk must skip it.
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    data = b"\xff\xd8" + app0 + jpeg_bytes(55, 44)[2:]
+    assert parse_media_header(data) == ("jpeg", 55, 44, None)
+
+
+def test_media_metadata_matches_synth_meta(spark):
+    """Parsed header metadata must agree with the declared meta struct
+    for every non-video row (video content is opaque by design)."""
+    media = synth_media(spark, 30)
+    parsed = {r["media_id"]: r for r in media_metadata(media).collect()}
+    for row in media.collect():
+        got = parsed[row["media_id"]]
+        if row["media_type"] == "image":
+            assert got["format"] == "png"
+            assert (got["width"], got["height"]) == (
+                row["meta"]["width"],
+                row["meta"]["height"],
+            )
+        elif row["media_type"] == "audio":
+            assert got["format"] == "wav"
+            assert got["duration_ms"] == row["meta"]["duration_ms"]
+        else:
+            assert got["format"] == "unknown"
+
+
+def test_media_from_ids_roundtrip(spark):
+    ids = spark.range(0, 25).withColumnRenamed("id", "doc_id")
+    meta = media_metadata(media_from_ids(ids)).collect()
+    fmts = {r["media_id"] % 5 for r in meta}
+    assert fmts == set(range(5))
+    for r in meta:
+        i = r["media_id"]
+        expect = ("png", "jpeg", "gif", "bmp", "wav")[i % 5]
+        assert r["format"] == expect
+        if expect == "wav":
+            assert r["duration_ms"] == (i % 90 + 1) * 250
+        else:
+            assert (r["width"], r["height"]) == (i % 497 + 16, i % 383 + 16)
 
 
 def test_extract_features_shapes(spark):
