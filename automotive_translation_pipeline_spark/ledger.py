@@ -95,8 +95,16 @@ class Ledger:
 
     def get(self, job_id: str):
         """R-9: point lookup, reference ``get_batch_record``
-        (auto_translate.py:208-218). Returns Row or None."""
-        rows = self.current().filter(F.col("job_id") == job_id).limit(1).collect()
+        (auto_translate.py:208-218). Returns Row or None.
+
+        The key filter goes BELOW the latest-wins window (filter the
+        event log first, then dedup one key) so the predicate reaches
+        the parquet scan instead of windowing the whole ledger."""
+        rows = (
+            latest_wins_view(self.events().filter(F.col("job_id") == job_id))
+            .limit(1)
+            .collect()
+        )
         return rows[0] if rows else None
 
     # -- reports (batch_tracker.py CLI equivalents) --------------------

@@ -29,9 +29,20 @@ from ..sources import read_descriptions_dir
 from ..translate import translate_requests
 
 
-def folder_pipeline(spark: SparkSession, input_dir: str) -> DataFrame:
+def folder_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    translate_fn=translate_requests,
+) -> DataFrame:
     """Run the full translation pipeline over every CSV in a folder in
-    ONE Spark job; returns row-level results with file lineage."""
+    ONE Spark job; returns row-level results with file lineage.
+
+    ``translate_fn`` is the X-5 seam: production/mock is
+    ``translate_requests``; fault-path testing injects
+    ``translate.translate_requests_with_faults`` (X-7 taxonomy) —
+    batches that time out / error / lose their download produce no
+    content, so their rows surface as ``is_failed`` sentinel rows
+    exactly like the reference's failed-subprocess files."""
     docs = read_descriptions_dir(spark, input_dir)
     # R-7 + stem extraction (F-16) for the per-file shard key.
     docs = (
@@ -55,7 +66,7 @@ def folder_pipeline(spark: SparkSession, input_dir: str) -> DataFrame:
         costed, order_col="seq", limit=4000, shard_col="source_stem"
     )
     requests = materialize_requests(assigned)
-    responses = translate_requests(requests)
+    responses = translate_fn(requests)
     repaired = responses.select(
         F.col("custom_id").alias("batch_id"),
         F.when(

@@ -4400,3 +4400,71 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.select(
         "lang", "n_docs", F.hll_sketch_estimate("sk").alias("est_distinct")
     )
+
+
+@register(
+    "folder_status_taxonomy",
+    _PACK_SQL_BASE
+    + """
+    , per_batch AS (
+        SELECT lang AS source, batch_id, count(*) AS n_rows_b,
+               (CAST('0x' || substr(md5('fault|' || batch_id), 1, 8)
+                     AS BIGINT) % 5) AS fb
+        FROM assigned GROUP BY 1, 2
+    )
+    SELECT source,
+           CASE fb WHEN 0 THEN 'timeout' WHEN 1 THEN 'api_error'
+                   WHEN 2 THEN 'download_failed'
+                   ELSE 'completed' END AS status,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(n_rows_b) AS BIGINT) AS n_rows
+    FROM per_batch GROUP BY 1, 2
+    """,
+)
+def folder_status_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-7: the folder orchestrator's per-source status taxonomy under
+    injected lifecycle faults (reference classifies each run as
+    completed / timeout / api_error and the ledger adds download_failed,
+    batch_auto_translate.py:146-186, BATCH_TRACKING_GUIDE.md:169-182).
+
+    The full lifecycle path runs for real — pack (lang = the per-file
+    shard), materialize requests, translate through the fault-injecting
+    map (translate.py:translate_requests_with_faults; deterministic md5
+    bucket per batch, mock UDF actually executes for completed batches)
+    — then the taxonomy is a per-(source, status) rollup of batch and
+    row counts. The oracle recomputes the same md5 bucketing in SQL."""
+    from .operators.packing import materialize_requests
+    from .translate import translate_requests_with_faults
+
+    t = load_testdata(spark, sf_dir)
+    docs = (
+        t["documents"]
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.trim("text").alias("sentence"),
+            F.col("lang").alias("shard"),
+        )
+    )
+    assigned = assign_batches_cumsum(
+        with_cost(docs, "sentence"), order_col="doc_id", limit=4000,
+        shard_col="shard",
+    )
+    requests = materialize_requests(
+        assigned, id_col="doc_id", text_col="sentence"
+    )
+    responses = translate_requests_with_faults(requests)
+    per_batch = assigned.groupBy("shard", "batch_id").agg(
+        F.count("*").alias("n_rows_b")
+    )
+    statuses = responses.select(
+        F.col("custom_id").alias("batch_id"), "status"
+    )
+    return (
+        per_batch.join(statuses, "batch_id")
+        .groupBy(F.col("shard").alias("source"), "status")
+        .agg(
+            F.count("*").cast("long").alias("n_batches"),
+            F.sum("n_rows_b").cast("long").alias("n_rows"),
+        )
+    )

@@ -25,7 +25,7 @@ import os
 from collections.abc import Callable
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -80,6 +80,64 @@ def translate_requests(
         F.lit(200).alias("status_code"),
         call,
         F.lit(None).cast("string").alias("error"),
+    )
+
+
+# --- fault injection (X-7 status taxonomy) --------------------------------
+# The reference classifies each per-file run as completed / timeout /
+# api_error, plus the ledger-level download_failed
+# (batch_auto_translate.py:146-186; BATCH_TRACKING_GUIDE.md:169-182).
+# The engine injects those outcomes deterministically per batch via a
+# portable md5 bucket so the whole taxonomy is exercised — and
+# oracle-checkable — without a network.
+
+FAULT_STATUSES = ("timeout", "api_error", "download_failed")
+FAULT_MOD = 5  # buckets 0..2 are the three failure classes, 3..4 complete
+
+
+def fault_bucket(custom_id: Column | str, mod: int = FAULT_MOD) -> Column:
+    """Deterministic per-batch fault bucket. Engine-portable: DuckDB twin
+    is (CAST('0x' || substr(md5('fault|' || id), 1, 8) AS BIGINT) % mod)."""
+    col = F.col(custom_id) if isinstance(custom_id, str) else custom_id
+    hashed = F.md5(F.concat(F.lit("fault|"), col))
+    return F.conv(F.substring(hashed, 1, 8), 16, 10).cast("long") % mod
+
+
+def batch_status(custom_id: Column | str, mod: int = FAULT_MOD) -> Column:
+    """Injected lifecycle outcome per batch id."""
+    b = fault_bucket(custom_id, mod)
+    return (
+        F.when(b == 0, F.lit("timeout"))
+        .when(b == 1, F.lit("api_error"))
+        .when(b == 2, F.lit("download_failed"))
+        .otherwise(F.lit("completed"))
+    )
+
+
+def translate_requests_with_faults(
+    requests: DataFrame,
+    translator_udf: Callable | None = None,
+    mod: int = FAULT_MOD,
+) -> DataFrame:
+    """X-5 + X-7: the translate map with the reference's failure taxonomy
+    injected per batch. Failed batches mirror the reference's observable
+    shape: ``timeout`` and ``api_error`` produce no content (the
+    subprocess died / the API errored); ``download_failed`` completed
+    remotely but its output never arrived, so content is also null and
+    only the ledger status distinguishes it. Content is computed only
+    for completed batches (the when() guards the UDF call)."""
+    status = batch_status(F.col("custom_id"), mod)
+    udf = translator_udf or mock_translate_udf
+    call = udf(F.to_json(F.col("payload")), F.col("custom_id"))
+    return requests.select(
+        "custom_id",
+        status.alias("status"),
+        F.when(status == "completed", F.lit(200))
+        .when(status == "api_error", F.lit(500))
+        .cast("int")
+        .alias("status_code"),
+        F.when(status == "completed", call).alias("content"),
+        F.when(status != "completed", status).cast("string").alias("error"),
     )
 
 

@@ -46,6 +46,59 @@ def test_folder_pipeline_lineage(spark, tmp_path):
     assert cross.count() == 0
 
 
+def test_folder_pipeline_fault_taxonomy(spark, tmp_path):
+    """X-7: drive the folder plan through injected timeout / api_error /
+    download_failed paths (reference batch_auto_translate.py:146-186).
+    Rows of faulted batches must ALL surface as failed (the reference's
+    failed-subprocess file → sentinel rows); completed batches must
+    translate normally."""
+    from automotive_translation_pipeline_spark.translate import (
+        batch_status,
+        translate_requests_with_faults,
+    )
+
+    d = tmp_path / "csvs"
+    d.mkdir()
+    # ~263 cost/row × 50 rows ≈ 4 batches per file, so batch ids
+    # input_{0,1,2}-{0..3} exist — their md5 fault buckets cover all
+    # four statuses deterministically.
+    for f in range(3):
+        lines = ["description_id,english_sentence"]
+        for i in range(50):
+            text = f"sentence {i} file {f} " + "diagnostic " * 30
+            lines.append(f"F{f}R{i:03d},{text.strip()}")
+        (d / f"input_{f}.csv").write_text("\n".join(lines) + "\n")
+
+    rows = folder_pipeline(
+        spark, str(d), translate_fn=translate_requests_with_faults
+    ).persist()
+    expected = {
+        r["batch_id"]: r["status"]
+        for r in rows.select("batch_id")
+        .distinct()
+        .withColumn("status", batch_status(F.col("batch_id")))
+        .collect()
+    }
+    assert set(expected.values()) == {
+        "completed", "timeout", "api_error", "download_failed"
+    }
+    per_batch = {
+        r["batch_id"]: (r["n_failed"], r["n"])
+        for r in rows.groupBy("batch_id")
+        .agg(
+            F.sum(F.when(F.col("is_failed"), 1).otherwise(0)).alias("n_failed"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    for bid, (n_failed, n) in per_batch.items():
+        if expected[bid] == "completed":
+            assert n_failed < n, f"{bid} completed but all rows failed"
+        else:
+            assert n_failed == n, f"{bid} {expected[bid]} leaked translations"
+    rows.unpersist()
+
+
 def test_folder_summary(spark, tmp_path):
     d = _write_csvs(tmp_path, n_files=2, rows_per_file=15)
     s = {r["source_stem"]: r for r in folder_summary(spark, d).collect()}

@@ -294,3 +294,33 @@ def test_global_index_parallel_plan_and_parity(spark, sf_dir):
     )
     got = {r.doc_id: r.global_index for r in out.collect()}
     assert got == {r.doc_id: r.rn for r in expected.collect()}
+
+
+def test_ledger_point_lookup_filters_below_window(spark, tmp_path):
+    """R-9 at scale: Ledger.get() must prune the event log by job_id
+    BEFORE the latest-wins window — the key predicate has to reach the
+    parquet scan as a PushedFilter instead of windowing the whole
+    ledger and filtering one key afterwards."""
+    from pyspark.sql import functions as F
+
+    from automotive_translation_pipeline_spark.ledger import (
+        Ledger,
+        latest_wins_view,
+    )
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    led = Ledger(spark, str(tmp_path / "plan_ledger"))
+    led.append(
+        [
+            {"batch_id": "a", "job_id": f"batch_{i}", "status": "submitted",
+             "timestamp": i}
+            for i in range(20)
+        ]
+    )
+    lookup = latest_wins_view(
+        led.events().filter(F.col("job_id") == "batch_7")
+    ).limit(1)
+    plan = lookup._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "EqualTo(job_id,batch_7)" in scan
+    assert led.get("batch_7")["timestamp"] == 7

@@ -166,6 +166,51 @@ def test_poller_drains_pending(spark, tmp_path):
     assert led.events().count() == 8
 
 
+def test_poller_fault_taxonomy(spark, tmp_path):
+    """X-3 + X-7: the poll loop under the reference's failure statuses
+    (BATCH_TRACKING_GUIDE.md:169-182) — jobs diverge to completed /
+    failed / download_failed terminal states; the loop drains them all
+    and the ledger's latest-wins view records the taxonomy."""
+    from automotive_translation_pipeline_spark.ledger import Ledger
+    from automotive_translation_pipeline_spark.streaming.poller import (
+        poll_until_drained,
+    )
+
+    led = Ledger(spark, str(tmp_path / "fault_ledger"))
+    led.append(
+        [
+            {"batch_id": b, "job_id": j, "status": "submitted", "timestamp": 1}
+            for b, j in (("a", "job_ok"), ("b", "job_err"), ("c", "job_dl"))
+        ]
+    )
+    paths = {
+        "job_ok": ["in_progress", "finalizing", "completed"],
+        "job_err": ["in_progress", "failed"],
+        "job_dl": ["in_progress", "finalizing", "download_failed"],
+    }
+    calls: dict = {}
+
+    def status_fn(job_id: str) -> str:
+        n = calls.get(job_id, 0) + 1
+        calls[job_id] = n
+        seq = paths[job_id]
+        return seq[min(n - 1, len(seq) - 1)]
+
+    polls = poll_until_drained(spark, led, status_fn, interval_secs=0)
+    assert polls == 3  # longest path drains in three ticks
+    cur = {r["job_id"]: r["status"] for r in led.current().collect()}
+    assert cur == {
+        "job_ok": "completed",
+        "job_err": "failed",
+        "job_dl": "download_failed",
+    }
+    # failed/download_failed are terminal: no further polls happen for
+    # them after they land (job_err got exactly 2 status calls).
+    assert calls == {"job_ok": 3, "job_err": 2, "job_dl": 3}
+    counts = {r["status"]: r["n"] for r in led.status_counts().collect()}
+    assert counts == {"completed": 1, "failed": 1, "download_failed": 1}
+
+
 def test_streaming_flagship_end_to_end(spark, tmp_path):
     """The full flagship as a stream: CSVs land → micro-batch runs
     pack→translate→parse→rejoin→flags → results appended + ledger
