@@ -35,19 +35,42 @@ def bpe_token_count(c: Column) -> Column:
     )
 
 
+def py_bpe_token_count(text: str | None) -> int | None:
+    """Python twin of ``bpe_token_count``'s word-piece arithmetic —
+    trim, split on whitespace, sum max(1, ceil(len/4)) per word; None
+    propagates like the native expression (null in → null out). Used by
+    the UDF fallback below and pinned to the native column by a parity
+    test."""
+    import math
+    import re
+
+    if text is None:
+        return None
+    words = re.split(r"\s+", text.strip())
+    return sum(max(1, math.ceil(len(w) / 4)) for w in words)
+
+
 def accurate_token_count(c: Column, encoding: str = "cl100k_base") -> Column:
     """F-2 exact path: true tiktoken counts when the library is
     installed (the reference's count_tokens, auto_translate.py:259-260),
     else the deterministic ``bpe_token_count`` heuristic.
 
-    The tiktoken branch is an Arrow-batched pandas UDF — the encoder is
-    CPU-bound Python, so this is deliberately OFF the oracle-checked
-    query path (oracles pin the engine-portable heuristic); packing
-    still works on either, since batch assignment only needs a
-    consistent cost measure. The fallback keeps the function total in
-    this container, where tiktoken is absent."""
+    Environment ladder (all branches agree that NULL in → NULL out,
+    matching ``bpe_token_count``):
+
+    * no tiktoken on the driver → the native heuristic column (pure
+      codegen, no Python anywhere — this container's path);
+    * tiktoken on the driver → an Arrow-batched pandas UDF that
+      re-probes the import INSIDE the UDF, so an executor missing the
+      library degrades to the same heuristic per batch instead of
+      failing the task. On such a mixed cluster counts are
+      exact-or-heuristic per executor — still a valid packing cost,
+      but install tiktoken cluster-wide when exactness matters.
+
+    The pandas-UDF branch is deliberately OFF the oracle-checked query
+    path (oracles pin the engine-portable heuristic)."""
     try:
-        import tiktoken
+        import tiktoken  # noqa: F401  (driver-side probe only)
     except ImportError:
         return bpe_token_count(c).cast("bigint")
 
@@ -56,8 +79,19 @@ def accurate_token_count(c: Column, encoding: str = "cl100k_base") -> Column:
 
     @pandas_udf("bigint")
     def _count(s: pd.Series) -> pd.Series:
-        enc = tiktoken.get_encoding(encoding)
-        return s.fillna("").map(lambda t: len(enc.encode(t)))
+        try:
+            import tiktoken as tk
+
+            enc = tk.get_encoding(encoding)
+
+            def count(t: str) -> int:
+                return len(enc.encode(t))
+
+        except ImportError:  # executor without the library
+            count = py_bpe_token_count
+        return pd.Series(
+            [count(t) if t is not None else None for t in s], dtype="Int64"
+        )
 
     return _count(c)
 

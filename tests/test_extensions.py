@@ -300,23 +300,29 @@ def test_incremental_agg_merge_equals_full_recompute(spark):
     assert [r.asDict() for r in got] == [r.asDict() for r in want]
 
 
-def test_multimodal_feature_stats_deterministic(spark):
-    """The stubbed decode path is replayable: two independent runs of
-    the synth→extract→aggregate chain produce identical rows."""
+def test_multimodal_feature_stats_deterministic(spark, sf_dir):
+    """The synth→parse→aggregate chain is replayable: two independent
+    runs produce identical rows, one per container format, and the
+    parsed dimension sums are non-trivial (headers really decoded)."""
     from automotive_translation_pipeline_spark.queries_catalog import (
         multimodal_feature_stats,
     )
 
     a = sorted(
-        (r.asDict() for r in multimodal_feature_stats(spark, "").collect()),
-        key=lambda r: r["media_type"],
+        (r.asDict() for r in multimodal_feature_stats(spark, sf_dir).collect()),
+        key=lambda r: r["format"],
     )
     b = sorted(
-        (r.asDict() for r in multimodal_feature_stats(spark, "").collect()),
-        key=lambda r: r["media_type"],
+        (r.asDict() for r in multimodal_feature_stats(spark, sf_dir).collect()),
+        key=lambda r: r["format"],
     )
-    assert a == b and len(a) == 3
-    assert all(r["feature_dim"] == 8 for r in a)
+    assert a == b
+    assert {r["format"] for r in a} == {"png", "jpeg", "gif", "bmp", "wav"}
+    for r in a:
+        if r["format"] == "wav":
+            assert r["sum_duration_ms"] > 0 and r["sum_width"] == 0
+        else:
+            assert r["sum_width"] > 0 and r["sum_height"] > 0
 
 
 def test_edit_distance_pairs_banding_finds_cross_bucket_dups(spark):

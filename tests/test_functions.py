@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from automotive_translation_pipeline_spark.functions.cleaning import (
     clean_md_aggressive,
@@ -103,32 +104,74 @@ def test_word_shingles(spark):
     assert _one(spark, lambda c: word_shingles(c, 3), "a b") == []
 
 
+def _have_tiktoken() -> bool:
+    try:
+        import tiktoken  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_TOKEN_SAMPLES = [
+    ("the quick brown fox",),
+    ("internationalization",),
+    ("  padded   whitespace  ",),
+    ("",),
+    ("   ",),
+    ("కూలెంట్ స్థాయి తనిఖీ",),
+    (None,),
+]
+
+
 def test_accurate_token_count_fallback_contract(spark):
-    """accurate_token_count must be total in every environment: exact
-    tiktoken counts when the library exists, byte-identical to the
-    bpe_token_count heuristic when it does not."""
+    """Without tiktoken (this container), accurate_token_count must be
+    byte-identical to the bpe_token_count heuristic — including NULL in
+    → NULL out, which both branches now share."""
     from automotive_translation_pipeline_spark.functions.text import (
         accurate_token_count,
     )
 
-    df = spark.createDataFrame(
-        [("the quick brown fox",), ("internationalization",), ("",), (None,)],
-        "v string",
-    )
+    df = spark.createDataFrame(_TOKEN_SAMPLES, "v string")
     rows = df.select(
+        F.col("v"),
         accurate_token_count(F.col("v")).alias("n"),
         bpe_token_count(F.col("v")).cast("bigint").alias("h"),
     ).collect()
-    try:
-        import tiktoken  # noqa: F401
-
-        have_tiktoken = True
-    except ImportError:
-        have_tiktoken = False
-    if have_tiktoken:
-        assert all(r["n"] is not None and r["n"] >= 0 for r in rows)
-        nonempty = [r for r in rows if r["h"] and r["h"] > 0]
-        # real encoder stays within 4x of the heuristic on plain text
-        assert all(r["n"] <= 4 * r["h"] + 4 for r in nonempty)
-    else:
+    nulls = [r for r in rows if r["v"] is None]
+    assert nulls and all(r["n"] is None for r in nulls)  # NULL propagates
+    if not _have_tiktoken():
         assert all(r["n"] == r["h"] for r in rows)
+
+
+@pytest.mark.skipif(not _have_tiktoken(), reason="tiktoken not installed")
+def test_accurate_token_count_tiktoken_parity(spark):
+    """Where tiktoken IS installed, the pandas-UDF branch must return
+    the true encoder counts (and still propagate NULL)."""
+    import tiktoken
+
+    from automotive_translation_pipeline_spark.functions.text import (
+        accurate_token_count,
+    )
+
+    enc = tiktoken.get_encoding("cl100k_base")
+    df = spark.createDataFrame(_TOKEN_SAMPLES, "v string")
+    rows = df.select("v", accurate_token_count(F.col("v")).alias("n")).collect()
+    for r in rows:
+        expect = None if r["v"] is None else len(enc.encode(r["v"]))
+        assert r["n"] == expect, r["v"]
+
+
+def test_py_bpe_twin_matches_native(spark):
+    """The pure-Python heuristic twin (the executor-side fallback inside
+    the UDF) must track the native bpe_token_count expression exactly on
+    every sample, so a cluster that loses tiktoken mid-fleet degrades to
+    consistent counts."""
+    from automotive_translation_pipeline_spark.functions.text import (
+        py_bpe_token_count,
+    )
+
+    df = spark.createDataFrame(_TOKEN_SAMPLES, "v string")
+    rows = df.select("v", bpe_token_count(F.col("v")).alias("h")).collect()
+    for r in rows:
+        assert py_bpe_token_count(r["v"]) == r["h"], repr(r["v"])

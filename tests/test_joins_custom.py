@@ -8,6 +8,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pyspark.sql.functions as F
+import pytest
 
 from automotive_translation_pipeline_spark.operators.joins import (
     asof_join,
@@ -98,16 +99,18 @@ def test_range_join_binned_matches_naive(spark):
     assert got == naive and got  # non-empty and identical
 
 
-def test_range_join_binned_timestamp_ntz(spark):
+def test_range_join_binned_timestamp_ntz(spark, sf_dir):
     """Regression: the real ``events`` scan yields TIMESTAMP_NTZ, and
     Spark 4 rejects ``unix_micros`` on NTZ — the operator must bin
-    NTZ-safely. Built from the actual testdata scan, then checked
-    against the naive inequality join."""
+    NTZ-safely. Built from the actual testdata scan (shared sf_dir
+    fixture, like the neighboring plan tests), then checked against the
+    naive inequality join."""
     import os
 
-    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
     from automotive_translation_pipeline_spark.sources.readers import load_testdata
 
+    if not os.path.exists(os.path.join(sf_dir, "events.parquet")):
+        pytest.skip(f"testdata not found at {sf_dir}")
     ev = load_testdata(spark, sf_dir)["events"]
     assert dict(ev.dtypes)["ts"] in ("timestamp_ntz", "timestamp")
     clicks = ev.filter(F.col("event_type") == "click").select(
