@@ -415,3 +415,51 @@ def edit_distance_pairs(
         )
         .filter(F.col("edit_dist") <= max_dist)
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_overlap: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share at
+    least ``min_overlap`` distinct k-word shingles with ANY eval
+    document — the n-gram overlap check LLM training corpora run against
+    held-out benchmarks before training.
+
+    Scale shape: the eval side (benchmark suites — thousands of docs,
+    not billions) collapses to a DISTINCT shingle set and broadcasts, so
+    the train side is scan → explode → broadcast-hash semi join →
+    partial-agg count per doc: the 100 TB corpus never shuffles on
+    shingles. For an eval set too big to broadcast, pass
+    ``broadcast_eval=False`` and the identical plan runs as a shuffle
+    join.
+
+    Returns (id_col, n_shared_shingles) for contaminated train docs.
+    """
+    ev = (
+        eval_df.select(
+            F.explode(
+                F.array_distinct(word_shingles(F.col(text_col), k))
+            ).alias("__s")
+        )
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = train.select(
+        id_col,
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias(
+            "__s"
+        ),
+    )
+    hits = (
+        tr.join(ev, "__s")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_shared_shingles"))
+    )
+    return hits.filter(F.col("n_shared_shingles") >= min_overlap)

@@ -4417,7 +4417,9 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
                    WHEN 2 THEN 'download_failed'
                    ELSE 'completed' END AS status,
            CAST(count(*) AS BIGINT) AS n_batches,
-           CAST(sum(n_rows_b) AS BIGINT) AS n_rows
+           CAST(sum(n_rows_b) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN fb >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_content
     FROM per_batch GROUP BY 1, 2
     """,
 )
@@ -4446,10 +4448,14 @@ def folder_status_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang").alias("shard"),
         )
     )
+    # persist() is load-bearing (same staging pattern as pipeline_rows):
+    # `assigned` feeds BOTH the request build and the per-batch row
+    # counts; without it Catalyst duplicates the scan + pack window into
+    # each join branch — the kind of silent 2x that matters at 100 TB.
     assigned = assign_batches_cumsum(
         with_cost(docs, "sentence"), order_col="doc_id", limit=4000,
         shard_col="shard",
-    )
+    ).persist()
     requests = materialize_requests(
         assigned, id_col="doc_id", text_col="sentence"
     )
@@ -4457,8 +4463,13 @@ def folder_status_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_batch = assigned.groupBy("shard", "batch_id").agg(
         F.count("*").alias("n_rows_b")
     )
+    # content presence rides along so the translate UDF is genuinely in
+    # the executed plan (status alone would let Catalyst prune the call);
+    # it also asserts end-to-end that faulted batches emit NO content.
     statuses = responses.select(
-        F.col("custom_id").alias("batch_id"), "status"
+        F.col("custom_id").alias("batch_id"),
+        "status",
+        F.col("content").isNotNull().cast("int").alias("has_content"),
     )
     return (
         per_batch.join(statuses, "batch_id")
@@ -4466,5 +4477,51 @@ def folder_status_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_batches"),
             F.sum("n_rows_b").cast("long").alias("n_rows"),
+            F.sum("has_content").cast("long").alias("n_with_content"),
         )
+    )
+
+
+@register(
+    "decontaminate_train_eval",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_DUCK_NORM.format(c="text")} AS nt FROM documents
+    ), w AS (
+        SELECT doc_id, string_split(nt, ' ') AS words FROM d
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(words) - 1), i ->
+                   array_to_string(list_slice(words, i, i + 2), ' ')))
+                   AS shingles
+        FROM w WHERE len(words) >= 3
+    ), ev AS (
+        SELECT DISTINCT unnest(shingles) AS s FROM sh
+        WHERE {_DUCK_BUCKET.format(k="doc_id")} < 1000
+    ), tr AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+        WHERE {_DUCK_BUCKET.format(k="doc_id")} >= 1000
+    )
+    SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+    FROM tr JOIN ev ON tr.s = ev.s
+    GROUP BY tr.doc_id
+    HAVING count(*) >= 3
+    """,
+)
+def decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the leak-proof split: training
+    docs sharing >= 3 distinct 3-word shingles with any eval doc
+    (operators/dedup.py:decontaminate — eval shingle set broadcast, so
+    the train corpus never shuffles on shingles). The same md5-keyed
+    split as sample_train_eval_split defines the two sides, so the
+    operator composes with the curation pipeline."""
+    from .operators.dedup import decontaminate
+    from .operators.sampling import split_of
+
+    t = load_testdata(spark, sf_dir)
+    docs = t["documents"].withColumn("split", split_of(F.col("doc_id")))
+    return decontaminate(
+        docs.filter(F.col("split") == "train"),
+        docs.filter(F.col("split") == "eval"),
+        min_overlap=3,
     )

@@ -345,3 +345,35 @@ def test_edit_distance_pairs_banding_finds_cross_bucket_dups(spark):
     got = edit_distance_pairs(docs, len_band=10, max_dist=10).collect()
     assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
     assert got[0]["edit_dist"] <= 10
+
+
+def test_decontaminate_semantics(spark):
+    """Hand-built contamination: a train doc embedding an eval 3-gram is
+    flagged with the right overlap count; clean docs are not."""
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # shares 'the quick brown', 'quick brown fox', 'brown fox jumps'
+            (1, "watch the quick brown fox jumps away now"),
+            (2, "completely unrelated automotive diagnostic text here"),
+            (3, "the quick brown something else entirely different"),  # 1 shingle
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_shared_shingles"]
+        for r in decontaminate(train, eval_df).collect()
+    }
+    assert got == {1: 3, 3: 1}
+    strict = {
+        r["doc_id"]: r["n_shared_shingles"]
+        for r in decontaminate(train, eval_df, min_overlap=2).collect()
+    }
+    assert strict == {1: 3}

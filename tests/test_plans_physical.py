@@ -324,3 +324,17 @@ def test_ledger_point_lookup_filters_below_window(spark, tmp_path):
     scan = [l for l in plan.splitlines() if "FileScan" in l][0]
     assert "EqualTo(job_id,batch_7)" in scan
     assert led.get("batch_7")["timestamp"] == 7
+
+
+def test_decontaminate_broadcasts_eval_never_shuffles_train(spark, sf_dir):
+    """The 100 TB contract: the eval shingle set broadcasts; the train
+    side's exploded shingles must reach the join without an Exchange
+    (scan -> explode -> broadcast hash join), and the per-doc count
+    aggregates map-side first."""
+    plan = _physical(spark, "decontaminate_train_eval", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    join_pos = plan.index("BroadcastHashJoin")
+    train_branch = plan[join_pos:].split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in train_branch
+    assert "partial_count" in plan
