@@ -463,3 +463,38 @@ def decontaminate(
         .agg(F.count("*").cast("long").alias("n_shared_shingles"))
     )
     return hits.filter(F.col("n_shared_shingles") >= min_overlap)
+
+
+def canonical_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    prefer_col: str = "n_chars",
+) -> DataFrame:
+    """Survivorship after near-dup clustering: collapse candidate pairs
+    to connected components, label every document (docs in no pair form
+    their own singleton component), and elect ONE canonical winner per
+    component by (``prefer_col`` DESC, id ASC) — the keep-the-most-
+    complete-duplicate policy of corpus curation.
+
+    Scale shape: the component map covers only docs that appear in a
+    pair (tiny next to the corpus); the corpus joins it once on id and
+    the winner election windows per component — components are small by
+    construction, so the window never sees a skewed partition.
+
+    Returns (id_col, component, is_canonical) for every document.
+    """
+    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    labeled = (
+        docs.select(id_col, prefer_col)
+        .join(comp, id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(prefer_col).desc(), F.col(id_col)
+    )
+    return labeled.select(
+        id_col,
+        "component",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )

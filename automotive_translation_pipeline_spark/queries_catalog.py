@@ -4525,3 +4525,60 @@ def decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("split") == "eval"),
         min_overlap=3,
     )
+
+
+@register(
+    "dedup_canonical_survivors",
+    _DUCK_SHINGLE_CTE.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+    + """
+    , sig AS (
+        SELECT doc_id,
+               list_transform(range(0, 16), i ->
+                   list_min(list_transform(shingles, s -> md5(i || ':' || s)))
+               ) AS sig
+        FROM sh
+    ), banded AS (
+        SELECT doc_id, b.band,
+               array_to_string(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4),
+                               '|') AS bucket
+        FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(node, label) AS (
+        SELECT DISTINCT u, u FROM edges
+        UNION
+        SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+    ), comp AS (
+        SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+    ), labeled AS (
+        SELECT doc.doc_id, coalesce(comp.component, doc.doc_id) AS component,
+               doc.n_chars
+        FROM documents doc LEFT JOIN comp ON doc.doc_id = comp.doc_id
+    )
+    SELECT doc_id, component,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, doc_id) = 1
+               AS is_canonical
+    FROM labeled
+    """,
+)
+def dedup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship end-to-end: MinHash/LSH candidate pairs →
+    connected components → one canonical doc per cluster elected by
+    (n_chars DESC, doc_id) — keep-the-most-complete-duplicate
+    (operators/dedup.py:canonical_survivors). The oracle replays pair
+    generation, closes clusters with a recursive transitive-closure CTE,
+    and re-runs the same election window."""
+    from .operators.dedup import canonical_survivors, minhash_lsh_candidates
+
+    t = load_testdata(spark, sf_dir)
+    docs = t["documents"]
+    pairs = minhash_lsh_candidates(
+        docs, text_col="text", id_col="doc_id", num_hashes=16, bands=4, k=3
+    ).persist()
+    return canonical_survivors(docs, pairs)

@@ -377,3 +377,24 @@ def test_decontaminate_semantics(spark):
         for r in decontaminate(train, eval_df, min_overlap=2).collect()
     }
     assert strict == {1: 3}
+
+
+def test_canonical_survivors_election(spark):
+    """Cluster {1,2,3} (chained pairs) elects the longest member; the
+    singleton 9 is its own canonical component."""
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        canonical_survivors,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (9, 5)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in canonical_survivors(docs, pairs).collect()
+    }
+    # ties on n_chars=30 break toward the smaller id (2 beats 3)
+    assert got == {
+        1: (1, False), 2: (1, True), 3: (1, False), 9: (9, True)
+    }
