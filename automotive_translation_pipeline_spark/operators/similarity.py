@@ -631,3 +631,84 @@ def cosine_topk_arrow(
         .filter(F.col("__rk") <= k)
         .select(query_id_col, id_col, "cosine")
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fetch_k: int = 50,
+    lambda_: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Diversified top-k via Maximal Marginal Relevance (Carbonell &
+    Goldstein '98): fetch ``fetch_k`` exact candidates per query, then
+    greedily select ``k`` maximizing
+
+        lambda * cos(q, d)  -  (1 - lambda) * max cos(d, already_selected)
+
+    — the standard rerank for retrieval-augmented training data, where
+    the raw top-k is often near-duplicate snippets of one source.
+
+    Scale shape: candidate generation is the two-level bruteforce (the
+    corpus never shuffles); the greedy loop — inherently sequential in
+    k — runs per query over its own <= fetch_k candidate rows inside
+    ``applyInPandas``, so its state is bounded by fetch_k x dim per
+    group regardless of corpus size. Deterministic: score ties break on
+    the smaller id.
+
+    Returns (query_id, vec_id, cosine, mmr_rank).
+    """
+    import numpy as np
+
+    cands = cosine_topk_bruteforce(
+        corpus, queries, k=fetch_k, id_col=id_col,
+        vec_col=vec_col, query_id_col=query_id_col,
+    )
+    with_vecs = cands.join(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__vec")), id_col
+    )
+
+    out_schema = (
+        f"{query_id_col} long, {id_col} long, cosine double, mmr_rank int"
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ "cosine", id_col], ascending=[False, True])
+        ids = pdf[id_col].to_numpy()
+        rel = pdf["cosine"].to_numpy(dtype=float)
+        V = np.stack(pdf["__vec"].map(np.asarray, na_action=None).to_list()).astype(
+            float
+        )
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        V = V / norms[:, None]
+        n = len(pdf)
+        chosen: list[int] = []
+        max_sim = np.zeros(n)
+        picked = np.zeros(n, dtype=bool)
+        for _ in range(min(k, n)):
+            score = np.where(
+                picked,
+                -np.inf,
+                (lambda_ * rel - (1.0 - lambda_) * max_sim)
+                if chosen
+                else rel,
+            )
+            best = np.lexsort((ids, -score))[0]
+            chosen.append(best)
+            picked[best] = True
+            max_sim = np.maximum(max_sim, V @ V[best])
+        sel = pdf.iloc[chosen]
+        return pd.DataFrame(
+            {
+                query_id_col: sel[query_id_col].to_numpy(),
+                id_col: sel[id_col].to_numpy(),
+                "cosine": sel["cosine"].to_numpy(),
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype="int32"),
+            }
+        )
+
+    return with_vecs.groupBy(query_id_col).applyInPandas(pick, out_schema)

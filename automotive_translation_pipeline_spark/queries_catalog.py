@@ -4582,3 +4582,21 @@ def dedup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, text_col="text", id_col="doc_id", num_hashes=16, bands=4, k=3
     ).persist()
     return canonical_survivors(docs, pairs)
+
+
+@register("ann_mmr_diversified", None)
+def ann_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k over the embeddings table (rows-only: the
+    greedy selection is inherently iterative, not SQL-expressible;
+    semantics — relevance/diversity trade, determinism, exact-cosine
+    candidates — are pytest-asserted in test_extensions.py)."""
+    from .operators.similarity import mmr_rerank
+
+    t = load_testdata(spark, sf_dir)
+    emb = t["embeddings"]
+    out = mmr_rerank(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, fetch_k=40, lambda_=0.7
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine_r"), "mmr_rank"
+    )

@@ -398,3 +398,70 @@ def test_canonical_survivors_election(spark):
     assert got == {
         1: (1, False), 2: (1, True), 3: (1, False), 9: (9, True)
     }
+
+
+def test_mmr_rerank_diversifies_and_stays_deterministic(spark):
+    """A query whose raw top-2 are near-identical vectors: with high
+    lambda MMR keeps them; with low lambda the second pick must be the
+    diverse vector instead. Rank 1 is always the raw nearest."""
+    import math
+
+    from automotive_translation_pipeline_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    corpus = spark.createDataFrame(
+        [
+            (10, unit(0.00)),           # nearest to the query
+            (11, unit(0.01)),           # near-duplicate of 10
+            (12, unit(1.2)),            # diverse, still positive cosine
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(99, unit(0.005))], "vec_id long, embedding array<double>"
+    )
+    greedy = [
+        r["vec_id"]
+        for r in mmr_rerank(corpus, queries, k=2, fetch_k=3, lambda_=0.95)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    diverse = [
+        r["vec_id"]
+        for r in mmr_rerank(corpus, queries, k=2, fetch_k=3, lambda_=0.2)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert greedy[0] == 10 and diverse[0] == 10
+    assert greedy[1] == 11      # relevance-dominant keeps the near-dup
+    assert diverse[1] == 12     # diversity-dominant swaps in the outlier
+    again = [
+        r["vec_id"]
+        for r in mmr_rerank(corpus, queries, k=2, fetch_k=3, lambda_=0.2)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert again == diverse
+
+
+def test_mmr_candidates_are_exact_cosines(spark, sf_dir):
+    from automotive_translation_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        mmr_rerank,
+    )
+
+    t = load_testdata(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["vec_id"]): round(r["cosine"], 6)
+        for r in cosine_topk_bruteforce(emb, queries, k=40).collect()
+    }
+    out = mmr_rerank(emb, queries, k=10, fetch_k=40, lambda_=0.6).collect()
+    assert out
+    for r in out:
+        assert abs(round(r["cosine"], 6) - exact[(r["query_id"], r["vec_id"])]) < 1e-9
