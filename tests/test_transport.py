@@ -1,0 +1,106 @@
+"""X-1..X-4 lifecycle tests: the real orchestration spine (serialize →
+upload → submit → poll → download → ingest) against the file-backed
+transport, including failure and download-failure terminal paths."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from automotive_translation_pipeline_spark.ledger import Ledger
+from automotive_translation_pipeline_spark.operators.packing import (
+    assign_batches_cumsum,
+    materialize_requests,
+    with_cost,
+)
+from automotive_translation_pipeline_spark.transport import (
+    LocalBatchTransport,
+    run_batch_lifecycle,
+)
+
+
+def _requests(spark):
+    rows = [
+        (f"D{i:03d}", f"check sensor {i} of the engine block now") for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        rows, "description_id string, english_sentence string"
+    )
+    assigned = assign_batches_cumsum(
+        with_cost(docs, "english_sentence"), order_col="description_id", limit=300
+    )
+    return materialize_requests(assigned)
+
+
+def test_lifecycle_end_to_end(spark, tmp_path):
+    reqs = _requests(spark)
+    n_batches = reqs.count()
+    transport = LocalBatchTransport(str(tmp_path / "svc"), polls_to_complete=3)
+    ledger = Ledger(spark, str(tmp_path / "ledger"))
+    responses = run_batch_lifecycle(
+        spark, reqs, transport, ledger, str(tmp_path / "work")
+    )
+    assert responses is not None
+    got = responses.collect()
+    assert len(got) == n_batches
+    assert all(r["status_code"] == 200 and r["content"] for r in got)
+    assert {r["custom_id"] for r in got} == {
+        r["custom_id"] for r in reqs.collect()
+    }
+    # Ledger audit trail walks the reference progression; the
+    # latest-wins view lands on the terminal state (event timestamps
+    # share a second here, so assert membership not strict order).
+    row = ledger.current().first()
+    assert row["job_id"].startswith("batch_") and row["status"] == "completed"
+    events = {r["status"] for r in ledger.events().collect()}
+    assert {"submitted", "in_progress", "completed"} <= events
+
+    # The mock service round-trips the payload: parse one clean-JSON
+    # batch and check the translation is the reversed sentence.
+    from automotive_translation_pipeline_spark.functions.parsing import (
+        parse_translations,
+    )
+
+    parsed = responses.select(
+        F.explode(parse_translations(F.col("content"))).alias("id", "tr")
+    ).collect()
+    by_id = {r["id"]: r["tr"] for r in parsed}
+    assert by_id  # at least the clean/fenced formats parse
+    for i in range(30):
+        key = f"D{i:03d}"
+        if key in by_id:
+            assert by_id[key] == f"check sensor {i} of the engine block now"[::-1]
+
+
+def test_lifecycle_failed_job_records_terminal_status(spark, tmp_path):
+    reqs = _requests(spark)
+    # Deterministic ids: a dry run learns the job id, then a fresh
+    # transport marks it failing — same bytes, same id.
+    probe = LocalBatchTransport(str(tmp_path / "probe"))
+    led0 = Ledger(spark, str(tmp_path / "l0"))
+    run_batch_lifecycle(spark, reqs, probe, led0, str(tmp_path / "w0"))
+    job_id = led0.current().first()["job_id"]
+
+    transport = LocalBatchTransport(
+        str(tmp_path / "svc2"), failing_jobs={job_id}
+    )
+    ledger = Ledger(spark, str(tmp_path / "l1"))
+    out = run_batch_lifecycle(
+        spark, reqs, transport, ledger, str(tmp_path / "w1")
+    )
+    assert out is None
+    assert ledger.get(job_id)["status"] == "failed"
+
+
+def test_lifecycle_download_failure_is_terminal(spark, tmp_path):
+    class BrokenDownload(LocalBatchTransport):
+        def download(self, file_id, dest):
+            raise OSError("simulated network loss")
+
+    reqs = _requests(spark)
+    transport = BrokenDownload(str(tmp_path / "svc3"))
+    ledger = Ledger(spark, str(tmp_path / "l2"))
+    out = run_batch_lifecycle(
+        spark, reqs, transport, ledger, str(tmp_path / "w2")
+    )
+    assert out is None
+    assert ledger.current().first()["status"] == "download_failed"
