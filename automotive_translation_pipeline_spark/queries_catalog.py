@@ -4600,3 +4600,32 @@ def ann_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", F.round("cosine", 4).alias("cosine_r"), "mmr_rank"
     )
+
+
+@register("profile_approx_quantiles", None)
+def profile_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped approximate quantiles via Spark's native
+    percentile_approx (Greenwald-Khanna sketch) — the mergeable,
+    single-pass companion to the exact `profile_quantiles` oracle entry
+    (rows-only: sketch results are engine-specific; accuracy vs the
+    exact percentiles is pytest-bounded). At 100 TB the GK sketch is
+    the only viable shape: map-side partial sketches merge in one
+    exchange, memory bounded by 1/accuracy, no global sort."""
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.95, 0.99], 10000
+            ).alias("approx_p"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("approx_p", 1), 2).alias("p50"),
+            F.round(F.element_at("approx_p", 2), 2).alias("p95"),
+            F.round(F.element_at("approx_p", 3), 2).alias("p99"),
+            "n_rows",
+        )
+    )

@@ -56,6 +56,8 @@ HEADLINE = [
     "unpivot_lineitem_measures",
     "folder_status_taxonomy",
     "multimodal_feature_stats",
+    "decontaminate_train_eval",
+    "dedup_canonical_survivors",
 ]
 
 

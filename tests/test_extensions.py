@@ -465,3 +465,33 @@ def test_mmr_candidates_are_exact_cosines(spark, sf_dir):
     assert out
     for r in out:
         assert abs(round(r["cosine"], 6) - exact[(r["query_id"], r["vec_id"])]) < 1e-9
+
+
+def test_approx_quantiles_within_sketch_tolerance(spark, sf_dir):
+    """GK-sketch quantiles must land within rank tolerance of the exact
+    per-group percentiles (accuracy=10000 -> rank error <= n/10000,
+    generously bounded here by value comparison at +-1% of the range)."""
+    from automotive_translation_pipeline_spark.queries_catalog import (
+        profile_approx_quantiles,
+    )
+
+    t = load_testdata(spark, sf_dir)
+    exact = {
+        r["l_returnflag"]: r
+        for r in t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.5, 0.95, 0.99))"
+            ).alias("p"),
+            (F.max("l_extendedprice") - F.min("l_extendedprice")).alias("span"),
+        )
+        .collect()
+    }
+    got = profile_approx_quantiles(spark, sf_dir).collect()
+    assert {r["l_returnflag"] for r in got} == set(exact)
+    for r in got:
+        e = exact[r["l_returnflag"]]
+        tol = float(e["span"]) * 0.01 + 1e-6
+        for i, q in enumerate(("p50", "p95", "p99")):
+            assert abs(r[q] - float(e["p"][i])) <= tol, (r["l_returnflag"], q)
