@@ -61,39 +61,49 @@ _CHANGED_THIS_ROUND = frozenset({
 })
 
 
-def _driver_history() -> tuple[set[str], set[str]]:
-    """(ever-sampled, green) query names across all driver rounds.
+def _driver_history() -> tuple[set[str], set[str], set[str]]:
+    """(ever-sampled, green, latest-hash-green) query names across all
+    driver rounds.
 
     A row counts as green if its value hash matched, or if it is a
     rows-only query (err == "no_oracle") that the driver has already
-    observed — re-sampling either adds no signal."""
+    observed — re-sampling either adds no signal. latest-hash-green is
+    stricter (hash_match only, newest artifact only): it is what lets a
+    _CHANGED_THIS_ROUND entry self-heal — once the driver hash-greens
+    the changed version, the entry stops outranking never-sampled
+    queries even if the frozenset goes stale."""
     import json
     from pathlib import Path
 
     seen: set[str] = set()
     green: set[str] = set()
+    latest_hash_green: set[str] = set()
     root = Path(__file__).resolve().parent.parent
-    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+    artifacts = sorted(root.glob("CORRECTNESS_r*.json"))
+    for path in artifacts:
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
         if not isinstance(rows, dict):
             continue
+        is_latest = path == artifacts[-1]
         for name, row in rows.items():
             seen.add(name)
-            if isinstance(row, dict) and (
-                row.get("hash_match") is True or row.get("err") == "no_oracle"
-            ):
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True or row.get("err") == "no_oracle":
                 green.add(name)
-    return seen, green
+            if is_latest and row.get("hash_match") is True:
+                latest_hash_green.add(name)
+    return seen, green, latest_hash_green
 
 
 def _ordered_names() -> list[str]:
-    seen, green = _driver_history()
+    seen, green, latest_hash_green = _driver_history()
 
     def rank(name: str) -> int:
-        if name in _CHANGED_THIS_ROUND:
+        if name in _CHANGED_THIS_ROUND and name not in latest_hash_green:
             return 0
         if name not in seen:
             return 1
