@@ -104,3 +104,46 @@ def test_lifecycle_download_failure_is_terminal(spark, tmp_path):
     )
     assert out is None
     assert ledger.current().first()["status"] == "download_failed"
+
+
+def test_streaming_poller_with_transport(spark, tmp_path):
+    """X-3 service mode end-to-end: the Structured Streaming poll query
+    (rate trigger -> foreachBatch ledger transitions) drains a real
+    transport job to completed."""
+    import time
+
+    from automotive_translation_pipeline_spark.streaming.poller import (
+        poll_job_statuses,
+    )
+
+    reqs = _requests(spark)
+    transport = LocalBatchTransport(str(tmp_path / "svc_s"), polls_to_complete=2)
+    ledger = Ledger(spark, str(tmp_path / "ls"))
+
+    from automotive_translation_pipeline_spark.sources.writers import (
+        write_request_jsonl,
+    )
+
+    req_path = str(tmp_path / "reqs.jsonl")
+    write_request_jsonl(reqs, req_path)
+    job = transport.create_batch(transport.upload_file(req_path))
+    ledger.append(
+        [{"batch_id": "s", "job_id": job["id"], "status": "submitted"}]
+    )
+
+    q = poll_job_statuses(
+        spark,
+        ledger,
+        lambda jid: transport.retrieve(jid)["status"],
+        interval_secs=1,
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            row = ledger.get(job["id"])
+            if row is not None and row["status"] == "completed":
+                break
+            time.sleep(1)
+        assert ledger.get(job["id"])["status"] == "completed"
+    finally:
+        q.stop()
