@@ -128,8 +128,16 @@ class Ledger:
         )
 
     def pending(self) -> DataFrame:
-        """Jobs still in flight — the poll set for the streaming side."""
-        return self.current().filter(~F.col("status").isin(*TERMINAL_STATUSES))
+        """Jobs still in flight — the poll set for the streaming side.
+
+        ``unknown_<status>`` rows are dead ends, not in-flight work: the
+        reference records them and ENDS the run
+        (``auto_translate.py:1853-1856``), so polling must not retry
+        them forever."""
+        return self.current().filter(
+            ~F.col("status").isin(*TERMINAL_STATUSES)
+            & ~F.col("status").startswith("unknown_")
+        )
 
     # -- maintenance ---------------------------------------------------
 

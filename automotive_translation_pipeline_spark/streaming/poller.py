@@ -25,6 +25,22 @@ from ..ledger import TERMINAL_STATUSES, Ledger
 
 POLL_INTERVAL_SECS = 300  # reference auto_translate.py:33
 
+# The reference's ledger state machine (BATCH_TRACKING_GUIDE.md:169-182);
+# anything else from the service is recorded as unknown_<status>
+# (auto_translate.py:1853-1856) and treated as a dead end.
+KNOWN_STATUSES = frozenset(
+    {
+        "submitted", "validating", "in_progress", "finalizing",
+        "completed", "failed", "download_failed",
+    }
+)
+
+
+def normalize_status(status: str | None) -> str | None:
+    if status is None or status in KNOWN_STATUSES:
+        return status
+    return f"unknown_{status}"
+
 
 def poll_job_statuses(
     spark: SparkSession,
@@ -51,7 +67,7 @@ def poll_job_statuses(
             return
         updates = []
         for job_id in pending:
-            new_status = status_fn(job_id)
+            new_status = normalize_status(status_fn(job_id))
             if new_status is None:
                 continue
             current = ledger.get(job_id)
@@ -92,7 +108,7 @@ def poll_until_drained(
             return n - 1
         updates = []
         for job_id in pending:
-            new_status = status_fn(job_id)
+            new_status = normalize_status(status_fn(job_id))
             current = ledger.get(job_id)
             if new_status and current is not None and current["status"] != new_status:
                 row = current.asDict()
@@ -105,4 +121,10 @@ def poll_until_drained(
     return max_polls
 
 
-__all__ = ["poll_job_statuses", "poll_until_drained", "TERMINAL_STATUSES"]
+__all__ = [
+    "poll_job_statuses",
+    "poll_until_drained",
+    "normalize_status",
+    "KNOWN_STATUSES",
+    "TERMINAL_STATUSES",
+]

@@ -582,3 +582,38 @@ def test_state_inspection_reads_live_checkpoint(spark, tmp_path):
     skew = state_skew(spark, ck).collect()
     assert sum(r["n_keys"] for r in skew) == n_keys
     assert skew[0]["n_keys"] >= skew[-1]["n_keys"]
+
+
+def test_poller_unknown_status_is_recorded_and_dead_ends(spark, tmp_path):
+    """A service status outside the state machine is ledgered as
+    unknown_<status> (reference auto_translate.py:1853-1856) and leaves
+    the poll set — the loop must drain instead of retrying forever."""
+    from automotive_translation_pipeline_spark.ledger import Ledger
+    from automotive_translation_pipeline_spark.streaming.poller import (
+        poll_until_drained,
+    )
+
+    led = Ledger(spark, str(tmp_path / "unk_ledger"))
+    led.append(
+        [
+            {"batch_id": "a", "job_id": "job_exp", "status": "submitted",
+             "timestamp": 1},
+            {"batch_id": "b", "job_id": "job_ok2", "status": "submitted",
+             "timestamp": 1},
+        ]
+    )
+    calls: dict = {}
+
+    def status_fn(job_id):
+        n = calls.get(job_id, 0) + 1
+        calls[job_id] = n
+        if job_id == "job_exp":
+            return "expired"  # OpenAI status our machine doesn't model
+        return ["in_progress", "completed"][min(n - 1, 1)]
+
+    polls = poll_until_drained(spark, led, status_fn, interval_secs=0)
+    assert polls == 2
+    cur = {r["job_id"]: r["status"] for r in led.current().collect()}
+    assert cur == {"job_exp": "unknown_expired", "job_ok2": "completed"}
+    assert calls["job_exp"] == 1  # dead end: never polled again
+    assert led.pending().count() == 0
