@@ -23,6 +23,10 @@ Layout:
     plans      end-to-end pipeline compositions (the flagship query)
     streaming  Structured Streaming equivalents of the polling lifecycle
     ledger     append-only batch-tracking ledger + latest-wins view
+    translate  LLM-as-UDF boundary (deterministic mock) + X-7 fault injection
+    transport  X-1..X-4 job lifecycle as a 4-method transport protocol,
+               with a file-backed implementation and the
+               submit→poll→download orchestration spine
 """
 
 __version__ = "0.1.0"
