@@ -91,11 +91,16 @@ def folder_pipeline(
     )
 
 
-def folder_summary(spark: SparkSession, input_dir: str) -> DataFrame:
+def folder_summary(
+    spark: SparkSession,
+    input_dir: str,
+    translate_fn=translate_requests,
+) -> DataFrame:
     """X-7's per-file result taxonomy as a groupBy(source) summary
     (reference prints this per subprocess,
-    ``batch_auto_translate.py:231-280``)."""
-    rows = folder_pipeline(spark, input_dir)
+    ``batch_auto_translate.py:231-280``). ``translate_fn`` passes
+    through to the pipeline (fault injection included)."""
+    rows = folder_pipeline(spark, input_dir, translate_fn=translate_fn)
     total = F.count("*")
     failed = F.count(F.when(F.col("is_failed"), 1))
     return rows.groupBy("source_stem").agg(
