@@ -42,6 +42,28 @@ def hash_sample(
     return df.filter(hash_bucket(F.col(key_col), buckets) < int(fraction * buckets))
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep each row with
+    probability ``weight`` (a column in [0, 1]) decided by the row's own
+    key hash — the data-mixing primitive (sample documents proportional
+    to quality / length / source weight) with the same reproducibility
+    contract as ``hash_sample``: same rows every run, every engine, any
+    partitioning, and a pure filter that pushes ahead of joins.
+
+    The threshold is ``floor(buckets * clamp(weight, 0, 1))`` on both
+    engines (explicit floor — double→int rounding differs between
+    engines otherwise).
+    """
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight))
+    threshold = F.floor(F.lit(float(buckets)) * p).cast("bigint")
+    return df.filter(hash_bucket(F.col(key_col), buckets) < threshold)
+
+
 def split_of(
     key: Column, eval_fraction: float = 0.1, buckets: int = DEFAULT_BUCKETS
 ) -> Column:

@@ -4639,3 +4639,27 @@ def profile_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+@register(
+    "sample_weighted_by_length",
+    f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE {_DUCK_BUCKET.format(k="doc_id")}
+          < CAST(floor(10000 * least(1.0, greatest(0.0,
+                n_chars / 500.0))) AS BIGINT)
+    """,
+)
+def sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling — keep probability proportional
+    to document length, capped at 1 (operators/sampling.py:
+    weighted_hash_sample). The data-mixing primitive: p is a pure
+    function of (key, weight), so re-runs and engines agree row-for-row
+    and the sample composes with incremental loads."""
+    from .operators.sampling import weighted_hash_sample
+
+    t = load_testdata(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "lang", "n_chars")
+    return weighted_hash_sample(
+        docs, "doc_id", F.col("n_chars") / F.lit(500.0)
+    )

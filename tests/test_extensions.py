@@ -495,3 +495,21 @@ def test_approx_quantiles_within_sketch_tolerance(spark, sf_dir):
         tol = float(e["span"]) * 0.01 + 1e-6
         for i, q in enumerate(("p50", "p95", "p99")):
             assert abs(r[q] - float(e["p"][i])) <= tol, (r["l_returnflag"], q)
+
+
+def test_weighted_hash_sample_contract(spark):
+    """weight=0 keeps nothing, weight=1 keeps everything, and the kept
+    set at p=0.5 is decided by the key hash alone (re-run identical,
+    subset-stable under a smaller weight)."""
+    from automotive_translation_pipeline_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    assert weighted_hash_sample(df, "k", F.lit(0.0)).count() == 0
+    assert weighted_hash_sample(df, "k", F.lit(1.0)).count() == 2000
+    half_a = {r["k"] for r in weighted_hash_sample(df, "k", F.lit(0.5)).collect()}
+    half_b = {r["k"] for r in weighted_hash_sample(df, "k", F.lit(0.5)).collect()}
+    assert half_a == half_b and 800 <= len(half_a) <= 1200
+    quarter = {r["k"] for r in weighted_hash_sample(df, "k", F.lit(0.25)).collect()}
+    assert quarter <= half_a  # lower weight is a strict subset: same hash axis
