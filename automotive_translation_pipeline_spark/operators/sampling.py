@@ -64,6 +64,54 @@ def weighted_hash_sample(
     return df.filter(hash_bucket(F.col(key_col), buckets) < threshold)
 
 
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    target_shares: dict[str, float],
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Deterministic mixture sampling: carve the LARGEST sample whose
+    group composition matches ``target_shares`` (the corpus-mixing
+    primitive — "50% en / 30% zh / 20% de" — applied when assembling a
+    training mix from skewed sources).
+
+    The feasible total is min over targeted groups of n_g / share_g;
+    each group's keep-rate is total x share_g / n_g, decided per row by
+    the key hash (same reproducibility contract as ``hash_sample``:
+    identical rows every run/engine/partitioning). Groups outside
+    ``target_shares`` are dropped.
+
+    Plan shape: one map-side-combined count per group, a scalar min, a
+    tiny broadcast rate table, then a pure filter over the corpus — no
+    corpus shuffle anywhere.
+    """
+    spark = df.sparkSession
+    shares = spark.createDataFrame(
+        [(g, float(w)) for g, w in target_shares.items()],
+        f"{group_col} string, __share double",
+    )
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    joined = counts.join(F.broadcast(shares), group_col)
+    total = joined.agg(
+        F.min(F.col("__n") / F.col("__share")).alias("__t")
+    )
+    rates = joined.crossJoin(F.broadcast(total)).select(
+        group_col,
+        F.least(
+            F.lit(1.0), F.col("__t") * F.col("__share") / F.col("__n")
+        ).alias("__rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(
+            hash_bucket(F.col(key_col), buckets)
+            < F.floor(F.lit(float(buckets)) * F.col("__rate")).cast("bigint")
+        )
+        .drop("__rate")
+    )
+
+
 def split_of(
     key: Column, eval_fraction: float = 0.1, buckets: int = DEFAULT_BUCKETS
 ) -> Column:

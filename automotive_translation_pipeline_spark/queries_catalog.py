@@ -4663,3 +4663,38 @@ def sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_hash_sample(
         docs, "doc_id", F.col("n_chars") / F.lit(500.0)
     )
+
+
+@register(
+    "sample_mixture_shares",
+    f"""
+    WITH counts AS (
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), shares(lang, share) AS (
+        VALUES ('en', 0.5), ('zh', 0.3), ('de', 0.2)
+    ), joined AS (
+        SELECT c.lang, c.n, s.share FROM counts c JOIN shares s USING (lang)
+    ), feas AS (
+        SELECT min(n / share) AS t FROM joined
+    ), rates AS (
+        SELECT lang, least(1.0, (SELECT t FROM feas) * share / n) AS rate
+        FROM joined
+    )
+    SELECT d.doc_id, d.lang FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE {_DUCK_BUCKET.format(k="d.doc_id")}
+          < CAST(floor(10000 * r.rate) AS BIGINT)
+    """,
+)
+def sample_mixture_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing sampler: the largest deterministic sample whose
+    language composition hits 50/30/20 en/zh/de
+    (operators/sampling.py:mixture_sample). Keep-rates derive from group
+    counts and the feasibility bound; per-row decisions are the same md5
+    key hash as every other sampler, so mixes compose and replay."""
+    from .operators.sampling import mixture_sample
+
+    t = load_testdata(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "lang")
+    return mixture_sample(
+        docs, "lang", "doc_id", {"en": 0.5, "zh": 0.3, "de": 0.2}
+    )

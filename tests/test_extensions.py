@@ -513,3 +513,24 @@ def test_weighted_hash_sample_contract(spark):
     assert half_a == half_b and 800 <= len(half_a) <= 1200
     quarter = {r["k"] for r in weighted_hash_sample(df, "k", F.lit(0.25)).collect()}
     assert quarter <= half_a  # lower weight is a strict subset: same hash axis
+
+
+def test_mixture_sample_hits_target_composition(spark, sf_dir):
+    """The sampled mix matches the target shares (within hash-sampling
+    noise), untargeted groups vanish, and the draw replays exactly."""
+    from automotive_translation_pipeline_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    docs = load_testdata(spark, sf_dir)["documents"].select("doc_id", "lang")
+    targets = {"en": 0.5, "zh": 0.3, "de": 0.2}
+    out = mixture_sample(docs, "lang", "doc_id", targets)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= set(targets)
+    total = sum(counts.values())
+    assert total > 0
+    for lang, share in targets.items():
+        got = counts.get(lang, 0) / total
+        assert abs(got - share) < 0.15, (lang, got, share)
+    again = {r["doc_id"] for r in mixture_sample(docs, "lang", "doc_id", targets).collect()}
+    assert again == {r["doc_id"] for r in out.collect()}
