@@ -133,6 +133,17 @@ def parse_media_header(
     if data is None:
         return ("unknown", None, None, None)
     data = bytes(data)
+    try:
+        return _parse_media_header_checked(data)
+    except struct.error:
+        # Truncated/corrupt container: the contract is graceful
+        # degradation, never a failed Spark task.
+        return ("unknown", None, None, None)
+
+
+def _parse_media_header_checked(
+    data: bytes,
+) -> tuple[str, int | None, int | None, int | None]:
     if data.startswith(_PNG_MAGIC) and len(data) >= 24 and data[12:16] == b"IHDR":
         w, h = struct.unpack(">II", data[16:24])
         return ("png", w, h, None)
@@ -165,7 +176,7 @@ def parse_media_header(
         while pos + 8 <= len(data):
             cid = data[pos : pos + 4]
             (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
-            if cid == b"fmt " and pos + 16 <= len(data):
+            if cid == b"fmt " and pos + 20 <= len(data):
                 byte_rate = struct.unpack("<I", data[pos + 16 : pos + 20])[0]
             elif cid == b"data" and byte_rate:
                 return ("wav", None, None, clen * 1000 // byte_rate)

@@ -80,7 +80,10 @@ def mixture_sample(
     each group's keep-rate is total x share_g / n_g, decided per row by
     the key hash (same reproducibility contract as ``hash_sample``:
     identical rows every run/engine/partitioning). Groups outside
-    ``target_shares`` are dropped.
+    ``target_shares`` are dropped. A group named in ``target_shares``
+    but ABSENT from ``df`` counts as n_g = 0, so the feasible total is
+    0 and the sample is empty — a composition that cannot be met yields
+    nothing rather than silently mis-mixing (ADVICE round 3).
 
     Plan shape: one map-side-combined count per group, a scalar min, a
     tiny broadcast rate table, then a pure filter over the corpus — no
@@ -92,14 +95,21 @@ def mixture_sample(
         f"{group_col} string, __share double",
     )
     counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
-    joined = counts.join(F.broadcast(shares), group_col)
+    # Left join FROM shares so every targeted group participates in the
+    # feasibility min, with 0 rows when absent from the corpus.
+    joined = shares.join(counts, group_col, "left").withColumn(
+        "__n", F.coalesce(F.col("__n"), F.lit(0))
+    )
     total = joined.agg(
         F.min(F.col("__n") / F.col("__share")).alias("__t")
     )
     rates = joined.crossJoin(F.broadcast(total)).select(
         group_col,
+        # try_divide: n=0 (targeted-but-absent group) → NULL rate under
+        # ANSI mode; no corpus row carries that group so it never filters.
         F.least(
-            F.lit(1.0), F.col("__t") * F.col("__share") / F.col("__n")
+            F.lit(1.0),
+            F.try_divide(F.col("__t") * F.col("__share"), F.col("__n")),
         ).alias("__rate"),
     )
     return (

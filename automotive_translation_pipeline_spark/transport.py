@@ -74,6 +74,7 @@ class LocalBatchTransport:
         self.polls_to_complete = max(1, polls_to_complete)
         self.failing_jobs = failing_jobs or set()
         self._jobs: dict[str, dict] = {}
+        self._submissions = 0
 
     # -- X-1 ----------------------------------------------------------
     def upload_file(self, path: str) -> str:
@@ -89,8 +90,14 @@ class LocalBatchTransport:
     def create_batch(
         self, input_file_id: str, completion_window: str = "24h"
     ) -> dict:
+        # A per-transport submission counter goes into the hashed key so
+        # resubmitting identical request bytes yields a FRESH job id
+        # (matching the real Batch API) instead of silently resetting
+        # the prior job's state — while ids stay deterministic per
+        # (transport, submission ordinal) for replayable tests.
+        self._submissions += 1
         job_id = "batch_" + hashlib.md5(
-            f"job|{input_file_id}".encode()
+            f"job|{input_file_id}|{self._submissions}".encode()
         ).hexdigest()[:12]
         self._jobs[job_id] = {
             "id": job_id,

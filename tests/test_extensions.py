@@ -534,3 +534,16 @@ def test_mixture_sample_hits_target_composition(spark, sf_dir):
         assert abs(got - share) < 0.15, (lang, got, share)
     again = {r["doc_id"] for r in mixture_sample(docs, "lang", "doc_id", targets).collect()}
     assert again == {r["doc_id"] for r in out.collect()}
+
+
+def test_mixture_sample_absent_target_group_yields_empty(spark, sf_dir):
+    """A group named in target_shares but absent from the corpus makes
+    the composition infeasible: the sample must be EMPTY, not a
+    nonempty mix with 0% of that group (ADVICE round 3)."""
+    from automotive_translation_pipeline_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    docs = load_testdata(spark, sf_dir)["documents"].select("doc_id", "lang")
+    targets = {"en": 0.8, "xx_no_such_lang": 0.2}
+    assert mixture_sample(docs, "lang", "doc_id", targets).count() == 0

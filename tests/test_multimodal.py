@@ -36,6 +36,25 @@ def test_header_codec_roundtrip():
     assert parse_media_header(png_bytes(9, 9, b"\xff" * 100))[1:3] == (9, 9)
 
 
+def test_truncated_containers_degrade_gracefully():
+    """Truncation at ANY byte offset must yield a tuple, never raise —
+    a struct.error would fail the whole Spark task (ADVICE round 3)."""
+    samples = [
+        png_bytes(640, 480),
+        jpeg_bytes(31, 17),
+        gif_bytes(12, 8),
+        bmp_bytes(300, 200),
+        wav_bytes(500, sample_rate=1000),
+    ]
+    for full in samples:
+        for cut in range(len(full) + 1):
+            out = parse_media_header(full[:cut])
+            assert isinstance(out, tuple) and len(out) == 4
+    # The exact ADVICE reproducer: RIFF/WAVE cut inside the fmt chunk.
+    out = parse_media_header(wav_bytes(500, sample_rate=1000)[:30])
+    assert out[0] in ("wav", "unknown") and out[3] is None
+
+
 def test_jpeg_parse_skips_leading_segments():
     # APP0/JFIF before SOF0 — the segment walk must skip it.
     app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9

@@ -71,6 +71,38 @@ def test_lifecycle_end_to_end(spark, tmp_path):
             assert by_id[key] == f"check sensor {i} of the engine block now"[::-1]
 
 
+def test_resubmission_gets_fresh_job_id(tmp_path):
+    """Submitting the SAME input bytes twice must yield distinct job
+    ids (real Batch API semantics) — the first job's state is not reset
+    (ADVICE round 3). Ids stay deterministic per submission ordinal:
+    a fresh transport replays the same id sequence."""
+    import json
+
+    transport = LocalBatchTransport(str(tmp_path / "svc"), polls_to_complete=2)
+    req = tmp_path / "req.jsonl"
+    req.write_text(
+        json.dumps(
+            {
+                "custom_id": "batch-0000",
+                "body": {"messages": [{}, {"content": "{\"D1\": \"x\"}"}]},
+            }
+        )
+    )
+    fid = transport.upload_file(str(req))
+    j1 = transport.create_batch(fid)
+    # Drive job 1 to completed before resubmitting.
+    while transport.retrieve(j1["id"])["status"] not in ("completed", "failed"):
+        pass
+    j2 = transport.create_batch(fid)
+    assert j1["id"] != j2["id"]
+    assert transport.retrieve(j1["id"])["status"] == "completed"
+    assert transport.retrieve(j2["id"])["status"] != "completed"  # fresh job
+    # Replayability: a new transport over the same bytes gives the same
+    # first-submission id.
+    replay = LocalBatchTransport(str(tmp_path / "svc2"))
+    assert replay.create_batch(replay.upload_file(str(req)))["id"] == j1["id"]
+
+
 def test_lifecycle_failed_job_records_terminal_status(spark, tmp_path):
     reqs = _requests(spark)
     # Deterministic ids: a dry run learns the job id, then a fresh
