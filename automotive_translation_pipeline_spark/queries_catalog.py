@@ -2968,7 +2968,7 @@ def f20_prompt_template(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "r17_pack_greedy",
     f"""
-    WITH RECURSIVE costed AS (
+    WITH RECURSIVE costed AS MATERIALIZED (
         SELECT doc_id, lang,
                {_DUCK_BPE.format(c="trim(text)")}
                + {_DUCK_BPE.format(c="trim(text)")} * 1.8 AS cost,

@@ -141,17 +141,16 @@ def translate_requests_with_faults(
     )
 
 
-def openai_batch_submit(*_args, **_kwargs):
-    """X-1..X-4 real-API lifecycle (upload → submit → poll → download).
+def openai_batch_submit(spark, requests, ledger, work_dir, **kwargs):
+    """X-1..X-4 real-API lifecycle (upload → submit → poll → download)
+    over the wire: constructs ``transport.OpenAIBatchTransport`` (which
+    import-gates the ``openai`` package and requires credentials) and
+    runs the SAME ``run_batch_lifecycle`` spine the local transport
+    uses — serialization, ledger transitions, poll loop, and response
+    ingestion are identical code either way."""
+    from .transport import OpenAIBatchTransport, run_batch_lifecycle
 
-    Deliberately stubbed: this container has no network and no openai
-    package. The engine-side contract is: submit from the driver,
-    persist job_id rows to the ledger, poll via
-    ``streaming.poller.poll_job_statuses``, and read results back with
-    ``sources.read_response_jsonl``.
-    """
-    if os.environ.get("OPENAI_API_KEY"):
-        raise NotImplementedError(
-            "real Batch API transport not wired in this environment"
-        )
-    raise NotImplementedError("no API credentials; use mock_translate_udf")
+    transport = OpenAIBatchTransport(api_key=kwargs.pop("api_key", None))
+    return run_batch_lifecycle(
+        spark, requests, transport, ledger, work_dir, **kwargs
+    )

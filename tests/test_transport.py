@@ -14,6 +14,7 @@ from automotive_translation_pipeline_spark.operators.packing import (
 )
 from automotive_translation_pipeline_spark.transport import (
     LocalBatchTransport,
+    OpenAIBatchTransport,
     run_batch_lifecycle,
 )
 
@@ -179,3 +180,141 @@ def test_streaming_poller_with_transport(spark, tmp_path):
         assert ledger.get(job["id"])["status"] == "completed"
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# OpenAIBatchTransport: the real wire client behind the same protocol.
+# The openai PACKAGE is absent here, so the client object is injected —
+# a fake with the SDK's attribute surface (files.create/content,
+# batches.create/retrieve) that records every request it receives. This
+# exercises real request construction + the full lifecycle spine; only
+# the HTTP layer is faked.
+# ---------------------------------------------------------------------------
+
+
+class _Obj:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+class FakeOpenAIClient:
+    """SDK-shaped double: serves uploads from memory and completes each
+    batch on the second retrieve, answering with the reference's nested
+    response format via the deterministic mock translator."""
+
+    def __init__(self):
+        import json as _json
+
+        self._json = _json
+        self.uploads: dict[str, bytes] = {}
+        self.jobs: dict[str, dict] = {}
+        self.requests_seen: list[dict] = []
+        self.files = _Obj(create=self._files_create, content=self._files_content)
+        self.batches = _Obj(
+            create=self._batches_create, retrieve=self._batches_retrieve
+        )
+
+    def _files_create(self, file, purpose):
+        assert purpose == "batch"
+        name, blob = file
+        fid = f"file-fake{len(self.uploads)}"
+        self.uploads[fid] = blob
+        return _Obj(id=fid)
+
+    def _batches_create(self, input_file_id, endpoint, completion_window):
+        self.requests_seen.append(
+            {
+                "input_file_id": input_file_id,
+                "endpoint": endpoint,
+                "completion_window": completion_window,
+            }
+        )
+        assert endpoint == "/v1/chat/completions"
+        jid = f"batch_fake{len(self.jobs):04d}"
+        self.jobs[jid] = {"input": input_file_id, "polls": 0}
+        return _Obj(id=jid, status="validating")
+
+    def _batches_retrieve(self, job_id):
+        job = self.jobs[job_id]
+        job["polls"] += 1
+        if job["polls"] < 2:
+            return _Obj(id=job_id, status="in_progress", output_file_id=None)
+        out_id = job_id + "-out"
+        if out_id not in self.uploads:
+            from automotive_translation_pipeline_spark.translate import (
+                render_mock_content,
+            )
+
+            lines = []
+            for ln in self.uploads[job["input"]].decode().splitlines():
+                req = self._json.loads(ln)
+                content = render_mock_content(
+                    self._json.loads(req["body"]["messages"][1]["content"]),
+                    req["custom_id"],
+                )
+                lines.append(
+                    self._json.dumps(
+                        {
+                            "custom_id": req["custom_id"],
+                            "response": {
+                                "status_code": 200,
+                                "body": {
+                                    "choices": [
+                                        {"message": {"content": content}}
+                                    ]
+                                },
+                            },
+                            "error": None,
+                        }
+                    )
+                )
+            self.uploads[out_id] = "\n".join(lines).encode()
+        return _Obj(id=job_id, status="completed", output_file_id=out_id)
+
+    def _files_content(self, file_id):
+        return _Obj(content=self.uploads[file_id])
+
+
+def test_openai_transport_requires_credentials(monkeypatch):
+    import pytest
+
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    with pytest.raises(RuntimeError, match="API key"):
+        OpenAIBatchTransport()
+
+
+def test_openai_transport_gates_on_missing_package(monkeypatch):
+    import pytest
+
+    try:
+        import openai  # noqa: F401
+
+        pytest.skip("openai installed in this environment")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="openai"):
+        OpenAIBatchTransport(api_key="sk-test")
+
+
+def test_openai_transport_lifecycle_with_mocked_client(spark, tmp_path):
+    """run_batch_lifecycle accepts OpenAIBatchTransport UNCHANGED: the
+    full spine (serialize → upload → submit → poll+ledger → download →
+    ingest) runs against the SDK-shaped double, and the wire requests
+    carry the reference's endpoint/window parameters."""
+    client = FakeOpenAIClient()
+    transport = OpenAIBatchTransport(client=client)
+    ledger = Ledger(spark, str(tmp_path / "lw"))
+    reqs = _requests(spark)
+    responses = run_batch_lifecycle(
+        spark, reqs, transport, ledger, str(tmp_path / "ww")
+    )
+    assert responses is not None
+    got = responses.collect()
+    assert len(got) == reqs.count()
+    assert all(r["status_code"] == 200 and r["content"] for r in got)
+    assert ledger.current().first()["status"] == "completed"
+    # Request construction parity with auto_translate.py:352-359.
+    (seen,) = client.requests_seen
+    assert seen["endpoint"] == "/v1/chat/completions"
+    assert seen["completion_window"] == "24h"
+    assert seen["input_file_id"].startswith("file-")

@@ -1,0 +1,221 @@
+"""Deterministic testdata generator — scale-up replica of the driver's
+synthetic tables (TESTDATA.md) for local scale-proofing at sf >= 1.
+
+The driver ships sf0.001/0.01/0.1 read-only under /root/testdata; this
+script reproduces the same schemas, value distributions, and id
+structure (verified against the shipped parquet: column types, value
+ranges, category sets, planted duplicate documents, unit-norm clustered
+embeddings, micros timestamps) at any scale factor, so bench.py and
+tools/check_correctness.py can run at sf1/sf3 without touching the
+driver's directories.
+
+    python tools/gen_testdata.py --sf 1 --out .testdata/sf1
+
+Row counts scale linearly like the driver's:
+  customer 150k*sf, supplier 10k*sf, part 200k*sf, orders 1.5M*sf,
+  lineitem 6M*sf, events 1M*sf (users 15k*sf),
+  documents max(500, 50k*sf), embeddings max(500, 20k*sf).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = (
+    "a agg batch big column customer data dup fast filter group hash join "
+    "key line merge order part query row scan slow small sort spark stream "
+    "table the value vector window"
+).split()
+LANGS = ["en", "fr", "es", "de", "zh"]
+LANG_P = [0.41, 0.1475, 0.1475, 0.1475, 0.1475]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+P_TYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+ADJ = ["small", "cold", "blue", "old", "red", "new", "large", "hot"]
+NOUN = ["gizmo", "widget", "anvil", "ring", "gear", "bolt", "plate", "rod"]
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+
+DAY_US = 86_400_000_000
+
+
+def _ts_us(base: str) -> int:
+    return int(np.datetime64(base, "us").astype("int64"))
+
+
+ORDERS_EPOCH = _ts_us("1995-01-01")
+ORDERS_DAYS = 2404  # .. 2001-08-01
+SHIP_EPOCH = _ts_us("1995-01-02")
+SHIP_DAYS = 2498  # .. 2001-11-04
+EVENTS_EPOCH = _ts_us("2024-01-01")
+EVENTS_SPAN_US = 30 * DAY_US  # .. 2024-01-31
+
+
+def _write(out: str, name: str, table: pa.Table) -> None:
+    pq.write_table(
+        table, os.path.join(out, f"{name}.parquet"),
+        row_group_size=1_000_000, compression="snappy",
+    )
+    print(f"  {name}: {table.num_rows} rows")
+
+
+def _ts_col(micros: np.ndarray) -> pa.Array:
+    return pa.array(micros, type=pa.timestamp("us"))
+
+
+def gen(sf: float, out: str, seed: int = 42) -> None:
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n_cust = int(150_000 * sf)
+    n_supp = int(10_000 * sf)
+    n_part = int(200_000 * sf)
+    n_ord = int(1_500_000 * sf)
+    n_line = int(6_000_000 * sf)
+    n_evt = int(1_000_000 * sf)
+    n_user = int(15_000 * sf)
+    n_doc = max(500, int(50_000 * sf))
+    n_emb = max(500, int(20_000 * sf))
+
+    _write(out, "region", pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": REGIONS,
+    }))
+    _write(out, "nation", pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": [f"NATION_{i}" for i in range(25)],
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+    }))
+
+    _write(out, "customer", pa.table({
+        "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+        "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
+        "c_acctbal": np.round(rng.uniform(-1000, 10_000, n_cust), 2),
+        "c_mktsegment": pa.array(
+            np.array(SEGMENTS)[rng.integers(0, 5, n_cust)]
+        ),
+    }))
+
+    _write(out, "supplier", pa.table({
+        "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
+        "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+        "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
+        "s_acctbal": np.round(rng.uniform(-1000, 10_000, n_supp), 2),
+    }))
+
+    _write(out, "part", pa.table({
+        "p_partkey": pa.array(np.arange(n_part), pa.int64()),
+        "p_name": pa.array([
+            f"{ADJ[a]} {NOUN[b]}"
+            for a, b in zip(
+                rng.integers(0, 8, n_part), rng.integers(0, 8, n_part)
+            )
+        ]),
+        "p_brand": pa.array(
+            [f"Brand#{b}" for b in rng.integers(0, 25, n_part)]
+        ),
+        "p_type": pa.array(np.array(P_TYPES)[rng.integers(0, 6, n_part)]),
+        "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
+        "p_retailprice": np.round(900.0 + np.arange(n_part) * 0.1, 2),
+    }))
+
+    _write(out, "orders", pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
+        "o_orderstatus": pa.array(
+            np.array(["P", "O", "F"])[rng.integers(0, 3, n_ord)]
+        ),
+        "o_totalprice": np.round(rng.uniform(1000, 500_000, n_ord), 2),
+        "o_orderdate": _ts_col(
+            ORDERS_EPOCH + rng.integers(0, ORDERS_DAYS + 1, n_ord) * DAY_US
+        ),
+        "o_orderpriority": pa.array(
+            np.array(PRIORITIES)[rng.integers(0, 5, n_ord)]
+        ),
+    }))
+
+    _write(out, "lineitem", pa.table({
+        "l_orderkey": pa.array(rng.integers(0, n_ord, n_line), pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, n_part, n_line), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, n_supp, n_line), pa.int64()),
+        "l_linenumber": pa.array(rng.integers(1, 8, n_line), pa.int32()),
+        "l_quantity": rng.integers(1, 51, n_line).astype("float64"),
+        "l_extendedprice": np.round(rng.uniform(900, 105_000, n_line), 2),
+        "l_discount": np.round(rng.integers(0, 11, n_line) * 0.01, 2),
+        "l_tax": np.round(rng.integers(0, 9, n_line) * 0.01, 2),
+        "l_returnflag": pa.array(
+            np.array(["R", "A", "N"])[rng.integers(0, 3, n_line)]
+        ),
+        "l_linestatus": pa.array(
+            np.array(["O", "F"])[rng.integers(0, 2, n_line)]
+        ),
+        "l_shipdate": _ts_col(
+            SHIP_EPOCH + rng.integers(0, SHIP_DAYS + 1, n_line) * DAY_US
+        ),
+    }))
+
+    evt_ts = np.sort(
+        rng.integers(0, EVENTS_SPAN_US, n_evt) + EVENTS_EPOCH
+    )
+    _write(out, "events", pa.table({
+        "event_id": pa.array(np.arange(n_evt), pa.int64()),
+        "ts": _ts_col(evt_ts),
+        "user_id": pa.array(rng.integers(0, n_user, n_evt), pa.int64()),
+        "event_type": pa.array(
+            np.array(EVENT_TYPES)[rng.integers(0, 5, n_evt)]
+        ),
+        "value": np.round(rng.exponential(50.0, n_evt), 2),
+        "props": pa.array(
+            [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_evt)]
+        ),
+    }))
+
+    # Documents: space-joined vocab words, 10..100 words; ~0.2% planted
+    # exact duplicates of an earlier doc (the dedup operators' prey).
+    n_words = rng.integers(10, 101, n_doc)
+    vocab = np.array(VOCAB)
+    texts: list[str] = []
+    for i in range(n_doc):
+        texts.append(" ".join(vocab[rng.integers(0, len(vocab), n_words[i])]))
+    dup_idx = rng.random(n_doc) < 0.002
+    for i in np.flatnonzero(dup_idx):
+        if i > 0:
+            texts[i] = texts[rng.integers(0, i)]
+    langs = np.array(LANGS)[rng.choice(5, n_doc, p=LANG_P)]
+    _write(out, "documents", pa.table({
+        "doc_id": pa.array(np.arange(n_doc), pa.int64()),
+        "text": texts,
+        "lang": pa.array(langs),
+        "source": pa.array([f"src{s}" for s in rng.integers(0, 20, n_doc)]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+
+    # Embeddings: 64-dim unit vectors in 10 gaussian clusters.
+    dim, n_lab = 64, 10
+    cents = rng.standard_normal((n_lab, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    labels = rng.integers(0, n_lab, n_emb)
+    vecs = cents[labels] * 2.0 + rng.standard_normal((n_emb, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    _write(out, "embeddings", pa.table({
+        "vec_id": pa.array(np.arange(n_emb), pa.int64()),
+        "embedding": pa.array(
+            list(vecs.astype("float32")), pa.list_(pa.float32())
+        ),
+        "label": pa.array(labels, pa.int32()),
+    }))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--seed", type=int, default=42)
+    a = ap.parse_args()
+    print(f"generating sf={a.sf} -> {a.out}")
+    gen(a.sf, a.out, a.seed)
