@@ -285,22 +285,78 @@ def _stub_feature(content: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
     return [round(x / total, 6) for x in buckets]
 
 
+def _probe_pil():
+    """Import-probe PIL — run INSIDE the UDF so the decision is made on
+    the executor that will do the decoding (the tiktoken-ladder
+    template, functions/text.py:accurate_token_count: a driver-side
+    probe is wrong on heterogeneous clusters). Import results are
+    process-cached by Python itself, so per-batch probing is free."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — deliberate runtime gate
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _pixel_feature(image_mod, content: bytes, dim: int = FEATURE_DIM):
+    """Real pixel path: decode via PIL, normalized grayscale-intensity
+    histogram with ``dim`` buckets. Returns None when the blob doesn't
+    decode (header-only synth media, corrupt bytes) — caller falls back
+    to the byte-histogram stub per ROW, never failing the task."""
+    import io
+
+    try:
+        with image_mod.open(io.BytesIO(content)) as im:
+            pixels = list(im.convert("L").getdata())
+    except Exception:
+        return None
+    if not pixels:
+        return [0.0] * dim
+    buckets = [0] * dim
+    for p in pixels:
+        buckets[p * dim // 256] += 1
+    total = float(len(pixels))
+    return [round(x / total, 6) for x in buckets]
+
+
 def extract_features(
-    media: DataFrame, decode_stub: bool = True, batch_hint: int | None = None
+    media: DataFrame,
+    decode_stub: bool | None = None,
+    batch_hint: int | None = None,
 ) -> DataFrame:
     """Decode + feature-extract as a mapInPandas stage.
 
     Arrow streams (media_id, media_type, content) batches into Python;
     each batch yields fixed-width feature vectors. Binary payloads never
     touch the driver; partition count controls decode parallelism.
-    """
+
+    ``decode_stub=None`` (default) auto-detects per executor: image
+    rows decode through PIL when it imports, falling back to the
+    deterministic byte-histogram stub per row when it doesn't (or when
+    a blob doesn't decode). ``True`` forces the stub everywhere;
+    ``False`` demands the real path and raises loudly where PIL is
+    absent — the round-3 gate, kept for callers that must not silently
+    ship stub features."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = None if decode_stub is True else _probe_pil()
+        if decode_stub is False and image_mod is None:
+            raise NotImplementedError(
+                "decode_stub=False but PIL is not importable on this "
+                "executor (pip install pillow), and video/audio decode "
+                "additionally needs ffmpeg"
+            )
+
+        def feat(row):
+            content, mtype = row
+            if content is not None and mtype == "image" and image_mod is not None:
+                real = _pixel_feature(image_mod, bytes(content))
+                if real is not None:
+                    return real
+            return _stub_feature(content)
+
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg; not in this container"
-                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -308,7 +364,10 @@ def extract_features(
                     "n_bytes": pdf["content"].map(
                         lambda c: len(c) if c is not None else 0
                     ),
-                    "feature": pdf["content"].map(_stub_feature),
+                    "feature": [
+                        feat(t)
+                        for t in zip(pdf["content"], pdf["media_type"])
+                    ],
                 }
             )
 
@@ -317,12 +376,14 @@ def extract_features(
 
 
 def frame_sample_plan(
-    media: DataFrame, every_ms: int = 1000, decode_stub: bool = True
+    media: DataFrame, every_ms: int = 1000, decode_stub: bool | None = None
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame offset.
     The offsets come from metadata (duration), so the plan — explode to
     frame rows, then decode per frame — is exact even with the stubbed
-    decoder."""
+    decoder. ``None`` behaves as stub (there is no pure-Python video
+    decoder to probe; a real ffmpeg binding plugs in at the
+    ``decode_stub=False`` raise below)."""
     frames = (
         media.filter(F.col("media_type") == "video")
         .select(
@@ -339,7 +400,7 @@ def frame_sample_plan(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
+            if decode_stub is False:
                 raise NotImplementedError("real frame decode requires ffmpeg")
             pdf = pdf.copy()
             # Stub: frame fingerprint derived from (id, offset).
@@ -355,20 +416,46 @@ def frame_sample_plan(
 
 
 def resize_images(
-    media: DataFrame, width: int = 224, height: int = 224, decode_stub: bool = True
+    media: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    decode_stub: bool | None = None,
 ) -> DataFrame:
     """Image resize stage: binary in → binary out, metadata updated.
-    Stub keeps bytes verbatim but rewrites metadata, exercising the
-    binary round-trip through Arrow."""
+
+    Same auto-detect contract as ``extract_features``: ``None`` probes
+    PIL on the executor and really resizes (re-encoded as PNG) when it
+    imports, passing bytes through verbatim when it doesn't or when a
+    blob doesn't decode; ``True`` forces passthrough; ``False`` raises
+    without PIL. The stub path keeps bytes verbatim but rewrites
+    metadata, exercising the binary round-trip through Arrow."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = None if decode_stub is True else _probe_pil()
+        if decode_stub is False and image_mod is None:
+            raise NotImplementedError(
+                "decode_stub=False but PIL is not importable on this "
+                "executor (pip install pillow)"
+            )
+
+        def resize(content):
+            if content is None or image_mod is None:
+                return content
+            import io
+
+            try:
+                with image_mod.open(io.BytesIO(bytes(content))) as im:
+                    out = io.BytesIO()
+                    im.resize((width, height)).save(out, format="PNG")
+                    return out.getvalue()
+            except Exception:
+                return content  # undecodable blob: verbatim passthrough
+
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError("real resize requires PIL")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "content": pdf["content"],
+                    "content": pdf["content"].map(resize),
                     "width": width,
                     "height": height,
                 }

@@ -55,9 +55,22 @@ def register(name: str, sql: str | None):
 # The seen/green sets are derived from the CORRECTNESS_r*.json artifacts
 # the driver drops in the repo root — never hardcoded, so they can't go
 # stale between rounds.
+# Round 4. Kept honest by tests/test_catalog_fingerprints.py: the
+# committed per-query fingerprint snapshot (tools/catalog_fingerprints
+# .json) is diffed against the live catalog, and any drift that is not
+# declared here fails the suite — so this set can no longer go stale
+# silently (VERDICT r3 item 8). Refresh flow at round end:
+#   python tools/catalog_fingerprints.py --write   # snapshot
+#   then empty/refill this set for the next round's edits.
+# Fingerprints cover the catalog entry's own source + oracle SQL; a
+# deep operator change that alters a query's RESULTS must be surfaced
+# by touching the entry (e.g. a docstring note), which flips its
+# fingerprint and forces the declaration here.
 _CHANGED_THIS_ROUND = frozenset({
-    "r19_batch_id_mapping", "tpch_q12_priority_lines", "dq_lineitem_report",
-    "multimodal_feature_stats",
+    "parse_udtf_lateral",     # rows-only -> DuckDB json_keys oracle
+    "r17_pack_greedy",        # oracle: MATERIALIZED costed CTE
+    "dedup_embedding_pairs",  # input bound (quadratic-oracle cap, sf1)
+    "dedup_edit_distance",    # input bound (quadratic-oracle cap, sf1)
 })
 
 
@@ -1167,7 +1180,9 @@ _DUCK_EMB_CTE = """
 
 @register(
     "dedup_embedding_pairs",
-    _DUCK_EMB_CTE
+    _DUCK_EMB_CTE.replace(
+        "FROM embeddings", "FROM embeddings WHERE vec_id < 2000"
+    )
     + """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_sum(list_transform(list_zip(a.emb, b.emb),
@@ -1180,11 +1195,21 @@ _DUCK_EMB_CTE = """
 )
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs above 0.4 (testdata has no planted
-    embedding dups; 0.4 exercises the operator with a non-empty result)."""
+    embedding dups; 0.4 exercises the operator with a non-empty result).
+
+    Input bounded to vec_id < 2000 on BOTH sides (identical to sf0.1's
+    full corpus; a no-op at sf <= 0.1): the engine operator blocks via
+    LSH buckets and scales, but the DuckDB ORACLE is inherently
+    all-pairs — at sf1 (20k vectors) that is ~200M list-lambda dot
+    products, hours of oracle time for zero extra signal. The
+    scale-path twin with an unbounded corpus is ann_cosine_* /
+    dedup_minhash_candidates."""
     from .operators.dedup import embedding_near_dup
 
     t = load_testdata(spark, sf_dir)
-    return embedding_near_dup(t["embeddings"], threshold=0.4)
+    return embedding_near_dup(
+        t["embeddings"].filter(F.col("vec_id") < 2000), threshold=0.4
+    )
 
 
 @register(
@@ -3297,9 +3322,10 @@ def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_edit_distance",
     """
+    WITH d AS (SELECT * FROM documents WHERE doc_id < 5000)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            levenshtein(a.text, b.text) AS edit_dist
-    FROM documents a JOIN documents b
+    FROM d a JOIN d b
       ON a.lang = b.lang AND a.doc_id < b.doc_id
      AND abs(a.n_chars - b.n_chars) <= 10
     WHERE levenshtein(a.text, b.text) <= 20
@@ -3311,12 +3337,17 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     is lower-bounded by length difference, so no true pair is lost),
     and levenshtein runs native JVM-side on the surviving candidates
     only. The oracle is the plain blocked theta-join — same pairs, no
-    banding."""
+    banding.
+
+    Input bounded to doc_id < 5000 on BOTH sides (sf0.1's full corpus;
+    a no-op at sf <= 0.1): the ORACLE's per-lang theta-join is O(n^2)
+    levenshtein calls — infeasible at sf1's 50k docs. The unbounded
+    scale path for near-dup is dedup_minhash_candidates/components."""
     from .operators.dedup import edit_distance_pairs
 
     t = load_testdata(spark, sf_dir)
     return edit_distance_pairs(
-        t["documents"], len_band=10, max_dist=20
+        t["documents"].filter(F.col("doc_id") < 5000), len_band=10, max_dist=20
     )
 
 
@@ -3392,15 +3423,51 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("parse_udtf_lateral", None)
+@register(
+    "parse_udtf_lateral",
+    """
+    WITH docs AS (
+        SELECT doc_id % 30 AS batch_id, doc_id, text
+        FROM documents WHERE doc_id < 300),
+    payload AS (
+        SELECT batch_id,
+               json_group_object(CAST(doc_id AS VARCHAR), text) AS js
+        FROM docs GROUP BY batch_id),
+    json_rows AS (
+        -- families 0 (clean JSON) and 1 (fenced JSON): the fence strips
+        -- in the cascade's first rung, so BOTH parse as json_basic; the
+        -- id set is exactly the JSON object's keys.
+        SELECT p.batch_id, unnest(json_keys(p.js)) AS description_id,
+               'json_basic' AS strategy
+        FROM payload p WHERE p.batch_id % 3 != 2),
+    line_rows AS (
+        -- family 2 (numbered 'id. text' lines): one row per line, via
+        -- the line-fallback rung; the suspicious gate (len >= 3, not
+        -- digits-only, no fence/bracket prefix) mirrored on the value.
+        SELECT batch_id, CAST(doc_id AS VARCHAR) AS description_id,
+               'line_fallback' AS strategy
+        FROM docs
+        WHERE batch_id % 3 = 2
+          AND length(trim(text)) >= 3
+          AND NOT regexp_matches(trim(text), '^[0-9]+$')
+          AND NOT regexp_matches(trim(text), '^(```|[<{\\[])'))
+    SELECT batch_id, description_id, strategy
+    FROM json_rows
+    UNION ALL
+    SELECT batch_id, description_id, strategy FROM line_rows
+    """,
+)
 def parse_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The parse cascade as a Spark 4 Python UDTF in a LATERAL join:
     response blobs (synthesized deterministically from documents in the
     three reference content families — JSON map, fenced JSON, numbered
-    lines) fan out to (id, translation, strategy) rows. Rows-only: the
-    UDTF's imperative salvage isn't SQL-expressible in DuckDB, but
-    parity with the native cascade — whose full SQL replica IS oracle-
-    checked (pipeline_rows) — is pytest-asserted."""
+    lines) fan out to (id, translation, strategy) rows. Oracled (round-4
+    upgrade from rows-only): the synthesized content is reconstructed in
+    DuckDB — json_group_object + json_keys replays the v2-JSON families
+    through a REAL second JSON engine, and the numbered-line family's
+    expected ids are the synthesis arithmetic with the suspicious gate
+    mirrored. The fallback-line formats stay pytest-covered
+    (tests/test_parse_udtf.py)."""
     from .functions.parse_udtf import register_parse_udtf
 
     register_parse_udtf(spark)

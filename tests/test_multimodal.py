@@ -135,7 +135,63 @@ def test_resize_binary_roundtrip(spark):
         assert bytes(r["content"]) == orig[r["media_id"]]
 
 
-def test_real_decode_path_raises(spark):
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_pil(), reason="PIL installed: real path active")
+def test_real_decode_path_raises_without_pil(spark):
     media = synth_media(spark, 3)
     with pytest.raises(Exception, match="NotImplementedError|PIL|ffmpeg"):
         extract_features(media, decode_stub=False).collect()
+
+
+def test_auto_decode_falls_back_on_headeronly_media(spark):
+    """decode_stub=None must equal the stub on this repo's header-only
+    synth media in EVERY environment: without PIL the probe fails;
+    with PIL the pixel decode fails per row (no IDAT) and falls back.
+    Either way the task never dies and features match the stub."""
+    media = synth_media(spark, 12)
+    auto = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    stub = {
+        r["media_id"]: r["feature"]
+        for r in extract_features(media, decode_stub=True).collect()
+    }
+    assert auto == stub
+
+
+@pytest.mark.skipif(not _has_pil(), reason="needs PIL for pixel parity")
+def test_pixel_decode_parity_with_pil(spark):
+    """With PIL present, a REAL image (pixels included) must produce the
+    pixel-histogram feature — different from the byte-histogram stub —
+    and resize must really re-encode to the target dims."""
+    import io
+
+    from PIL import Image
+
+    from automotive_translation_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 16), (128, 64, 32)).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(png), (32, 16, None, "png"))], MEDIA_SCHEMA
+    )
+    (real,) = extract_features(media).collect()
+    (stub,) = extract_features(media, decode_stub=True).collect()
+    assert len(real["feature"]) == FEATURE_DIM
+    assert abs(sum(real["feature"]) - 1.0) < 1e-3
+    assert real["feature"] != stub["feature"]
+    # A uniform gray image lands in exactly one intensity bucket.
+    assert max(real["feature"]) == 1.0
+
+    (resized,) = resize_images(media, 8, 8).collect()
+    with Image.open(io.BytesIO(bytes(resized["content"]))) as im:
+        assert im.size == (8, 8)
