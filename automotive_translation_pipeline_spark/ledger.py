@@ -30,12 +30,44 @@ from .schemas import LEDGER
 TERMINAL_STATUSES = ("completed", "failed", "download_failed")
 
 
-class Ledger:
-    """Append-only ledger over a parquet directory."""
+def delta_available(spark: SparkSession) -> bool:
+    """Probe for a usable Delta Lake runtime: the ``delta-spark``
+    package must import AND the session must carry the Delta SQL
+    extension (jar on the classpath). Both are absent in this
+    container — the probe is the gate, mirroring the Kafka factory and
+    PIL-decode gates."""
+    try:
+        from delta.tables import DeltaTable  # noqa: F401, PLC0415
+    except ImportError:
+        return False
+    return "DeltaSparkSessionExtension" in (
+        spark.conf.get("spark.sql.extensions", "") or ""
+    )
 
-    def __init__(self, spark: SparkSession, path: str):
+
+class Ledger:
+    """Append-only ledger over a parquet directory.
+
+    ``storage`` picks the upsert strategy behind ``merge()``:
+    ``"auto"`` (default) uses Delta ``MERGE INTO`` when
+    ``delta_available`` says the runtime has it, else the append +
+    latest-wins path; ``"parquet"`` / ``"delta"`` force one. The READ
+    semantics of ``current()`` are identical either way — that is the
+    contract ``tests/test_ledger.py`` asserts."""
+
+    def __init__(self, spark: SparkSession, path: str, storage: str = "auto"):
         self.spark = spark
         self.path = path
+        if storage == "auto":
+            storage = "delta" if delta_available(spark) else "parquet"
+        if storage == "delta" and not delta_available(spark):
+            raise RuntimeError(
+                "storage='delta' but no Delta runtime: install delta-spark "
+                "and add the delta jar + DeltaSparkSessionExtension to the "
+                "session (this container has neither) — use storage="
+                "'parquet' for the append + latest-wins fallback"
+            )
+        self.storage = storage
 
     # -- writes (append-only; R-6c) ------------------------------------
 
@@ -54,9 +86,13 @@ class Ledger:
             }
             for r in rows
         ]
-        self.spark.createDataFrame(normalized, LEDGER).write.mode("append").parquet(
-            self.path
+        writer = self.spark.createDataFrame(normalized, LEDGER).write.mode(
+            "append"
         )
+        if self.storage == "delta":
+            writer.format("delta").save(self.path)
+        else:
+            writer.parquet(self.path)
 
     def update_status(
         self, job_id: str, status: str, output_file: str | None = None
@@ -74,17 +110,66 @@ class Ledger:
         )
         self.append([row])
 
+    def merge(self, rows: list[dict]) -> None:
+        """Upsert by job_id — ROADMAP #7's Delta MERGE, jar-gated.
+
+        Delta storage: a real ``MERGE INTO`` keyed on job_id
+        (whenMatchedUpdateAll / whenNotMatchedInsertAll); the table
+        holds one row per job and history lives in the Delta log (time
+        travel), so ``current()`` short-circuits to a plain read.
+        Parquet storage: merge IS append — the latest-wins view gives
+        the same upsert read semantics, which the contract test pins.
+        """
+        if self.storage != "delta":
+            self.append(rows)
+            return
+        from delta.tables import DeltaTable  # noqa: PLC0415 — gated above
+
+        now = int(time.time())
+        src = self.spark.createDataFrame(
+            [
+                {
+                    "batch_id": r["batch_id"],
+                    "input_file": r.get("input_file"),
+                    "job_id": r["job_id"],
+                    "status": r["status"],
+                    "timestamp": int(r.get("timestamp", now)),
+                    "target_language": r.get("target_language"),
+                    "output_file": r.get("output_file"),
+                }
+                for r in rows
+            ],
+            LEDGER,
+        )
+        if not DeltaTable.isDeltaTable(self.spark, self.path):
+            src.write.format("delta").mode("append").save(self.path)
+            return
+        (
+            DeltaTable.forPath(self.spark, self.path)
+            .alias("t")
+            .merge(src.alias("s"), "t.job_id = s.job_id")
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+
     # -- reads (all through the latest-wins view) ----------------------
 
     def events(self) -> DataFrame:
         """The raw append log (full history — the audit trail the
-        reference loses when it rewrites the file)."""
+        reference loses when it rewrites the file). Delta storage keeps
+        one row per job instead; its history is the Delta log (time
+        travel), not extra rows."""
+        if self.storage == "delta":
+            return self.spark.read.format("delta").load(self.path)
         return self.spark.read.schema(LEDGER).parquet(self.path)
 
     def current(self) -> DataFrame:
         """Latest-wins view: one row per job_id, newest event wins.
         This is the ONLY read path — never scan the log directly for
-        current state."""
+        current state. (Under Delta MERGE the table is already
+        one-row-per-job, but append() remains a legal write there too,
+        so the view stays in the path — it is a no-op on merged rows.)"""
         return latest_wins_view(self.events())
 
     def list(self, status: str | None = None) -> DataFrame:

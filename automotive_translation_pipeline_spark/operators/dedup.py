@@ -356,9 +356,15 @@ def embedding_near_dup(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(dot / (F.col("a.norm") * F.col("b.norm")), 4).alias("cosine"),
+            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("__raw"),
         )
-        .filter(F.col("cosine") >= threshold)
+        # Threshold the RAW cosine, round only for output: filtering the
+        # rounded value silently admits pairs up to 5e-5 below the
+        # threshold (caught by the sf1 oracle sweep: 4 boundary pairs).
+        .filter(F.col("__raw") >= threshold)
+        .select(
+            "id_a", "id_b", F.round(F.col("__raw"), 4).alias("cosine")
+        )
     )
 
 

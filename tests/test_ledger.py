@@ -133,3 +133,74 @@ def test_compaction_full_snapshot(ledger):
     assert n == 2  # one row per job, history dropped
     cur = {r["job_id"]: r["status"] for r in ledger.current().collect()}
     assert cur == {"batch_aaa": "completed", "batch_bbb": "submitted"}
+
+
+# ---------------------------------------------------------------------------
+# merge(): the jar-gated Delta MERGE seam (ROADMAP #7). Storage picks
+# the upsert strategy; the READ contract through current() must be
+# identical either way.
+# ---------------------------------------------------------------------------
+
+
+def _delta_here(spark):
+    from automotive_translation_pipeline_spark.ledger import delta_available
+
+    return delta_available(spark)
+
+
+def test_merge_parquet_fallback_upserts_through_view(spark, tmp_path):
+    """Without a Delta runtime, merge() == append + latest-wins: same
+    upsert read semantics as a real MERGE INTO keyed on job_id."""
+    led = Ledger(spark, str(tmp_path / "lm"))
+    assert led.storage == "parquet" or _delta_here(spark)
+    led.merge(
+        [
+            {"batch_id": "b1", "job_id": "batch_m1", "status": "submitted",
+             "timestamp": 100},
+            {"batch_id": "b2", "job_id": "batch_m2", "status": "submitted",
+             "timestamp": 100},
+        ]
+    )
+    led.merge(
+        [{"batch_id": "b1", "job_id": "batch_m1", "status": "completed",
+          "timestamp": 200}]
+    )
+    cur = {r["job_id"]: r["status"] for r in led.current().collect()}
+    assert cur == {"batch_m1": "completed", "batch_m2": "submitted"}
+    # One current row per key regardless of how many merges ran.
+    assert led.current().count() == 2
+
+
+def test_delta_storage_requires_runtime(spark, tmp_path):
+    """Forcing storage='delta' without the jar must fail loudly at
+    construction, not mid-lifecycle."""
+    if _delta_here(spark):
+        pytest.skip("delta runtime present: the gate is open here")
+    with pytest.raises(RuntimeError, match="[Dd]elta"):
+        Ledger(spark, str(tmp_path / "ld"), storage="delta")
+
+
+def test_merge_delta_real_merge_into(spark, tmp_path):
+    """With a Delta runtime: a real MERGE INTO keyed on job_id keeps
+    one row per job and current() matches the parquet fallback's view
+    on the same merge sequence (the cross-storage contract)."""
+    if not _delta_here(spark):
+        pytest.skip("no delta runtime in this container")
+    rows1 = [
+        {"batch_id": "b1", "job_id": "batch_m1", "status": "submitted",
+         "timestamp": 100},
+        {"batch_id": "b2", "job_id": "batch_m2", "status": "submitted",
+         "timestamp": 100},
+    ]
+    rows2 = [{"batch_id": "b1", "job_id": "batch_m1", "status": "completed",
+              "timestamp": 200}]
+    delta = Ledger(spark, str(tmp_path / "ldm"), storage="delta")
+    pq = Ledger(spark, str(tmp_path / "lpm"), storage="parquet")
+    for led in (delta, pq):
+        led.merge(rows1)
+        led.merge(rows2)
+    d = {r["job_id"]: r["status"] for r in delta.current().collect()}
+    p = {r["job_id"]: r["status"] for r in pq.current().collect()}
+    assert d == p == {"batch_m1": "completed", "batch_m2": "submitted"}
+    # MERGE upserts in place: the delta table itself is one row per job.
+    assert delta.events().count() == 2

@@ -617,3 +617,55 @@ def test_poller_unknown_status_is_recorded_and_dead_ends(spark, tmp_path):
     assert cur == {"job_exp": "unknown_expired", "job_ok2": "completed"}
     assert calls["job_exp"] == 1  # dead end: never polled again
     assert led.pending().count() == 0
+
+
+def test_tws_true_runtime_parity_with_apws(spark, tmp_path):
+    """TRUE-runtime execution of ledger_state_stream_tws wherever the
+    protobuf dependency exists (skipped in this container): the typed-
+    state transformWithStateInPandas query must emit the same
+    (prev_status, status) transition set as the applyInPandasWithState
+    twin on the same event stream, plus a monotone ListState trail."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("protobuf absent: TWS state protocol unavailable here")
+    src = tmp_path / "tws_stream"
+    src.mkdir()
+    out = str(tmp_path / "tws_out")
+    ck = str(tmp_path / "tws_ck")
+    events = [
+        {"job_id": "batch_a", "status": "submitted", "timestamp": 1},
+        {"job_id": "batch_a", "status": "in_progress", "timestamp": 2},
+        {"job_id": "batch_a", "status": "in_progress", "timestamp": 3},
+        {"job_id": "batch_a", "status": "completed", "timestamp": 4},
+        {"job_id": "batch_b", "status": "submitted", "timestamp": 1},
+    ]
+    (src / "e.json").write_text("\n".join(json.dumps(e) for e in events))
+    stream = spark.readStream.schema(
+        "job_id string, status string, timestamp long"
+    ).json(str(src))
+    q = (
+        ledger_state_stream_tws(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    a = {(r["prev_status"], r["status"]) for r in rows if r["job_id"] == "batch_a"}
+    assert a == {
+        (None, "submitted"),
+        ("submitted", "in_progress"),
+        ("in_progress", "completed"),
+    }
+    # Duplicate in_progress advanced the ordinal without emitting.
+    (completed,) = [
+        r for r in rows if r["job_id"] == "batch_a" and r["status"] == "completed"
+    ]
+    assert completed["n_updates"] == 4 and completed["trail_len"] == 3
+    assert {
+        (r["prev_status"], r["status"]) for r in rows if r["job_id"] == "batch_b"
+    } == {(None, "submitted")}
