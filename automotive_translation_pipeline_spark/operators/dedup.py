@@ -81,7 +81,17 @@ def minhash_lsh_candidates(
     Docs shorter than k words produce no shingles and drop out naturally.
     """
     rows_per_band = num_hashes // bands
-    shingled = df.select(
+    # Repartition by id BEFORE the shingle explode: the md5 ladder is
+    # compute-bound (num_hashes digests per shingle instance), and
+    # without this it inherits the SCAN's split count — a single-file
+    # corpus ran the whole signature computation on 1-2 tasks (measured
+    # at sf0.3/sf1: the stage pinned one core while 31 idled). The
+    # shuffle moves only (id, text) — smaller than the hashed rows —
+    # and the groupBy(id) below reuses the partitioning, so the plan's
+    # total exchange count does not grow.
+    shingled = df.select(F.col(id_col), F.col(text_col)).repartition(
+        F.col(id_col)
+    ).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("__sh"),
     )
@@ -210,7 +220,12 @@ def ngram_jaccard_pairs(
     The shingle join only pairs docs that share at least one shingle —
     with a hot-shingle guard this is the standard scalable formulation.
     """
-    shingled = df.select(
+    # Same scan-split decoupling as minhash_lsh_candidates: spread the
+    # shingle explode across the cluster, co-partitioned with the
+    # per-doc size aggregation below.
+    shingled = df.select(F.col(id_col), F.col(text_col)).repartition(
+        F.col(id_col)
+    ).select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh")
     )
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))

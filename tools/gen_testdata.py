@@ -57,9 +57,12 @@ EVENTS_SPAN_US = 30 * DAY_US  # .. 2024-01-31
 
 
 def _write(out: str, name: str, table: pa.Table) -> None:
+    # 64k-row groups: a single parquet file is then splittable into
+    # many scan tasks, emulating the many-file layout a real cluster
+    # reads (1M-row groups made every small table a 1-task scan).
     pq.write_table(
         table, os.path.join(out, f"{name}.parquet"),
-        row_group_size=1_000_000, compression="snappy",
+        row_group_size=65_536, compression="snappy",
     )
     print(f"  {name}: {table.num_rows} rows")
 
