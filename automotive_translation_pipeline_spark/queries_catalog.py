@@ -4765,3 +4765,148 @@ def sample_mixture_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(
         docs, "lang", "doc_id", {"en": 0.5, "zh": 0.3, "de": 0.2}
     )
+
+
+@register(
+    "text_chunk_windows",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_DUCK_NORM.format(c="text")} AS nt FROM documents
+    ), w AS (
+        SELECT doc_id, string_split(nt, ' ') AS words FROM d
+    ), ix AS (
+        SELECT doc_id, words, len(words) AS n,
+               unnest(range(0, greatest(0,
+                   CAST(ceil((len(words) - 32) / 24.0) AS BIGINT)) + 1)) AS i
+        FROM w
+    )
+    SELECT doc_id, i AS chunk_idx,
+           array_to_string(list_slice(words, i * 24 + 1, i * 24 + 32), ' ')
+               AS chunk_text,
+           least(32, n - i * 24) AS n_tokens
+    FROM ix
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking (32-token chunks, stride 24 — 8
+    tokens of overlap): the pre-tokenization step for context-bounded
+    training and long-document embedding (operators/chunking.py:
+    chunk_documents). Pure narrow plan — split/sequence/explode/slice,
+    zero shuffles, zero Python — so it parallelizes with the scan at
+    any corpus size."""
+    from .operators.chunking import chunk_documents
+
+    t = load_testdata(spark, sf_dir)
+    return chunk_documents(
+        t["documents"], text_col="text", id_col="doc_id",
+        chunk_tokens=32, stride=24,
+    )
+
+
+@register(
+    "dedup_segment_overlap",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_DUCK_NORM.format(c="text")} AS nt FROM documents
+    ), w AS (
+        SELECT doc_id, string_split(nt, ' ') AS words FROM d
+    ), seg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(words) - 6), i ->
+                   array_to_string(list_slice(words, i, i + 7), ' '))) AS s
+        FROM w WHERE len(words) >= 8
+    ), sf AS (
+        SELECT s, count(DISTINCT doc_id) AS nd FROM seg GROUP BY s
+    )
+    SELECT doc_id,
+           count(*) AS n_segments,
+           count(*) FILTER (WHERE nd > 1) AS dup_segments,
+           round(CAST(count(*) FILTER (WHERE nd > 1) AS DOUBLE)
+                 / count(*), 4) AS dup_frac
+    FROM seg JOIN sf USING (s)
+    GROUP BY doc_id
+    """,
+)
+def dedup_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-segment fraction: share of 8-token
+    windows (every word offset) that occur in >= 2 distinct documents
+    (operators/chunking.py:segment_dup_stats). The document-level
+    signal behind substring dedup (Lee et al. 2021) and the
+    duplicate-text-fraction gates in Gopher/RefinedWeb. Linear shapes
+    only: segment-frequency agg + co-partitioned join back + per-doc
+    rollup — a hot segment costs one frequency row, never a pair
+    explosion."""
+    from .operators.chunking import segment_dup_stats
+
+    t = load_testdata(spark, sf_dir)
+    return segment_dup_stats(t["documents"], text_col="text", id_col="doc_id", k=8)
+
+
+@register(
+    "curation_pack_chunks",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_DUCK_NORM.format(c="text")} AS nt FROM documents
+    ), w AS (
+        SELECT doc_id, string_split(nt, ' ') AS words FROM d
+    ), ix AS (
+        SELECT doc_id, len(words) AS n,
+               unnest(range(0, greatest(0,
+                   CAST(ceil((len(words) - 32) / 24.0) AS BIGINT)) + 1)) AS i
+        FROM w
+    ), ch AS (
+        SELECT doc_id, i AS chunk_idx, least(32, n - i * 24) AS n_tokens
+        FROM ix
+    ), cl AS (
+        SELECT ch.doc_id, ch.chunk_idx, ch.n_tokens, d2.lang,
+               ch.doc_id * 100 + ch.chunk_idx AS ord
+        FROM ch JOIN documents d2 USING (doc_id)
+    ), asg AS (
+        SELECT lang, doc_id, n_tokens,
+               lang || '-' || CAST(CAST(floor(
+                   (sum(n_tokens) OVER (PARTITION BY lang ORDER BY ord
+                                        ROWS UNBOUNDED PRECEDING) - 1e-9)
+                   / 64) AS BIGINT) AS VARCHAR) AS seq_id
+        FROM cl
+    )
+    SELECT seq_id, count(*) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           count(DISTINCT doc_id) AS n_docs
+    FROM asg GROUP BY seq_id
+    """,
+)
+def curation_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: sliding-window chunks (32/24) packed
+    into 64-token sequences by the sharded prefix-sum packer — the
+    chunk-level version of the reference's batch packer
+    (auto_translate.py:278-301), i.e. the pretraining bin-packing step
+    that turns variable-length chunks into fixed-budget sequences.
+    Shards by language (each shard packs independently — the 100 TB
+    contract from R-17); chunk order inside a shard is (doc_id,
+    chunk_idx) encoded as doc_id*100+chunk_idx (documents here have
+    < 100 chunks; at scale the order key would be a struct). Output is
+    per-sequence occupancy stats."""
+    from .operators.chunking import chunk_documents
+    from .operators.packing import assign_batches_cumsum
+
+    t = load_testdata(spark, sf_dir)
+    docs = t["documents"]
+    chunks = chunk_documents(
+        docs, text_col="text", id_col="doc_id", chunk_tokens=32, stride=24
+    )
+    with_lang = chunks.join(docs.select("doc_id", "lang"), "doc_id").withColumn(
+        "ord", F.col("doc_id") * 100 + F.col("chunk_idx")
+    )
+    packed = assign_batches_cumsum(
+        with_lang,
+        order_col="ord",
+        cost_col="n_tokens",
+        limit=64,
+        shard_col="lang",
+        batch_col="seq_id",
+    )
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count_distinct(F.col("doc_id")).alias("n_docs"),
+    )
