@@ -100,13 +100,24 @@ def segment_dup_stats(
     absent from the output (same contract as the shingle-based dedup
     operators).
 
-    Scale: the repartition decouples shingle-hash parallelism from the
-    scan's file layout (same rationale as minhash_lsh_candidates); the
-    frequency aggregation and the join back are both hash-partitioned
-    on the segment so the exchange is reused; the final rollup is one
-    keyed shuffle on the doc id. No step is quadratic — a hot segment
-    costs one frequency row, not a pair explosion.
+    Scale: ONE pass over the exploded segments — the corpus is never
+    scanned or shingled twice, and there is no doc-to-frequency join at
+    all (a naive freq-table join either broadcasts a corpus-sized
+    per-segment table or re-explodes the probe side). Instead:
+    (1) groupBy(seg, id) with count — Spark's partial aggregation
+    collapses within-doc repeats map-side before the shuffle; (2) the
+    distinct-doc count per segment is a window count over those
+    already-aggregated pairs (one row per (seg, doc), so the partition
+    is exactly the segment's doc list — bounded by corpus doc count,
+    no position blowup); (3) the per-doc rollup weights each pair by
+    its position count. Three keyed shuffles, all over pre-aggregated
+    rows; a hot segment costs rows proportional to its distinct docs,
+    never pairwise. The repartition decouples shingle-hash parallelism
+    from the scan's file layout (same rationale as
+    minhash_lsh_candidates).
     """
+    from pyspark.sql import Window
+
     ex = (
         df.select(F.col(id_col), F.col(text_col))
         .repartition(F.col(id_col))
@@ -115,13 +126,17 @@ def segment_dup_stats(
             F.explode(word_shingles(F.col(text_col), k)).alias("seg"),
         )
     )
-    freq = ex.groupBy("seg").agg(F.count_distinct(F.col(id_col)).alias("__nd"))
-    joined = ex.join(freq, "seg")
+    pairs = ex.groupBy("seg", id_col).agg(F.count(F.lit(1)).alias("__n_pos"))
+    with_nd = pairs.withColumn(
+        "__nd", F.count(F.lit(1)).over(Window.partitionBy("seg"))
+    )
     return (
-        joined.groupBy(id_col)
+        with_nd.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_segments"),
-            F.count(F.when(F.col("__nd") > 1, F.lit(1))).alias("dup_segments"),
+            F.sum("__n_pos").alias("n_segments"),
+            F.coalesce(
+                F.sum(F.when(F.col("__nd") > 1, F.col("__n_pos"))), F.lit(0)
+            ).alias("dup_segments"),
         )
         .withColumn(
             "dup_frac",

@@ -72,6 +72,17 @@ def test_chunk_plan_has_no_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_segment_dup_single_explode_pass(spark):
+    # Scale contract: the corpus must be shingle-exploded exactly once —
+    # no second scan branch and no doc-to-frequency join (which would
+    # either broadcast a corpus-sized table or re-explode the probe
+    # side at scale).
+    df = _docs(spark, [(1, " ".join(f"w{i}" for i in range(12)))])
+    plan = segment_dup_stats(df, k=8)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 1
+    assert "Join" not in plan
+
+
 def test_segment_dup_stats_planted_dup(spark):
     base = " ".join(f"w{i}" for i in range(10))  # 10 words -> 3 8-seg positions
     other = " ".join(f"u{i}" for i in range(10))
