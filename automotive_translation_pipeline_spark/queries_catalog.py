@@ -4910,3 +4910,37 @@ def curation_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.count_distinct(F.col("doc_id")).alias("n_docs"),
     )
+
+
+@register(
+    "text_unigram_surprisal",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_DUCK_NORM.format(c="text")} AS nt FROM documents
+    ), w AS (
+        SELECT doc_id, unnest(string_split(nt, ' ')) AS word FROM d
+    ), pairs AS (
+        SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2
+    ), wf AS (
+        SELECT doc_id, word, n,
+               CAST(sum(n) OVER (PARTITION BY word) AS DOUBLE) AS wc,
+               CAST(sum(n) OVER () AS DOUBLE) AS total
+        FROM pairs
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_words,
+           round(sum(n * -ln(wc / total)) / sum(n), 4) AS avg_surprisal
+    FROM wf GROUP BY doc_id
+    """,
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score, unigram form: per-document mean
+    -ln p(word) under the corpus unigram distribution
+    (operators/lm.py:unigram_surprisal). Low = boilerplate, high = rare
+    vocabulary/noise; both tails gate. Single corpus scan collapsed to
+    (word, doc, count) pairs map-side; frequency window + broadcast
+    total + weighted rollup all run over the pre-aggregated pairs."""
+    from .operators.lm import unigram_surprisal
+
+    t = load_testdata(spark, sf_dir)
+    return unigram_surprisal(t["documents"], text_col="text", id_col="doc_id")
