@@ -712,3 +712,59 @@ def mmr_rerank(
         )
 
     return with_vecs.groupBy(query_id_col).applyInPandas(pick, out_schema)
+
+
+def label_centroid_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k_outliers: int = 5,
+) -> DataFrame:
+    """Embedding-space mislabel/quality gate: cosine of every vector to
+    its label's centroid, flagging the ``k_outliers`` least-similar
+    vectors per label — the standard prune for mislabeled or
+    mis-embedded examples in a labeled training corpus.
+
+    Scale shape: centroids come from a posexplode collapsed map-side to
+    (label, dim, partial-sum) — linear in rows x dim with tiny
+    exploded tuples — and re-assembled into a (labels x dim) dim table
+    that broadcasts back; the per-row cosine is then a native
+    ``zip_with``/``aggregate`` expression (no Python, no shuffle of the
+    vectors themselves). The outlier rank is one keyed window per
+    label. For label cardinalities too big to broadcast, drop the
+    broadcast hint and Spark falls back to a shuffle join on label —
+    the rest of the plan is unchanged.
+    """
+    emb_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ex = df.select(
+        F.col(label_col),
+        F.posexplode(emb_d).alias("__pos", "__v"),
+    )
+    centroids = (
+        ex.groupBy(label_col, "__pos")
+        .agg(F.avg("__v").alias("__cv"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__cv"))),
+                lambda s: s["__cv"],
+            ).alias("__centroid")
+        )
+    )
+    joined = df.join(F.broadcast(centroids), label_col)
+    cos = _dot(emb_d, F.col("__centroid")) / (
+        _norm(emb_d) * _norm(F.col("__centroid"))
+    )
+    scored = joined.select(
+        F.col(id_col), F.col(label_col), cos.alias("__cos")
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(label_col).orderBy(F.col("__cos").asc(), F.col(id_col))
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.round(F.col("__cos"), 4).alias("cosine_c"),
+        (rank <= F.lit(k_outliers)).alias("is_outlier"),
+    )

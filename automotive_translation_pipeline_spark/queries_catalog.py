@@ -4944,3 +4944,43 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_testdata(spark, sf_dir)
     return unigram_surprisal(t["documents"], text_col="text", id_col="doc_id")
+
+
+@register(
+    "embedding_label_outliers",
+    """
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+        FROM embeddings
+    ), u AS (
+        SELECT vec_id, label, unnest(emb) AS v,
+               unnest(generate_series(1, len(emb))) AS pos
+        FROM e
+    ), c AS (
+        SELECT label, pos, avg(v) AS cv FROM u GROUP BY 1, 2
+    ), d AS (
+        SELECT u.vec_id, u.label,
+               sum(u.v * c.cv) AS dot,
+               sqrt(sum(u.v * u.v)) AS ne,
+               sqrt(sum(c.cv * c.cv)) AS nc
+        FROM u JOIN c USING (label, pos) GROUP BY 1, 2
+    ), s AS (
+        SELECT vec_id, label, dot / (ne * nc) AS cos FROM d
+    )
+    SELECT vec_id, label, round(cos, 4) AS cosine_c,
+           (row_number() OVER (PARTITION BY label ORDER BY cos, vec_id)) <= 5
+               AS is_outlier
+    FROM s
+    """,
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding quality gate: cosine of each vector to its label's
+    centroid, bottom-5 per label flagged as outliers (mislabeled /
+    mis-embedded candidates) — operators/similarity.py:
+    label_centroid_outliers. Centroids from a map-side-collapsed
+    posexplode, broadcast back; cosine is native zip_with/aggregate."""
+    from .operators.similarity import label_centroid_outliers
+
+    t = load_testdata(spark, sf_dir)
+    return label_centroid_outliers(t["embeddings"], k_outliers=5)

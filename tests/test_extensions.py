@@ -547,3 +547,62 @@ def test_mixture_sample_absent_target_group_yields_empty(spark, sf_dir):
     docs = load_testdata(spark, sf_dir)["documents"].select("doc_id", "lang")
     targets = {"en": 0.8, "xx_no_such_lang": 0.2}
     assert mixture_sample(docs, "lang", "doc_id", targets).count() == 0
+
+
+def test_label_centroid_outliers_flags_planted_outlier(spark):
+    from automotive_translation_pipeline_spark.operators.similarity import (
+        label_centroid_outliers,
+    )
+
+    # Label 0: three near-identical vectors + one pointing the opposite
+    # way. The opposite vector must be the worst-ranked outlier.
+    rows = [
+        (1, [1.0, 0.1, 0.0], 0),
+        (2, [1.0, 0.0, 0.1], 0),
+        (3, [0.9, 0.1, 0.1], 0),
+        (4, [-1.0, 0.0, 0.0], 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = {r.vec_id: r for r in label_centroid_outliers(df, k_outliers=1).collect()}
+    assert out[4].is_outlier and not out[1].is_outlier
+    assert out[4].cosine_c < 0 < out[1].cosine_c
+
+
+def test_label_centroid_outliers_per_label_independent(spark):
+    from automotive_translation_pipeline_spark.operators.similarity import (
+        label_centroid_outliers,
+    )
+
+    # Two labels, each with its own geometry; exactly k=1 outlier per
+    # label and ranks never cross labels.
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.05], 0),
+        (3, [0.0, 1.0], 0),
+        (10, [0.0, 1.0], 1),
+        (11, [0.05, 1.0], 1),
+        (12, [1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = label_centroid_outliers(df, k_outliers=1).collect()
+    flagged = sorted(r.vec_id for r in out if r.is_outlier)
+    assert flagged == [3, 12]
+    assert len(out) == 6
+
+
+def test_label_centroid_outliers_centroid_value(spark):
+    from automotive_translation_pipeline_spark.operators.similarity import (
+        label_centroid_outliers,
+    )
+
+    # Single vector == its own centroid -> cosine exactly 1.
+    df = spark.createDataFrame(
+        [(1, [0.3, 0.4], 7)], "vec_id bigint, embedding array<float>, label int"
+    )
+    r = label_centroid_outliers(df, k_outliers=0).collect()[0]
+    assert r.cosine_c == 1.0
+    assert not r.is_outlier
