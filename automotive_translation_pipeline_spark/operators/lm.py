@@ -79,3 +79,72 @@ def unigram_surprisal(
             F.log(F.col("__total")) - F.col("__mean_ln_wc"), ndigits
         ).alias("avg_surprisal"),
     )
+
+
+def split_word_drift(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_fraction: float = 0.1,
+    top_k: int = 20,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Distribution drift between the train and eval splits: the top-k
+    words by contribution to the Jensen-Shannon divergence between the
+    splits' add-one-smoothed unigram distributions (smoothing over the
+    joint vocabulary keeps split-exclusive words finite). JS rather
+    than KL(train||eval) because KL weights each word's term by its
+    TRAIN mass — a word that exists only in eval gets almost no weight,
+    which is exactly the word the diagnostic must surface; the JS term
+    0.5*(p*ln(p/m) + q*ln(q/m)) with m=(p+q)/2 is symmetric and
+    pointwise non-negative, so one ranking flags drift in either
+    direction. A well-mixed hash split shows uniformly tiny terms; a
+    spike names the word — the cheap standing diagnostic for split
+    skew and contamination-shaped drift between corpus snapshots.
+
+    Scale shape: one corpus scan; the split label is a pure expression
+    of the id (the same md5 bucket as the samplers — no join against a
+    membership table); the per-word split counts collapse map-side into
+    one vocabulary-sized table, which is persisted so the totals
+    (1-row aggregate) and the scored top-k both read it; the top-k is
+    a TakeOrdered, never a global sort.
+    """
+    from .sampling import split_of
+
+    words = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(F.col(id_col))
+        .select(
+            split_of(F.col(id_col), eval_fraction).alias("__split"),
+            F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("word"),
+        )
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(
+            F.count(F.when(F.col("__split") == "train", F.lit(1))).alias("n_train"),
+            F.count(F.when(F.col("__split") == "eval", F.lit(1))).alias("n_eval"),
+        )
+        .persist()
+    )
+    totals = vocab.agg(
+        F.sum("n_train").cast("double").alias("__t_tr"),
+        F.sum("n_eval").cast("double").alias("__t_ev"),
+        F.count(F.lit(1)).cast("double").alias("__v"),
+    )
+    p_tr = (F.col("n_train") + 1) / (F.col("__t_tr") + F.col("__v"))
+    p_ev = (F.col("n_eval") + 1) / (F.col("__t_ev") + F.col("__v"))
+    m = (p_tr + p_ev) / 2
+    scored = vocab.crossJoin(F.broadcast(totals)).withColumn(
+        "__js", (p_tr * F.log(p_tr / m) + p_ev * F.log(p_ev / m)) / 2
+    )
+    return (
+        scored.orderBy(F.col("__js").desc(), F.col("word"))
+        .limit(top_k)
+        .select(
+            "word",
+            "n_train",
+            "n_eval",
+            F.round(F.col("__js"), ndigits).alias("js_term"),
+        )
+    )

@@ -4984,3 +4984,53 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_testdata(spark, sf_dir)
     return label_centroid_outliers(t["embeddings"], k_outliers=5)
+
+
+@register(
+    "text_split_drift",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_DUCK_NORM.format(c="text")} AS nt FROM documents
+    ), w AS (
+        SELECT CASE WHEN {_DUCK_BUCKET.format(k="doc_id")} < 1000
+                    THEN 'eval' ELSE 'train' END AS split,
+               unnest(string_split(nt, ' ')) AS word
+        FROM d
+    ), v AS (
+        SELECT word,
+               count(*) FILTER (WHERE split = 'train') AS n_train,
+               count(*) FILTER (WHERE split = 'eval') AS n_eval
+        FROM w GROUP BY word
+    ), t AS (
+        SELECT CAST(sum(n_train) AS DOUBLE) AS t_tr,
+               CAST(sum(n_eval) AS DOUBLE) AS t_ev,
+               CAST(count(*) AS DOUBLE) AS vs
+        FROM v
+    ), s AS (
+        SELECT word, n_train, n_eval,
+               (n_train + 1) / (t_tr + vs) AS p_tr,
+               (n_eval + 1) / (t_ev + vs) AS p_ev
+        FROM v, t
+    ), j AS (
+        SELECT word, n_train, n_eval,
+               (p_tr * ln(p_tr / ((p_tr + p_ev) / 2))
+                + p_ev * ln(p_ev / ((p_tr + p_ev) / 2))) / 2 AS js
+        FROM s
+    )
+    SELECT word, n_train, n_eval, round(js, 6) AS js_term
+    FROM j
+    ORDER BY js DESC, word
+    LIMIT 20
+    """,
+)
+def text_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-skew diagnostic: top-20 words by contribution to the
+    Jensen-Shannon divergence between the splits' add-one-smoothed
+    unigram distributions (symmetric — surfaces words over-represented
+    in EITHER split), split derived from the same md5 bucket as the
+    samplers (operators/lm.py:split_word_drift). One scan,
+    vocabulary-sized persisted counts, TakeOrdered top-k."""
+    from .operators.lm import split_word_drift
+
+    t = load_testdata(spark, sf_dir)
+    return split_word_drift(t["documents"], eval_fraction=0.1, top_k=20)

@@ -64,3 +64,59 @@ def test_deterministic_across_runs(spark):
     a = sorted(unigram_surprisal(df).collect())
     b = sorted(unigram_surprisal(df).collect())
     assert a == b
+
+
+# --- split_word_drift ------------------------------------------------------
+# doc_ids 6, 22, 26 hash into the eval bucket (md5 bucket < 1000/10000);
+# 0, 1, 2 land in train — precomputed from the same md5 rule the
+# samplers use.
+
+def test_split_drift_flags_eval_only_word(spark):
+    from automotive_translation_pipeline_spark.operators.lm import split_word_drift
+
+    df = _docs(
+        spark,
+        [
+            (0, "common common filler"),
+            (1, "common filler other"),
+            (2, "common other filler"),
+            (6, "common leakword leakword leakword"),
+        ],
+    )
+    out = split_word_drift(df, top_k=2).collect()
+    # The eval-only word dominates the JS ranking (the symmetric
+    # divergence keeps full weight on eval-side mass — KL(train||eval)
+    # would have buried it under the train-heavy words).
+    top = out[0]
+    assert top.word == "leakword"
+    assert top.n_train == 0 and top.n_eval == 3
+    assert top.js_term > 0
+
+
+def test_split_drift_topk_and_determinism(spark):
+    from automotive_translation_pipeline_spark.operators.lm import split_word_drift
+
+    rows = [(i, f"w{i % 7} w{(i * 3) % 5} shared") for i in range(40)]
+    df = _docs(spark, rows)
+    a = split_word_drift(df, top_k=5).collect()
+    b = split_word_drift(df, top_k=5).collect()
+    assert [r.word for r in a] == [r.word for r in b]
+    assert len(a) == 5
+    # ranking is by the JS term, descending; terms are pointwise >= 0
+    kls = [r.js_term for r in a]
+    assert kls == sorted(kls, reverse=True)
+    assert all(k >= 0 for k in kls)
+
+
+def test_split_drift_smoothing_keeps_terms_finite(spark):
+    from automotive_translation_pipeline_spark.operators.lm import split_word_drift
+
+    # Every word exclusive to one split: nothing may be inf/NaN.
+    import math
+
+    df = _docs(spark, [(0, "onlytrain"), (6, "onlyeval")])
+    out = split_word_drift(df, top_k=10).collect()
+    assert out and all(math.isfinite(r.js_term) for r in out)
+    # fully symmetric corpus: the two exclusive words draw equal terms
+    by_word = {r.word: r.js_term for r in out}
+    assert by_word["onlytrain"] == by_word["onlyeval"]
