@@ -103,3 +103,20 @@ def strip_numbering(c: Column) -> Column:
     """F-19: remove a leading ``N. `` numbering prefix.
     Reference: ``old_functionalities/testing.py:23-24``."""
     return F.regexp_replace(c, r"^\d+\.\s*", "")
+
+
+def collapse_word_repeats(c: Column) -> Column:
+    """Collapse consecutive repeated words in the normalized text
+    ("the the the model" -> "the model") — the stutter/boilerplate-run
+    cleanup from standard web-text pipelines, as a pure array
+    expression: split, keep position i when it differs from position
+    i-1 (indexed lambda — ``element_at`` is 1-based so with Spark's
+    0-based lambda index it reads the PREVIOUS element), re-join.
+    Zero shuffles, zero Python; runs at scan speed on any corpus."""
+    from .text import normalized_text
+
+    words = F.split(normalized_text(c), " ")
+    kept = F.filter(
+        words, lambda x, i: (i == F.lit(0)) | (x != F.element_at(words, i))
+    )
+    return F.array_join(kept, " ")

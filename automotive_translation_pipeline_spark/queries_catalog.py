@@ -5034,3 +5034,42 @@ def text_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_testdata(spark, sf_dir)
     return split_word_drift(t["documents"], eval_fraction=0.1, top_k=20)
+
+
+@register(
+    "text_collapse_repeats",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_DUCK_NORM.format(c="text")} AS nt FROM documents
+    ), w AS (
+        SELECT doc_id, string_split(nt, ' ') AS words FROM d
+    )
+    SELECT doc_id,
+           array_to_string(
+               list_filter(words, (x, i) -> i = 1 OR x <> words[i - 1]), ' ')
+               AS clean_text,
+           CAST(len(words)
+                - len(list_filter(words, (x, i) -> i = 1 OR x <> words[i - 1]))
+                AS BIGINT) AS n_removed
+    FROM w
+    """,
+)
+def text_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document stutter removal: collapse consecutive repeated
+    words (functions/cleaning.py:collapse_word_repeats) and report how
+    many tokens were dropped. Pure array expressions — a scan-speed
+    cleanup stage with no shuffle and no Python."""
+    from .functions.cleaning import collapse_word_repeats
+    from .functions.text import normalized_text
+
+    t = load_testdata(spark, sf_dir)
+    docs = t["documents"]
+    words = F.split(normalized_text(F.col("text")), " ")
+    kept = F.filter(
+        words, lambda x, i: (i == F.lit(0)) | (x != F.element_at(words, i))
+    )
+    return docs.select(
+        "doc_id",
+        collapse_word_repeats(F.col("text")).alias("clean_text"),
+        (F.size(words) - F.size(kept)).cast("long").alias("n_removed"),
+    )

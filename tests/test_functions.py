@@ -175,3 +175,46 @@ def test_py_bpe_twin_matches_native(spark):
     rows = df.select("v", bpe_token_count(F.col("v")).alias("h")).collect()
     for r in rows:
         assert py_bpe_token_count(r["v"]) == r["h"], repr(r["v"])
+
+
+def test_collapse_word_repeats(spark):
+    from pyspark.sql import functions as F
+
+    from automotive_translation_pipeline_spark.functions.cleaning import (
+        collapse_word_repeats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the model model works"),
+            (2, "no repeats here"),
+            (3, "  A  a b  B "),   # normalization folds case/whitespace first
+            (4, "x"),
+        ],
+        "i bigint, t string",
+    )
+    out = {
+        r.i: r.c
+        for r in df.select("i", collapse_word_repeats(F.col("t")).alias("c")).collect()
+    }
+    assert out[1] == "the model works"
+    assert out[2] == "no repeats here"
+    assert out[3] == "a b"
+    assert out[4] == "x"
+
+
+def test_collapse_word_repeats_no_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from automotive_translation_pipeline_spark.functions.cleaning import (
+        collapse_word_repeats,
+    )
+
+    df = spark.createDataFrame([(1, "a a b")], "i bigint, t string")
+    plan = (
+        df.select(collapse_word_repeats(F.col("t")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
