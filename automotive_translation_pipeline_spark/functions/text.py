@@ -236,3 +236,29 @@ def gopher_pass(c: Column) -> Column:
         & (symbols * 1.0 / F.greatest(F.length(txt), F.lit(1)) < 0.1)
         & (alpha_words * 1.0 / wc >= 0.8)
     )
+
+
+def char_entropy(c: Column, ndigits: int = 4) -> Column:
+    """Shannon entropy (bits/char) of the normalized character
+    distribution — a compressibility proxy for quality gating: near-0
+    means degenerate repetition (keyboard mash, padding), natural text
+    sits ~3.5-4.5 bits. Pure array lambdas inside codegen — no shuffle,
+    no Python — so it runs at scan speed like gopher_pass.
+
+    Denominator is length(normalized) rather than the char-array size:
+    the two agree on every non-empty string in both engines, but
+    empty-string char-splits differ (Spark yields [''], DuckDB []), and
+    length() pins empty docs to entropy 0.0 identically.
+    """
+    nt = normalized_text(c)
+    n = F.length(nt).cast("double")
+    chars = F.split(nt, "")
+    p_of = lambda ch: (  # noqa: E731 — closure over chars/n
+        F.size(F.filter(chars, lambda y: y == ch)).cast("double") / n
+    )
+    h = -F.aggregate(
+        F.array_distinct(chars),
+        F.lit(0.0),
+        lambda acc, ch: acc + p_of(ch) * F.log2(p_of(ch)),
+    )
+    return F.round(F.when(n > 0, h).otherwise(F.lit(0.0)), ndigits)

@@ -519,3 +519,54 @@ def canonical_survivors(
         "component",
         (F.row_number().over(w) == 1).alias("is_canonical"),
     )
+
+
+def sorted_neighbor_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    block_chars: int = 2,
+    key_chars: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates (Hernandez & Stolfo's
+    SNM): sort documents by a normalized prefix key and compare each
+    row only to its immediate predecessor in sort order, blocked by the
+    first ``block_chars`` of the key so the sort is a keyed window, not
+    a global single-task ordering.
+
+    The complementary shape to MinHash banding: zero shingling cost,
+    one shuffle on the block key, O(n) comparisons — it catches the
+    "same document, edited tail" family (shared prefixes sort
+    adjacent), and misses prefix-divergent dups, which is exactly what
+    the LSH family is for. At 100 TB you run 2-3 passes with different
+    key orderings (prefix, reversed, mid-content) and union the pairs;
+    each pass stays one keyed shuffle.
+
+    Returns (id_a, id_b, jaccard) for adjacent pairs whose distinct
+    word-set Jaccard >= threshold, id_a < id_b ordering within the
+    sort, deterministic tie-break by id.
+    """
+    nt = normalized_text(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        F.substring(nt, 1, block_chars).alias("__block"),
+        F.substring(nt, 1, key_chars).alias("__key"),
+        F.array_distinct(F.split(nt, " ")).alias("__words"),
+    )
+    w = Window.partitionBy("__block").orderBy("__key", id_col)
+    with_prev = base.select(
+        F.col(id_col).alias("id_b"),
+        "__words",
+        F.lag(id_col).over(w).alias("id_a"),
+        F.lag("__words").over(w).alias("__prev_words"),
+    ).filter(F.col("id_a").isNotNull())
+    inter = F.size(F.array_intersect("__words", "__prev_words"))
+    union = F.size(F.array_union("__words", "__prev_words"))
+    jac = inter.cast("double") / union
+    return (
+        with_prev.withColumn("jaccard", F.round(jac, ndigits))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

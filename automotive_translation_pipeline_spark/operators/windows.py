@@ -74,3 +74,41 @@ def sequence_check(
         df.withColumn("expected_number", F.row_number().over(w))
         .filter(F.col(number_col) != F.col("expected_number"))
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their
+    first event; for each (cohort_week, week_offset) the number of
+    distinct cohort users active that many weeks later.
+
+    Scale shape: first-event timestamp attaches as a min() window over
+    the user partition (ONE shuffle on user_id — no groupBy+re-join of
+    the event stream), then the rollup collapses to
+    (cohort, offset, user) map-side before the distinct count. Nothing
+    is corpus-wide except those keyed shuffles; skewed users cost one
+    window partition each.
+
+    Returns (cohort_week DATE, week_offset BIGINT, n_users BIGINT).
+    """
+    w = Window.partitionBy(user_col)
+    base = events.select(
+        F.col(user_col),
+        F.to_date(ts_col).alias("__d"),
+        F.min(ts_col).over(w).alias("__first_ts"),
+    )
+    cohort = F.date_trunc("week", F.col("__first_ts")).cast("date")
+    offset = F.floor(F.datediff(F.col("__d"), cohort) / 7)
+    return (
+        base.select(
+            cohort.alias("cohort_week"),
+            offset.alias("week_offset"),
+            F.col(user_col),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -5073,3 +5073,178 @@ def text_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         collapse_word_repeats(F.col("text")).alias("clean_text"),
         (F.size(words) - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+# =========================================================================
+# full-text search (operators/search.py)
+# =========================================================================
+
+_BM25_QUERIES = [
+    (1, "spark query engine"),
+    (2, "fast filter scan"),
+    (3, "stream window join"),
+    (4, "hash group batch"),
+]
+
+
+@register(
+    "search_bm25_topk",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_DUCK_NORM.format(c="text")} AS nt FROM documents
+    ), w AS (
+        SELECT doc_id, unnest(string_split(nt, ' ')) AS word FROM d
+    ), p AS (
+        SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2
+    ), stats AS (
+        SELECT doc_id, word, tf,
+               CAST(count(*) OVER (PARTITION BY word) AS DOUBLE) AS df,
+               CAST(sum(tf) OVER (PARTITION BY doc_id) AS DOUBLE) AS dl
+        FROM p
+    ), corpus AS (
+        SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+               CAST(sum(tf) AS DOUBLE) AS total_tokens
+        FROM p
+    ), q AS (
+        SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS word
+        FROM (VALUES (1, 'spark query engine'), (2, 'fast filter scan'),
+                     (3, 'stream window join'), (4, 'hash group batch'))
+             AS t(query_id, qtext)
+    ), sc AS (
+        SELECT q.query_id, s.doc_id,
+               round(sum(
+                   ln(1 + (c.n_docs - s.df + 0.5) / (s.df + 0.5))
+                   * s.tf * 2.2
+                   / (s.tf + 1.2 * (0.25 + 0.75 * s.dl
+                                    / (c.total_tokens / c.n_docs)))
+               ), 4) AS score
+        FROM stats s JOIN q USING (word), corpus c
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+          FROM sc)
+    WHERE rn <= 10
+    """,
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval over the document store: BM25 top-10 per query
+    (operators/search.py:bm25_topk). One corpus scan collapses to
+    (word, doc, tf) postings; df/dl attach as postings windows; the
+    4-query term set broadcasts against the postings; top-k is a
+    per-query window. The corpus is never scanned per query."""
+    from .operators.search import bm25_topk
+
+    t = load_testdata(spark, sf_dir)
+    return bm25_topk(spark, t["documents"], _BM25_QUERIES, k=10)
+
+
+@register(
+    "text_char_entropy",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_DUCK_NORM.format(c="text")} AS nt FROM documents
+    ), c AS (
+        SELECT doc_id, length(nt) AS n, string_split(nt, '') AS chars FROM d
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars_norm,
+           CAST(len(list_distinct(chars)) AS BIGINT) AS n_distinct_chars,
+           round(CASE WHEN n = 0 THEN 0.0 ELSE
+               -list_sum(list_transform(list_distinct(chars), x ->
+                   (CAST(len(list_filter(chars, y -> y = x)) AS DOUBLE) / n)
+                   * log2(CAST(len(list_filter(chars, y -> y = x)) AS DOUBLE)
+                          / n)))
+           END, 4) AS char_entropy
+    FROM c
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (functions/text.py:char_entropy):
+    Shannon bits/char of each document's normalized character
+    distribution plus the distinct-char count. Whole-stage-codegen
+    array lambdas — a zero-shuffle scan-level gate that catches
+    degenerate/low-compressibility text the word-level rules miss."""
+    from .functions.text import char_entropy, normalized_text
+
+    t = load_testdata(spark, sf_dir)
+    nt = normalized_text(F.col("text"))
+    return t["documents"].select(
+        "doc_id",
+        F.length(nt).cast("long").alias("n_chars_norm"),
+        F.size(F.array_distinct(F.split(nt, ""))).cast("long").alias(
+            "n_distinct_chars"
+        ),
+        char_entropy(F.col("text")).alias("char_entropy"),
+    )
+
+
+@register(
+    "dedup_sorted_neighbors",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_DUCK_NORM.format(c="text")} AS nt FROM documents
+    ), b AS (
+        SELECT doc_id, substring(nt, 1, 2) AS blk, substring(nt, 1, 30) AS k,
+               list_distinct(string_split(nt, ' ')) AS words
+        FROM d
+    ), p AS (
+        SELECT doc_id AS id_b, words,
+               lag(doc_id) OVER w AS id_a,
+               lag(words) OVER w AS prev_words
+        FROM b
+        WINDOW w AS (PARTITION BY blk ORDER BY k, doc_id)
+    )
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(words, prev_words)) AS DOUBLE)
+                 / len(list_distinct(list_concat(words, prev_words))), 4)
+               AS jaccard
+    FROM p
+    WHERE id_a IS NOT NULL
+      AND round(CAST(len(list_intersect(words, prev_words)) AS DOUBLE)
+                / len(list_distinct(list_concat(words, prev_words))), 4)
+          >= 0.3
+    """,
+)
+def dedup_sorted_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates
+    (operators/dedup.py:sorted_neighbor_pairs): block on the first 2
+    normalized chars, order by the 30-char prefix key, compare each doc
+    to its predecessor only — O(n) comparisons, one keyed shuffle, no
+    shingling. Complements MinHash banding for the shared-prefix dup
+    family."""
+    from .operators.dedup import sorted_neighbor_pairs
+
+    t = load_testdata(spark, sf_dir)
+    return sorted_neighbor_pairs(t["documents"], threshold=0.3)
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH f AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               min(ts) OVER (PARTITION BY user_id) AS first_ts
+        FROM events
+    ), l AS (
+        SELECT CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+               CAST(floor(date_diff('day',
+                   CAST(date_trunc('week', first_ts) AS DATE), d) / 7)
+                   AS BIGINT) AS week_offset,
+               user_id
+        FROM f
+    )
+    SELECT cohort_week, week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM l GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over the event stream
+    (operators/windows.py:cohort_retention): first-touch week per user
+    via a user-partition window (one keyed shuffle), then a map-side-
+    collapsed distinct-user rollup per (cohort, offset)."""
+    from .operators.windows import cohort_retention
+
+    t = load_testdata(spark, sf_dir)
+    return cohort_retention(t["events"])
