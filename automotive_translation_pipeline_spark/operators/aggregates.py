@@ -117,3 +117,48 @@ def merge_agg_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
         F.sum("n_rows").alias("n_rows"),
         *[F.sum(c).alias(c) for c in sum_cols],
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    bins: int = 10,
+) -> DataFrame:
+    """EXACT equi-depth (equal-frequency) histogram: every bin holds
+    count/bins rows (±1), with true bin boundaries — the profile shape
+    approx-percentile sketches can't pin down exactly.
+
+    The naive form is ntile()/row_number() over a GLOBAL window — the
+    single-task antipattern. This uses the range-partitioned global
+    index (operators/indexing.py:with_global_index: range exchange +
+    per-partition numbering + P-row offset broadcast), so the only
+    corpus-wide costs are one range shuffle and one keyed rollup.
+    Bin assignment is floor(idx * bins / n) over the 0-based index —
+    identical, engine-portable arithmetic on both sides (ntile()'s
+    put-remainder-first sizing is deliberately NOT used: floor() keeps
+    the assignment a pure function of (idx, n)).
+
+    Returns (bin, n_rows, lo, hi, sum_v) per bin.
+    """
+    from .indexing import with_global_index
+
+    order = [value_col, *tiebreak_cols]
+    indexed = with_global_index(
+        df.select(*order), order, index_col="__idx", start=0
+    )
+    total = indexed.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        indexed.crossJoin(F.broadcast(total))
+        .withColumn(
+            "bin",
+            F.floor(F.col("__idx") * bins / F.col("__n")).cast("long"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min(value_col), 2).alias("lo"),
+            F.round(F.max(value_col), 2).alias("hi"),
+            F.round(F.sum(value_col), 2).alias("sum_v"),
+        )
+    )

@@ -216,3 +216,68 @@ def cogroup_reconcile(
         .cogroup(actual.groupBy(bucket_col))
         .applyInPandas(reconcile, out_schema)
     )
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small_keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Semi-join where the probe side is pre-pruned by a Bloom filter
+    of the build side's keys — the runtime-row-filter pattern for the
+    case where the dimension is too large to broadcast as a hash
+    relation but its ~8 KB bloom is not.
+
+    Everything stays in-plan: key hashes explode to bit positions,
+    positions collapse to a <= m/64-entry (word -> bits) map via
+    bit_or aggregation, the ONE-row map broadcasts, and the probe
+    side's might-contain test is k map lookups inside codegen. Rows
+    surviving the bloom (all true hits + ~0.1% false positives at
+    these defaults) then pass through an exact left-semi join, so the
+    result is exact; the bloom's job is to shrink the probe side
+    BEFORE the exchange. Exactly the plan Spark's own
+    runtime.bloomFilter injection produces, made explicit and
+    engine-controlled.
+    """
+    positions = [
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+        for i in range(k_hashes)
+    ]
+    exploded = small_keys.select(
+        F.explode(F.array(*positions)).alias("__pos")
+    )
+    # shiftleft's python binding takes a literal shift only; the SQL
+    # form accepts an expression, and stays inside codegen.
+    words = exploded.groupBy(
+        (F.col("__pos") / 64).cast("long").alias("__w")
+    ).agg(
+        F.bit_or(
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))"
+            )
+        ).alias("__bits")
+    )
+    bf = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__w", "__bits"))
+        ).alias("__bf")
+    )
+
+    probe = big.crossJoin(F.broadcast(bf))
+    hit = F.lit(True)
+    for i in range(k_hashes):
+        pos = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+        word = F.coalesce(
+            F.element_at("__bf", (pos / 64).cast("long")), F.lit(0).cast("long")
+        )
+        mask = F.expr(
+            "shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pmod(pmod(xxhash64({key_col}, {i}), {m_bits}), 64) AS INT))"
+        )
+        hit = hit & (word.bitwiseAND(mask) != 0)
+    pruned = probe.filter(hit).drop("__bf")
+    return pruned.join(
+        small_keys.select(key_col).distinct(), key_col, "left_semi"
+    )

@@ -5248,3 +5248,108 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_testdata(spark, sf_dir)
     return cohort_retention(t["events"])
+
+
+@register(
+    "profile_equidepth_histogram",
+    """
+    WITH r AS (
+        SELECT l_extendedprice AS p,
+               row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                           l_linenumber) - 1 AS idx,
+               count(*) OVER () AS n
+        FROM lineitem
+    )
+    SELECT CAST(floor(idx * 10.0 / n) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(p), 2) AS lo, round(max(p), 2) AS hi,
+           round(sum(p), 2) AS sum_v
+    FROM r GROUP BY 1
+    """,
+)
+def profile_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10-bin equal-frequency histogram of l_extendedprice
+    (operators/aggregates.py:equidepth_histogram). The oracle's global
+    row_number() window is replaced by the range-exchange global index,
+    so no single-task sort exists in the Spark plan."""
+    from .operators.aggregates import equidepth_histogram
+
+    t = load_testdata(spark, sf_dir)
+    return equidepth_histogram(
+        t["lineitem"], "l_extendedprice",
+        ["l_orderkey", "l_linenumber"], bins=10,
+    )
+
+
+@register(
+    "cdc_apply_changes",
+    """
+    WITH feed AS (
+        SELECT user_id, ts, event_id, value, event_type,
+               CASE WHEN event_type = 'signup' THEN 'I'
+                    WHEN event_type = 'error' THEN 'D'
+                    ELSE 'U' END AS op
+        FROM events
+    ), r AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM feed
+    )
+    SELECT user_id, event_type AS last_type,
+           round(value, 2) AS last_value, ts AS last_ts
+    FROM r WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot materialization (operators/cdc.py:apply_changes):
+    the event stream re-cast as a change feed (signup=insert,
+    error=delete tombstone, else update) collapses to its latest-wins
+    per-user snapshot — one keyed shuffle, tombstoned keys dropped."""
+    from .operators.cdc import apply_changes
+
+    t = load_testdata(spark, sf_dir)
+    feed = t["events"].select(
+        "user_id", "ts", "event_id", "value", "event_type",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    snap = apply_changes(
+        feed, key_cols=["user_id"], seq_cols=["ts", "event_id"]
+    )
+    return snap.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.round("value", 2).alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "bloom_pruned_semi_join",
+    """
+    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total_r
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment = 'AUTOMOBILE')
+    """,
+)
+def bloom_pruned_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders of AUTOMOBILE-segment customers via a bloom-pruned exact
+    semi-join (operators/joins.py:bloom_semi_join): the segment's key
+    bloom collapses to a one-row broadcast map, orders are pruned by k
+    codegen map lookups before the exchange, then an exact left-semi
+    join removes the bloom's false positives."""
+    from .operators.joins import bloom_semi_join
+
+    t = load_testdata(spark, sf_dir)
+    seg = t["customer"].filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    out = bloom_semi_join(t["orders"], seg, "o_custkey")
+    return out.select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_r")
+    )

@@ -1,0 +1,161 @@
+"""Unit tests for the round-4 additions: BM25 search, char entropy,
+sorted-neighborhood dedup, cohort retention, CDC apply, equi-depth
+histogram, bloom-pruned semi-join."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from automotive_translation_pipeline_spark.functions.text import char_entropy
+from automotive_translation_pipeline_spark.operators.aggregates import (
+    equidepth_histogram,
+)
+from automotive_translation_pipeline_spark.operators.cdc import apply_changes
+from automotive_translation_pipeline_spark.operators.dedup import (
+    sorted_neighbor_pairs,
+)
+from automotive_translation_pipeline_spark.operators.joins import bloom_semi_join
+from automotive_translation_pipeline_spark.operators.search import (
+    bm25_topk,
+    build_postings,
+)
+from automotive_translation_pipeline_spark.operators.windows import (
+    cohort_retention,
+)
+
+
+def test_bm25_ranks_exact_match_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engine fast"),
+            (2, "spark spark spark engine engine"),
+            (3, "slow table scan"),
+            (4, "engine"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(spark, docs, [(1, "spark engine")], k=4).collect()
+    got = {r.doc_id: r.score for r in out}
+    # doc 3 shares no term -> absent entirely
+    assert 3 not in got and len(got) == 3
+    # both-term docs beat the single-term doc
+    assert got[1] > got[4] and got[2] > got[4]
+
+
+def test_bm25_postings_tf(spark):
+    docs = spark.createDataFrame([(1, "a b a"), (2, "b")], ["doc_id", "text"])
+    rows = {
+        (r.word, r.doc_id): r.tf for r in build_postings(docs).collect()
+    }
+    assert rows == {("a", 1): 2, ("b", 1): 1, ("b", 2): 1}
+
+
+def test_char_entropy_known_values(spark):
+    df = spark.createDataFrame(
+        [("aaaa",), ("abca",), ("",)], ["t"]
+    ).select(char_entropy(F.col("t")).alias("h"))
+    vals = [r.h for r in df.collect()]
+    assert vals[0] == 0.0
+    assert abs(vals[1] - 1.5) < 1e-9  # p = {a: .5, b: .25, c: .25}
+    assert vals[2] == 0.0
+
+
+def test_char_entropy_uniform_alphabet(spark):
+    df = spark.createDataFrame([("abcdefgh",)], ["t"]).select(
+        char_entropy(F.col("t")).alias("h")
+    )
+    assert abs(df.collect()[0].h - 3.0) < 1e-9  # 8 equiprobable chars
+
+
+def test_sorted_neighbors_finds_edited_tail(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),  # same prefix, edited tail
+            (3, "omega psi chi"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = sorted_neighbor_pairs(docs, threshold=0.5).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert abs(pairs[0].jaccard - 4 / 6) < 1e-3
+
+
+def test_sorted_neighbors_respects_blocks(spark):
+    # identical texts in different blocks are never compared
+    docs = spark.createDataFrame(
+        [(1, "aa same words here"), (2, "bb same words here")],
+        ["doc_id", "text"],
+    )
+    assert sorted_neighbor_pairs(docs, threshold=0.1).count() == 0
+
+
+def test_cohort_retention_triangle(spark):
+    rows = [
+        # user 1: first Jan-1 (cohort Mon Jan-1), active wk0 and wk1
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-09 10:00:00"),
+        # user 2: same cohort, wk0 only
+        (2, "2024-01-02 10:00:00"),
+        # user 3: cohort Jan-8, wk0 only
+        (3, "2024-01-08 10:00:00"),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "s"]).select(
+        "user_id", F.to_timestamp("s").alias("ts")
+    )
+    out = {
+        (str(r.cohort_week), r.week_offset): r.n_users
+        for r in cohort_retention(events).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_apply_changes_tombstone_and_out_of_order(spark):
+    feed = spark.createDataFrame(
+        [
+            # key 1: insert then update (out of order in the feed)
+            (1, 2, "U", 20.0),
+            (1, 1, "I", 10.0),
+            # key 2: update then delete -> gone
+            (2, 1, "U", 5.0),
+            (2, 2, "D", 0.0),
+            # key 3: delete then LATER re-insert -> present
+            (3, 1, "D", 0.0),
+            (3, 2, "I", 7.0),
+        ],
+        ["k", "seq", "op", "v"],
+    )
+    snap = {
+        r.k: r.v
+        for r in apply_changes(feed, ["k"], ["seq"]).collect()
+    }
+    assert snap == {1: 20.0, 3: 7.0}
+
+
+def test_equidepth_histogram_exact_bins(spark):
+    df = spark.createDataFrame(
+        [(float(i), i) for i in range(100)], ["v", "id"]
+    )
+    out = {r.bin: r for r in equidepth_histogram(df, "v", ["id"], bins=10).collect()}
+    assert len(out) == 10
+    for b in range(10):
+        assert out[b].n_rows == 10
+        assert out[b].lo == 10.0 * b
+        assert out[b].hi == 10.0 * b + 9.0
+
+
+def test_bloom_semi_join_matches_exact(spark):
+    big = spark.createDataFrame([(i,) for i in range(1000)], ["k"])
+    small = spark.createDataFrame([(i * 7,) for i in range(50)], ["k"])
+    got = sorted(r.k for r in bloom_semi_join(big, small, "k").collect())
+    expect = sorted(
+        r.k
+        for r in big.join(small.distinct(), "k", "left_semi").collect()
+    )
+    assert got == expect
