@@ -5353,3 +5353,32 @@ def bloom_pruned_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_r")
     )
+
+
+@register(
+    "orc_roundtrip_profile",
+    """
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def orc_roundtrip_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format export fidelity: documents round-trip through an
+    ORC table (sources/formats.py:write_read_roundtrip) and the profile
+    aggregate runs on the ORC scan — the oracle aggregates the original
+    parquet, so any loss/coercion in the ORC path breaks the hash.
+    ORC scans keep parquet-equivalent pushdown and pruning."""
+    from .sources.formats import write_read_roundtrip
+
+    t = load_testdata(spark, sf_dir)
+    back = write_read_roundtrip(
+        spark,
+        t["documents"].select("doc_id", "lang", "source", "n_chars"),
+        "orc_roundtrip_docs",
+        fmt="orc",
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

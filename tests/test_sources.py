@@ -229,3 +229,36 @@ def test_compact_dir_bounds_file_count(spark, tmp_path):
     assert back.count() == 1000
     # partition discovery infers the dir values back as ints
     assert {str(r["p"]) for r in back.select("p").distinct().collect()} == {"0", "1"}
+
+
+def test_orc_roundtrip_preserves_schema_and_values(spark, sf_dir):
+    from automotive_translation_pipeline_spark.sources.formats import (
+        write_read_roundtrip,
+    )
+    from automotive_translation_pipeline_spark.sources.readers import (
+        load_testdata,
+    )
+
+    docs = load_testdata(spark, sf_dir)["documents"]
+    back = write_read_roundtrip(spark, docs, "test_orc_docs", fmt="orc")
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    a = sorted(r.doc_id for r in back.select("doc_id").collect())
+    b = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    assert a == b
+
+
+def test_avro_gate_is_loud(spark):
+    import pytest as _pytest
+
+    from automotive_translation_pipeline_spark.sources.formats import (
+        avro_available,
+        write_avro,
+    )
+
+    df = spark.range(3)
+    if avro_available(spark):
+        write_avro(df, "/tmp/claude-avro-probe")  # real path where jar exists
+    else:
+        with _pytest.raises(RuntimeError, match="spark-avro"):
+            write_avro(df, "/tmp/claude-avro-probe")
