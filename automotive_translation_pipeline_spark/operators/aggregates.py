@@ -162,3 +162,32 @@ def equidepth_histogram(
             F.round(F.sum(value_col), 2).alias("sum_v"),
         )
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_cols: list[str],
+    item_col: str,
+) -> DataFrame:
+    """Pairwise co-occurrence counts: for every unordered item pair,
+    the number of baskets containing both (the support table behind
+    association mining, tag correlation, "users who X also Y").
+
+    Scale shape: the stream first collapses to DISTINCT
+    (basket, item) — map-side combined — and the pair expansion is a
+    SELF-JOIN KEYED ON THE BASKET with an item_a < item_b predicate,
+    so work per basket is C(items_in_basket, 2), bounded by the
+    basket's own width, never corpus-quadratic. A basket with k items
+    costs k^2/2 rows at exactly that basket's join partition.
+
+    Returns (item_a, item_b, n_baskets).
+    """
+    items = df.select(*basket_cols, item_col).distinct()
+    a = items.withColumnRenamed(item_col, "item_a")
+    b = items.withColumnRenamed(item_col, "item_b")
+    return (
+        a.join(b, basket_cols)
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )

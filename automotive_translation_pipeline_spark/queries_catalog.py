@@ -5382,3 +5382,212 @@ def orc_roundtrip_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "stats_grouped_ols_trend",
+    """
+    SELECT event_type,
+           round(regr_slope(value, x), 4) AS slope,
+           round(regr_intercept(value, x), 4) AS intercept,
+           round(regr_r2(value, x), 4) AS r2,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT event_type, value,
+                 (epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 86400.0 AS x
+          FROM events) t
+    GROUP BY 1
+    """,
+)
+def stats_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS drift fit of value against event time
+    (operators/stats.py:grouped_ols): native regr_* moment aggregates,
+    one map-side-combined shuffle of (groups) rows. The regressor is
+    CENTERED (days since the stream epoch, not raw epoch seconds) —
+    with x ~ 1.7e9 the intercept's cancellation error exceeds 1e-4 and
+    engines disagree in the 4th decimal; centering makes the fit
+    well-conditioned and bit-stable across engines."""
+    from .operators.stats import grouped_ols
+
+    t = load_testdata(spark, sf_dir)
+    ev = t["events"].withColumn(
+        "x",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lit("2024-01-01").cast("timestamp"))
+        ).cast("double")
+        / 86400.0,
+    )
+    return grouped_ols(ev, ["event_type"], "value", "x")
+
+
+@register(
+    "stats_mad_outliers",
+    """
+    WITH m AS (
+        SELECT event_id, event_type, value,
+               median(CAST(value AS DOUBLE))
+                   OVER (PARTITION BY event_type) AS med
+        FROM events
+    ), d AS (
+        SELECT *, median(abs(value - med))
+                      OVER (PARTITION BY event_type) AS mad
+        FROM m
+    )
+    SELECT event_id, event_type, round(value, 4) AS value_r,
+           round(0.6745 * (value - med)
+                 / CASE WHEN mad > 0 THEN mad END, 4) AS robust_z,
+           CASE WHEN mad > 0 THEN
+               abs(round(0.6745 * (value - med) / mad, 4)) >= 3.5
+           END AS is_outlier
+    FROM d
+    """,
+)
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier scores (operators/stats.py:mad_outliers):
+    modified z-score from two exact-median windows sharing one group
+    exchange; the outlier flag derives from the rounded z on both
+    engines so the cutoff boundary is deterministic."""
+    from .operators.stats import mad_outliers
+
+    t = load_testdata(spark, sf_dir)
+    out = mad_outliers(t["events"], ["event_type"], "value")
+    return out.select(
+        "event_id", "event_type",
+        F.round("value", 4).alias("value_r"), "robust_z", "is_outlier",
+    )
+
+
+@register(
+    "events_type_cooccurrence",
+    """
+    WITH b AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+        FROM events
+    )
+    SELECT x.event_type AS item_a, y.event_type AS item_b,
+           CAST(count(*) AS BIGINT) AS n_baskets
+    FROM b x JOIN b y
+      ON x.user_id = y.user_id AND x.d = y.d
+     AND x.event_type < y.event_type
+    GROUP BY 1, 2
+    """,
+)
+def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence of event types within
+    (user, day) baskets (operators/aggregates.py:cooccurrence_pairs):
+    distinct-collapse then a basket-keyed self-join, so cost per basket
+    is bounded by its own item width — never corpus-quadratic."""
+    from .operators.aggregates import cooccurrence_pairs
+
+    t = load_testdata(spark, sf_dir)
+    ev = t["events"].select(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    )
+    return cooccurrence_pairs(ev, ["user_id", "d"], "event_type")
+
+
+# LSH candidate-pair fragment (same generation as dedup_components's
+# oracle, minus the recursive closure) — the graph the graph-analytics
+# entries run on.
+_DUCK_LSH_PAIRS = _DUCK_SHINGLE_CTE + """
+    , sig AS (
+        SELECT doc_id,
+               list_transform(range(0, 16), i ->
+                   list_min(list_transform(shingles, s -> md5(i || ':' || s)))
+               ) AS sig
+        FROM sh
+    ), banded AS (
+        SELECT doc_id, b.band,
+               array_to_string(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4),
+                               '|') AS bucket
+        FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "graph_pagerank_dup_hubs",
+    _DUCK_LSH_PAIRS
+    + """
+    , edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ), deg AS (
+        SELECT u, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY u
+    ), nn AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM deg
+    ), r0 AS (
+        SELECT u AS node, 1.0 / nn.n AS r FROM deg, nn
+    ), r1 AS (
+        SELECT e.v AS node, 0.15 / nn.n + 0.85 * sum(r0.r / d.outdeg) AS r
+        FROM edges e JOIN r0 ON r0.node = e.u JOIN deg d ON d.u = e.u, nn
+        GROUP BY e.v, nn.n
+    ), r2 AS (
+        SELECT e.v AS node, 0.15 / nn.n + 0.85 * sum(r1.r / d.outdeg) AS r
+        FROM edges e JOIN r1 ON r1.node = e.u JOIN deg d ON d.u = e.u, nn
+        GROUP BY e.v, nn.n
+    ), r3 AS (
+        SELECT e.v AS node, 0.15 / nn.n + 0.85 * sum(r2.r / d.outdeg) AS r
+        FROM edges e JOIN r2 ON r2.node = e.u JOIN deg d ON d.u = e.u, nn
+        GROUP BY e.v, nn.n
+    )
+    SELECT node, round(r * nn.n, 4) AS pr_rel FROM r3, nn
+    """,
+)
+def graph_pagerank_dup_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-hub scoring: 3-iteration PageRank over the
+    symmetrized LSH candidate graph (operators/graph.py:pagerank).
+    A node well above pr_rel 1.0 is copied by documents that are
+    themselves widely copied — the template/boilerplate family. The
+    oracle replays the identical power iteration in SQL."""
+    from .operators.dedup import minhash_lsh_candidates
+    from .operators.graph import pagerank
+
+    t = load_testdata(spark, sf_dir)
+    pairs = minhash_lsh_candidates(
+        t["documents"], text_col="text", id_col="doc_id",
+        num_hashes=16, bands=4, k=3,
+    ).persist()
+    edges = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    return pagerank(edges, iterations=3)
+
+
+@register(
+    "graph_triangle_counts",
+    _DUCK_LSH_PAIRS
+    + """
+    , tri AS (
+        SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.id_a = e1.id_b
+        JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ), corners AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY 1
+    """,
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clique-ness of each document's near-dup neighborhood: per-node
+    triangle counts over the ordered LSH candidate edges
+    (operators/graph.py:triangle_counts). Template families
+    triangulate; chains of successive edits do not — the count
+    separates the two failure modes."""
+    from .operators.dedup import minhash_lsh_candidates
+    from .operators.graph import triangle_counts
+
+    t = load_testdata(spark, sf_dir)
+    pairs = minhash_lsh_candidates(
+        t["documents"], text_col="text", id_col="doc_id",
+        num_hashes=16, bands=4, k=3,
+    ).persist()
+    return triangle_counts(pairs)

@@ -4,8 +4,6 @@ histogram, bloom-pruned semi-join."""
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import functions as F
 
 from automotive_translation_pipeline_spark.functions.text import char_entropy
@@ -159,3 +157,73 @@ def test_bloom_semi_join_matches_exact(spark):
         for r in big.join(small.distinct(), "k", "left_semi").collect()
     )
     assert got == expect
+
+
+def test_grouped_ols_perfect_line(spark):
+    from automotive_translation_pipeline_spark.operators.stats import grouped_ols
+
+    df = spark.createDataFrame(
+        [("g", float(x), 2.0 * x + 1.0) for x in range(10)], ["g", "x", "y"]
+    )
+    r = grouped_ols(df, ["g"], "y", "x").collect()[0]
+    assert (r.slope, r.intercept, r.r2, r.n) == (2.0, 1.0, 1.0, 10)
+
+
+def test_mad_outliers_flags_spike(spark):
+    from automotive_translation_pipeline_spark.operators.stats import mad_outliers
+
+    vals = [10.0, 11.0, 10.5, 9.5, 10.2, 9.8, 1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+    out = {r.v: r.is_outlier for r in mad_outliers(df, ["g"], "v").collect()}
+    assert out[1000.0] is True
+    assert out[10.0] is False
+
+
+def test_mad_constant_group_yields_null(spark):
+    from automotive_translation_pipeline_spark.operators.stats import mad_outliers
+
+    df = spark.createDataFrame([("g", 5.0)] * 4, ["g", "v"])
+    rows = mad_outliers(df, ["g"], "v").collect()
+    assert all(r.robust_z is None and r.is_outlier is None for r in rows)
+
+
+def test_cooccurrence_bounded_pairs(spark):
+    from automotive_translation_pipeline_spark.operators.aggregates import (
+        cooccurrence_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "b"), (2, "a"), (2, "b"), (3, "a")],
+        ["basket", "item"],
+    )
+    out = {
+        (r.item_a, r.item_b): r.n_baskets
+        for r in cooccurrence_pairs(df, ["basket"], "item").collect()
+    }
+    assert out == {("a", "b"): 2}
+
+
+def test_pagerank_star_center_dominates(spark):
+    from automotive_translation_pipeline_spark.operators.graph import pagerank
+
+    # star: 0 -- {1,2,3}, symmetrized
+    und = [(0, i) for i in (1, 2, 3)]
+    edges = spark.createDataFrame(
+        und + [(v, u) for u, v in und], ["u", "v"]
+    )
+    pr = {r.node: r.pr_rel for r in pagerank(edges, iterations=5).collect()}
+    assert pr[0] > pr[1] == pr[2] == pr[3]
+    assert abs(sum(pr.values()) - 4.0) < 1e-2  # mass conserved (x N)
+
+
+def test_triangle_counts_exact(spark):
+    from automotive_translation_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # triangle 1-2-3 plus a chain 3-4-5 (no triangle)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["id_a", "id_b"]
+    )
+    out = {r.node: r.n_triangles for r in triangle_counts(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
