@@ -1,0 +1,72 @@
+"""Embedding storage transforms: per-vector int8 quantization.
+
+At 100 TB the embedding column IS the storage problem — float32 x 768
+dims dominates the table. Symmetric per-vector int8 quantization
+(scale = max|v| / 127, q = round(v / scale)) cuts it 4x and is the
+standard serving format (FAISS SQ8, Milvus/pgvector int8). The engine
+side must do it as pure column expressions — a quantization pass over
+a corpus cannot afford Python per row.
+
+Everything here is native array lambdas (transform/aggregate) inside
+whole-stage codegen: zero shuffle, zero Python, runs at scan speed and
+composes with the ANN family (operators/similarity.py) which can score
+against dequantized vectors with one extra multiply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def int8_scale(vec: Column) -> Column:
+    """Per-vector symmetric scale: max-abs / 127. Zero vectors yield
+    NULL scale (no finite scale exists) rather than a fabricated 1.0 —
+    callers see degenerate inputs."""
+    amax = F.array_max(F.transform(vec, lambda v: F.abs(v)))
+    return F.when(amax > 0, amax / F.lit(127.0))
+
+
+def int8_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Quantize each vector to int8 and report reconstruction error.
+
+    Returns (id, scale, q, mse): q the int8 array (clamped to
+    [-127, 127]), mse the mean squared dequantization error — the
+    quality metric a pipeline monitors before switching retrieval to
+    the quantized column. NULL scale (zero vector) propagates NULL q
+    and mse.
+    """
+    vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    scale = int8_scale(vec)
+    # least/greatest IGNORE nulls (both engines), so a NULL scale must
+    # null the whole array explicitly or the clamp would fabricate 127s.
+    q = F.when(
+        scale.isNotNull(),
+        F.transform(
+            vec,
+            lambda v: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.round(v / scale, 0).cast("int")),
+            ),
+        ),
+    )
+    n = F.size(vec).cast("double")
+    mse = (
+        F.aggregate(
+            F.zip_with(vec, q, lambda v, qq: F.pow(v - qq * scale, 2)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / n
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(scale, ndigits).alias("scale"),
+        q.alias("q"),
+        F.round(mse, ndigits).alias("mse"),
+    )

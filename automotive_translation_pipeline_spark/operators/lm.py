@@ -148,3 +148,53 @@ def split_word_drift(
             F.round(F.col("__js"), ndigits).alias("js_term"),
         )
     )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Per-document mean CONDITIONAL surprisal -mean(ln p(w2|w1)) under
+    the corpus bigram model, p(w2|w1) = c(w1 w2) / c(w1 as bigram
+    head). One step up the LM ladder from unigram_surprisal: boilerplate
+    with common words in UNUSUAL orders (shuffled spam, template
+    stitching) scores high here while passing the unigram gate.
+
+    Same scale discipline as unigram: the corpus explodes to bigrams
+    exactly once and collapses map-side to (doc, w1, w2, n); both
+    corpus counts attach as windows over the collapsed pairs (shuffles
+    of pair rows, never of raw text). Documents under 2 words have no
+    bigrams and drop out — identically in the SQL oracle.
+    """
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    n = F.size(words)
+    heads = F.slice(words, 1, n - 1)
+    tails = F.slice(words, 2, n - 1)
+    bg = (
+        df.select(F.col(id_col), words.alias("__w"))
+        .filter(n >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.arrays_zip(
+                    F.slice("__w", 1, F.size("__w") - 1).alias("w1"),
+                    F.slice("__w", 2, F.size("__w") - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    pairs = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("__n"))
+    with_counts = pairs.withColumn(
+        "__c12", F.sum("__n").over(Window.partitionBy("w1", "w2"))
+    ).withColumn("__c1", F.sum("__n").over(Window.partitionBy("w1")))
+    return with_counts.groupBy(id_col).agg(
+        F.sum("__n").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("__n") * -F.log(F.col("__c12") / F.col("__c1")))
+            / F.sum("__n"),
+            ndigits,
+        ).alias("avg_surprisal"),
+    )

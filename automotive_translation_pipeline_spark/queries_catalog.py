@@ -5591,3 +5591,115 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=16, bands=4, k=3,
     ).persist()
     return triangle_counts(pairs)
+
+
+@register(
+    "embedding_int8_quantize",
+    """
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, emb,
+               CASE WHEN list_max(list_transform(emb, v -> abs(v))) > 0
+                    THEN list_max(list_transform(emb, v -> abs(v))) / 127.0
+               END AS scale
+        FROM e
+    ), q AS (
+        -- least/greatest ignore NULLs: gate on scale explicitly so a
+        -- zero vector yields NULL qv, matching the Spark operator
+        SELECT vec_id, emb, scale,
+               CASE WHEN scale IS NOT NULL THEN
+                   list_transform(emb, v -> CAST(greatest(-127, least(127,
+                       CAST(round(v / scale, 0) AS INTEGER))) AS INTEGER))
+               END AS qv
+        FROM s
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           array_to_string(qv, ',') AS q_str,
+           round(list_sum(list_transform(range(1, len(emb) + 1), i ->
+                     pow(emb[i] - qv[i] * scale, 2))) / len(emb), 6) AS mse
+    FROM q
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization with reconstruction MSE
+    (operators/embeddings.py:int8_quantize) — the 4x storage transform
+    behind int8 retrieval, as pure codegen array lambdas: no shuffle,
+    no Python. The int8 array serializes to a comma-joined string for
+    the cross-engine hash (same convention as r19's id list)."""
+    from .operators.embeddings import int8_quantize
+
+    t = load_testdata(spark, sf_dir)
+    out = int8_quantize(t["embeddings"])
+    return out.select(
+        "vec_id", "scale",
+        F.array_join(F.col("q"), ",").alias("q_str"), "mse",
+    )
+
+
+@register(
+    "text_bigram_surprisal",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_DUCK_NORM.format(c="text")} AS nt FROM documents
+    ), w AS (
+        SELECT doc_id, string_split(nt, ' ') AS words FROM d
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_slice(words, 1, len(words) - 1)) AS w1,
+               unnest(list_slice(words, 2, len(words))) AS w2
+        FROM w WHERE len(words) >= 2
+    ), p AS (
+        SELECT doc_id, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3
+    ), c AS (
+        SELECT doc_id, n,
+               CAST(sum(n) OVER (PARTITION BY w1, w2) AS DOUBLE) AS c12,
+               CAST(sum(n) OVER (PARTITION BY w1) AS DOUBLE) AS c1
+        FROM p
+    )
+    SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+           round(sum(n * -ln(c12 / c1)) / sum(n), 4) AS avg_surprisal
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram LM quality score
+    (operators/lm.py:bigram_surprisal): catches common-words-in-weird-
+    order text that the unigram gate passes. Corpus exploded to bigrams
+    once, collapsed map-side, counts as windows over the pairs."""
+    from .operators.lm import bigram_surprisal
+
+    t = load_testdata(spark, sf_dir)
+    return bigram_surprisal(t["documents"])
+
+
+@register(
+    "stream_static_enrich",
+    """
+    SELECT e.event_id, e.user_id, e.event_type,
+           coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+           round(e.value, 2) AS value_r
+    FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment on the batch path
+    (streaming/jobs.py:enrich_with_dimension): events left-join a
+    BROADCAST customer dimension, unmatched users coalesce to
+    'UNKNOWN' — the shuffle-free-per-micro-batch plan the streaming
+    form requires; true-streaming execution covered in
+    tests/test_streaming.py."""
+    from .streaming.jobs import enrich_with_dimension
+
+    t = load_testdata(spark, sf_dir)
+    out = enrich_with_dimension(
+        t["events"], t["customer"],
+        event_key="user_id", dim_key="c_custkey",
+        attrs={"c_mktsegment": "segment"},
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", "segment",
+        F.round("value", 2).alias("value_r"),
+    )

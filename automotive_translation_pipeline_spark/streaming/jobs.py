@@ -399,3 +399,34 @@ def repair_pass(responses: DataFrame) -> DataFrame:
             "description_id", "translation"
         ),
     )
+
+
+def enrich_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    event_key: str,
+    dim_key: str,
+    attrs: dict[str, str],
+    default: str = "UNKNOWN",
+) -> DataFrame:
+    """Stream-static enrichment: left-join the (micro-batched) event
+    stream against a broadcast dimension and coalesce missing
+    attributes to ``default``.
+
+    Works identically on a batch DataFrame and a streaming one —
+    stream-static joins re-read the static side per micro-batch, and
+    the explicit broadcast() keeps every micro-batch join shuffle-free
+    on the stream side, which is the only viable plan at streaming
+    rates (a shuffling stream join would re-exchange every batch).
+    ``attrs`` maps dimension column -> output name.
+    """
+    proj = dim.select(
+        F.col(dim_key).alias("__dk"),
+        *[F.col(src).alias(out) for src, out in attrs.items()],
+    )
+    joined = events.join(
+        F.broadcast(proj), events[event_key] == proj["__dk"], "left"
+    ).drop("__dk")
+    for _, out in attrs.items():
+        joined = joined.withColumn(out, F.coalesce(F.col(out), F.lit(default)))
+    return joined

@@ -65,6 +65,17 @@ HEADLINE = [
     "embedding_label_outliers",
     "text_split_drift",
     "text_collapse_repeats",
+    "search_bm25_topk",
+    "text_char_entropy",
+    "dedup_sorted_neighbors",
+    "events_cohort_retention",
+    "cdc_apply_changes",
+    "profile_equidepth_histogram",
+    "bloom_pruned_semi_join",
+    "stats_mad_outliers",
+    "events_type_cooccurrence",
+    "graph_pagerank_dup_hubs",
+    "graph_triangle_counts",
 ]
 
 

@@ -227,3 +227,38 @@ def test_triangle_counts_exact(spark):
     )
     out = {r.node: r.n_triangles for r in triangle_counts(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_int8_quantize_roundtrip_and_zero_vector(spark):
+    from automotive_translation_pipeline_spark.operators.embeddings import (
+        int8_quantize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {r.vec_id: r for r in int8_quantize(df).collect()}
+    r1 = out[1]
+    assert abs(r1.scale - 1.0 / 127) < 1e-6  # operator rounds to 6 digits
+    assert r1.q == [127, -64, 32, 0]  # round(-63.5) away from zero
+    assert r1.mse < (r1.scale / 2) ** 2  # error bounded by half a step
+    r2 = out[2]
+    assert r2.scale is None and r2.q is None and r2.mse is None
+
+
+def test_bigram_surprisal_detects_shuffled_order(spark):
+    from automotive_translation_pipeline_spark.operators.lm import (
+        bigram_surprisal,
+    )
+
+    # corpus dominated by "a b"/"b a" transitions; doc 3's "b b" is a
+    # corpus-rare transition and must score strictly higher
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b a b"), (3, "b b"), (4, "x")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in bigram_surprisal(docs).collect()}
+    assert 4 not in rows  # single word: no bigrams
+    assert rows[3].avg_surprisal > rows[1].avg_surprisal
+    assert rows[1].n_bigrams == 5

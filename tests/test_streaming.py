@@ -669,3 +669,43 @@ def test_tws_true_runtime_parity_with_apws(spark, tmp_path):
     assert {
         (r["prev_status"], r["status"]) for r in rows if r["job_id"] == "batch_b"
     } == {(None, "submitted")}
+
+
+def test_stream_static_enrich_live(spark, tmp_path):
+    """The same enrich_with_dimension plan runs as a real stream:
+    static side re-read per micro-batch, missing keys defaulted."""
+    from automotive_translation_pipeline_spark.streaming.jobs import (
+        enrich_with_dimension,
+    )
+
+    src = tmp_path / "enrich_landing"
+    src.mkdir()
+    (src / "f0.csv").write_text(
+        "event_id,user_id,ts\n"
+        "e1,10,2024-01-01 00:00:00\n"
+        "e2,11,2024-01-01 00:01:00\n"
+        "e3,99,2024-01-01 00:02:00\n"  # no dim row -> UNKNOWN
+    )
+    dim = spark.createDataFrame(
+        [(10, "GOLD"), (11, "SILVER")], ["k", "tier"]
+    )
+    stream = (
+        spark.readStream.schema("event_id string, user_id long, ts timestamp")
+        .option("header", True)
+        .csv(f"{src}/*.csv")
+    )
+    out = str(tmp_path / "enrich_out")
+    q = (
+        enrich_with_dimension(
+            stream, dim, event_key="user_id", dim_key="k",
+            attrs={"tier": "tier"},
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "enrich_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.event_id: r.tier for r in spark.read.parquet(out).collect()}
+    assert got == {"e1": "GOLD", "e2": "SILVER", "e3": "UNKNOWN"}
