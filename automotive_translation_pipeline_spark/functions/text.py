@@ -252,13 +252,36 @@ def char_entropy(c: Column, ndigits: int = 4) -> Column:
     """
     nt = normalized_text(c)
     n = F.length(nt).cast("double")
-    chars = F.split(nt, "")
-    p_of = lambda ch: (  # noqa: E731 — closure over chars/n
-        F.size(F.filter(chars, lambda y: y == ch)).cast("double") / n
+    # Single-pass run-length form over the SORTED chars, carried in a
+    # struct accumulator: H = log2(n) - (sum over runs of r*log2(r))/n.
+    # Column expressions have no let-binding, so any formulation that
+    # references the sorted array from inside a lambda re-inlines (and
+    # re-sorts!) it per element — measured O(n^2 log n), 158 s at
+    # sf0.01 — and the original count-each-distinct-char form was
+    # O(distinct * n). This aggregate references the array exactly
+    # once and walks it once.
+    chars = F.array_sort(F.split(nt, ""))
+
+    def xlogx(r: Column) -> Column:
+        return F.when(r > 0, r * F.log2(r)).otherwise(F.lit(0.0))
+
+    s_runs = F.aggregate(
+        chars,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0.0).alias("run"),
+            F.lit(0.0).alias("s"),
+        ),
+        lambda a, ch: F.struct(
+            ch.alias("prev"),
+            F.when(ch == a["prev"], a["run"] + 1)
+            .otherwise(F.lit(1.0))
+            .alias("run"),
+            F.when(ch == a["prev"], a["s"])
+            .otherwise(a["s"] + xlogx(a["run"]))
+            .alias("s"),
+        ),
+        lambda a: a["s"] + xlogx(a["run"]),
     )
-    h = -F.aggregate(
-        F.array_distinct(chars),
-        F.lit(0.0),
-        lambda acc, ch: acc + p_of(ch) * F.log2(p_of(ch)),
-    )
+    h = F.log2(n) - s_runs / n
     return F.round(F.when(n > 0, h).otherwise(F.lit(0.0)), ndigits)

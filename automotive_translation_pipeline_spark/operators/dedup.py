@@ -570,3 +570,90 @@ def sorted_neighbor_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 4,
+) -> DataFrame:
+    """EXACT set-similarity join: all pairs with word-set Jaccard >=
+    threshold, found via prefix filtering (the PPJoin family) instead
+    of all-pairs comparison.
+
+    The lossless blocking fact: order each doc's distinct tokens by
+    GLOBAL rarity (frequency asc, word tie-break) and keep only its
+    first |s| - ceil(t*|s|) + 1 tokens; two sets with Jaccard >= t
+    MUST share at least one prefix token, so joining on prefix tokens
+    loses no true pair — unlike MinHash this is exact, and unlike
+    sorted-neighborhood it has a completeness guarantee. Rarest-first
+    ordering makes prefix buckets as selective as possible.
+
+    Scale shape: distinct (doc, word) once; global frequency and
+    per-doc rank as windows over that collapsed table; the candidate
+    join is keyed on prefix tokens (bucket sizes are token
+    frequencies of RARE tokens); verification joins each candidate id
+    against the per-doc sorted word arrays and evaluates Jaccard as
+    native array expressions. Nothing is ever all-pairs.
+
+    Returns (id_a, id_b, jaccard) with the filter applied to the
+    ROUNDED value for engine-portable boundaries.
+    """
+    dw = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
+        ).alias("word"),
+    )
+    ranked = (
+        dw.withColumn("__freq", F.count(F.lit(1)).over(Window.partitionBy("word")))
+        .withColumn("__size", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+        .withColumn(
+            "__rank",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy("__freq", "word")
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("__rank")
+        <= F.col("__size") - F.ceil(F.lit(threshold) * F.col("__size")) + 1
+    ).select("doc", "word")
+
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "word")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")
+        )
+        .distinct()
+    )
+
+    sets = docs.select(
+        F.col(id_col).alias("doc"),
+        F.array_sort(
+            F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
+        ).alias("words"),
+    )
+    verified = (
+        cand.join(sets.withColumnRenamed("words", "__wa"), cand["id_a"] == sets["doc"])
+        .drop("doc")
+        .join(
+            sets.withColumnRenamed("words", "__wb"),
+            cand["id_b"] == sets["doc"],
+        )
+        .drop("doc")
+    )
+    jac = F.round(
+        F.size(F.array_intersect("__wa", "__wb")).cast("double")
+        / F.size(F.array_union("__wa", "__wb")),
+        ndigits,
+    )
+    return (
+        verified.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

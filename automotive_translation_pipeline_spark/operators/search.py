@@ -114,3 +114,47 @@ def bm25_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    topk: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings (Cormack et al.):
+    rrf(d) = sum over systems of 1 / (k + rank_d). The standard hybrid
+    of lexical (BM25) and vector (ANN) retrieval — rank-based, so
+    incomparable score scales fuse without calibration.
+
+    Each input must carry (query_id, doc_id, rank) with rank 1-based
+    and deterministic. The union is a per-query rollup: shuffle keys
+    are (query_id, doc_id), per-query state is bounded by the fused
+    candidate pool, and the final top-k is a per-query window —
+    nothing corpus-wide anywhere.
+
+    Returns (query_id, doc_id, rrf_score, fused_rank), fused_rank
+    row_numbered by (rounded score DESC, doc_id) for engine-portable
+    determinism.
+    """
+    from functools import reduce
+
+    contribs = [
+        r.select(
+            "query_id",
+            "doc_id",
+            (F.lit(1.0) / (F.lit(k) + F.col("rank"))).alias("__c"),
+        )
+        for r in rankings
+    ]
+    unioned = reduce(lambda a, b: a.unionAll(b), contribs)
+    scored = unioned.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("__c"), ndigits).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= topk)
+    )

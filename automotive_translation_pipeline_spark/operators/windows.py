@@ -112,3 +112,45 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    partition_col: str = "user_id",
+    order_cols: list[str] | None = None,
+    state_col: str = "event_type",
+    ndigits: int = 4,
+) -> DataFrame:
+    """First-order Markov transition matrix of the per-key event
+    sequence: P(next_state | state) estimated over every adjacent pair,
+    plus the raw pair count. The behavioral fingerprint behind
+    next-event features, bot detection (degenerate transition rows),
+    and funnel drop-off.
+
+    Scale shape: lead() over the key partition (one keyed shuffle of
+    the stream), collapsed map-side to (state, next_state, n); the
+    denominator attaches as a window over the collapsed matrix —
+    states² rows, negligible. Sequence ends (lead = NULL) drop out of
+    the matrix on both engines.
+
+    Returns (state, next_state, n_pairs, p) with p rounded.
+    """
+    order_cols = order_cols or ["ts", "event_id"]
+    w = Window.partitionBy(partition_col).orderBy(*order_cols)
+    pairs = (
+        events.select(
+            F.col(state_col).alias("state"),
+            F.lead(state_col).over(w).alias("next_state"),
+        )
+        .filter(F.col("next_state").isNotNull())
+        .groupBy("state", "next_state")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return pairs.withColumn(
+        "p",
+        F.round(
+            F.col("n_pairs")
+            / F.sum("n_pairs").over(Window.partitionBy("state")),
+            ndigits,
+        ),
+    )

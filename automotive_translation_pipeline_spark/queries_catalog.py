@@ -5703,3 +5703,162 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "segment",
         F.round("value", 2).alias("value_r"),
     )
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH p AS (
+        SELECT event_type AS state,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_state
+        FROM events
+    ), m AS (
+        SELECT state, next_state, count(*) AS n_pairs
+        FROM p WHERE next_state IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT state, next_state, CAST(n_pairs AS BIGINT) AS n_pairs,
+           round(n_pairs / CAST(sum(n_pairs) OVER (PARTITION BY state)
+                                AS DOUBLE), 4) AS p
+    FROM m
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences
+    (operators/windows.py:markov_transitions): lead() over the user
+    partition collapsed map-side to (state, next, n); the denominator
+    is a window over the states^2-row matrix, negligible."""
+    from .operators.windows import markov_transitions
+
+    t = load_testdata(spark, sf_dir)
+    return markov_transitions(t["events"])
+
+
+@register(
+    "search_rrf_hybrid",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_DUCK_NORM.format(c="text")} AS nt FROM documents
+    ), w AS (
+        SELECT doc_id, unnest(string_split(nt, ' ')) AS word FROM d
+    ), p AS (
+        SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2
+    ), stats AS (
+        SELECT doc_id, word, tf,
+               CAST(count(*) OVER (PARTITION BY word) AS DOUBLE) AS df,
+               CAST(sum(tf) OVER (PARTITION BY doc_id) AS DOUBLE) AS dl
+        FROM p
+    ), corpus AS (
+        SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+               CAST(sum(tf) AS DOUBLE) AS total_tokens
+        FROM p
+    ), q AS (
+        SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS word
+        FROM (VALUES (1, 'spark query engine'), (2, 'fast filter scan'),
+                     (3, 'stream window join'), (4, 'hash group batch'))
+             AS t(query_id, qtext)
+    ), sc1 AS (
+        SELECT q.query_id, s.doc_id,
+               round(sum(
+                   ln(1 + (c.n_docs - s.df + 0.5) / (s.df + 0.5))
+                   * s.tf * 2.2
+                   / (s.tf + 1.2 * (0.25 + 0.75 * s.dl
+                                    / (c.total_tokens / c.n_docs)))
+               ), 4) AS score
+        FROM stats s JOIN q USING (word), corpus c
+        GROUP BY 1, 2
+    ), sc2 AS (
+        SELECT q.query_id, s.doc_id,
+               round(sum(
+                   ln(1 + (c.n_docs - s.df + 0.5) / (s.df + 0.5))
+               ), 4) AS score
+        FROM stats s JOIN q USING (word), corpus c
+        GROUP BY 1, 2
+    ), r1 AS (
+        SELECT query_id, doc_id, row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        FROM sc1 QUALIFY rnk <= 20
+    ), r2 AS (
+        SELECT query_id, doc_id, row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        FROM sc2 QUALIFY rnk <= 20
+    ), u AS (
+        SELECT query_id, doc_id, 1.0 / (60 + rnk) AS c FROM r1
+        UNION ALL
+        SELECT query_id, doc_id, 1.0 / (60 + rnk) AS c FROM r2
+    ), f AS (
+        SELECT query_id, doc_id, round(sum(c), 6) AS rrf_score
+        FROM u GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, rrf_score,
+           CAST(rn AS BIGINT) AS fused_rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rn
+          FROM f)
+    WHERE rn <= 10
+    """,
+)
+def search_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion
+    (operators/search.py:rrf_fuse): the tf-weighted BM25 ranking fused
+    with the pure-IDF (k1=0, binary-occurrence) ranking of the same
+    query set — rank-based fusion needs no score calibration. Each
+    system's top-20 fuses into a per-query top-10."""
+    from .operators.search import bm25_topk, rrf_fuse
+
+    t = load_testdata(spark, sf_dir)
+
+    def ranked(k1: float) -> DataFrame:
+        scored = bm25_topk(
+            spark, t["documents"], _BM25_QUERIES, k=20, k1=k1
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id")
+        )
+        return scored.select(
+            "query_id", "doc_id", F.row_number().over(w).alias("rank")
+        )
+
+    fused = rrf_fuse([ranked(1.2), ranked(0.0)], k=60, topk=10)
+    return fused.select(
+        "query_id", "doc_id", "rrf_score",
+        F.col("fused_rank").cast("long").alias("fused_rank"),
+    )
+
+
+@register(
+    "dedup_prefix_jaccard",
+    f"""
+    WITH d0 AS (
+        SELECT doc_id, {_DUCK_NORM.format(c="text")} AS nt
+        FROM documents WHERE doc_id < 5000
+    ), s AS (
+        SELECT doc_id,
+               list_sort(list_distinct(string_split(nt, ' '))) AS words,
+               len(list_distinct(string_split(nt, ' '))) AS nw
+        FROM d0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.words, b.words))), 4)
+               AS jaccard
+    FROM s a JOIN s b
+      ON a.doc_id < b.doc_id
+     AND least(a.nw, b.nw) >= 0.6 * greatest(a.nw, b.nw)
+    WHERE round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.words, b.words))), 4)
+          >= 0.6
+    """,
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join at Jaccard >= 0.6 via prefix filtering
+    (operators/dedup.py:prefix_filter_jaccard_pairs) — lossless
+    blocking, so the oracle is the brute-force all-pairs ground truth
+    (size-ratio pre-filter only, itself implied by the threshold):
+    any pair the prefix join missed would break the hash. Inputs
+    bounded to doc_id < 5000 per the quadratic-oracle cap convention."""
+    from .operators.dedup import prefix_filter_jaccard_pairs
+
+    t = load_testdata(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 5000)
+    return prefix_filter_jaccard_pairs(docs, threshold=0.6)

@@ -262,3 +262,78 @@ def test_bigram_surprisal_detects_shuffled_order(spark):
     assert 4 not in rows  # single word: no bigrams
     assert rows[3].avg_surprisal > rows[1].avg_surprisal
     assert rows[1].n_bigrams == 5
+
+
+def test_markov_transitions_probabilities(spark):
+    from automotive_translation_pipeline_spark.operators.windows import (
+        markov_transitions,
+    )
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "view"),
+        (1, 2, "2024-01-01 00:01:00", "view"),
+        (1, 3, "2024-01-01 00:02:00", "purchase"),
+        (2, 4, "2024-01-01 00:00:00", "view"),
+        (2, 5, "2024-01-01 00:01:00", "error"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["user_id", "event_id", "s", "event_type"]
+    ).select("user_id", "event_id", F.to_timestamp("s").alias("ts"),
+             "event_type")
+    out = {
+        (r.state, r.next_state): (r.n_pairs, r.p)
+        for r in markov_transitions(ev).collect()
+    }
+    # from 'view': view->view 1, view->purchase 1, view->error 1
+    assert out[("view", "view")] == (1, round(1 / 3, 4))
+    assert out[("view", "purchase")] == (1, round(1 / 3, 4))
+    assert out[("view", "error")] == (1, round(1 / 3, 4))
+    # no pair starts at a sequence end
+    assert ("purchase", "view") not in out
+
+
+def test_rrf_fuse_rewards_agreement(spark):
+    from automotive_translation_pipeline_spark.operators.search import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], ["query_id", "doc_id", "rank"]
+    )
+    r2 = spark.createDataFrame(
+        [(1, 11, 1), (1, 10, 2), (1, 99, 3)], ["query_id", "doc_id", "rank"]
+    )
+    out = {r.doc_id: r for r in rrf_fuse([r1, r2], k=60).collect()}
+    # docs 10 and 11 appear top-2 in both systems; 12/99 in one each
+    assert out[10].fused_rank <= 2 and out[11].fused_rank <= 2
+    assert out[12].fused_rank > 2 and out[99].fused_rank > 2
+    assert abs(out[10].rrf_score - (1 / 61 + 1 / 62)) < 1e-6
+
+
+def test_prefix_jaccard_matches_bruteforce(spark):
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over a lazy dog"),
+            (3, "lorem ipsum dolor sit amet"),
+            (4, "lorem ipsum dolor sit there"),
+            (5, "completely different content entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    # brute-force ground truth at t=0.6
+    import itertools
+
+    texts = {r.doc_id: set(r.text.split()) for r in docs.collect()}
+    expect = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        j = len(texts[a] & texts[b]) / len(texts[a] | texts[b])
+        if round(j, 4) >= 0.6:
+            expect[(a, b)] = round(j, 4)
+    assert got == expect and len(got) >= 2
