@@ -577,6 +577,7 @@ def prefix_filter_jaccard_pairs(
     threshold: float = 0.6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_k: int | None = 3,
     ndigits: int = 4,
 ) -> DataFrame:
     """EXACT set-similarity join: all pairs with word-set Jaccard >=
@@ -601,11 +602,22 @@ def prefix_filter_jaccard_pairs(
     Returns (id_a, id_b, jaccard) with the filter applied to the
     ROUNDED value for engine-portable boundaries.
     """
+    # Token sets default to k-word SHINGLES, not single words: over a
+    # small vocabulary word sets are degenerate (most docs share most
+    # words — measured 7M pairs >= 0.6 on the sf1 corpus), while the
+    # shingle space is |V|^k so sets are distinctive and the rare-first
+    # prefixes actually prune. shingle_k=None falls back to words for
+    # large-vocabulary corpora. Docs shorter than k words have no
+    # tokens and drop out (identically in the oracle).
+    if shingle_k:
+        toks = F.array_distinct(word_shingles(F.col(text_col), shingle_k))
+    else:
+        toks = F.array_distinct(
+            F.split(normalized_text(F.col(text_col)), " ")
+        )
     dw = docs.select(
         F.col(id_col).alias("doc"),
-        F.explode(
-            F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
-        ).alias("word"),
+        F.explode(toks).alias("word"),
     )
     ranked = (
         dw.withColumn("__freq", F.count(F.lit(1)).over(Window.partitionBy("word")))
@@ -633,11 +645,8 @@ def prefix_filter_jaccard_pairs(
     )
 
     sets = docs.select(
-        F.col(id_col).alias("doc"),
-        F.array_sort(
-            F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
-        ).alias("words"),
-    )
+        F.col(id_col).alias("doc"), F.array_sort(toks).alias("words")
+    ).filter(F.size("words") > 0)
     verified = (
         cand.join(sets.withColumnRenamed("words", "__wa"), cand["id_a"] == sets["doc"])
         .drop("doc")

@@ -9,13 +9,17 @@ poison a mean/stddev gate.
 
 Scale shape: OLS per group is ONE partially-aggregated groupBy — the
 `regr_*` aggregates are plain moment sums under the hood, so the map
-side combines and only (groups) rows shuffle. MAD needs two exact
-medians (value, then |value - median|), expressed as two windows over
-the SAME group partitioning — Catalyst reuses the single exchange, so
-the cost is one keyed shuffle plus in-partition sorts, never a global
-one. Exact medians over a skewed group cost that group's partition;
-for billion-row groups swap in approx_percentile via the `exact=False`
-seam.
+side combines and only (groups) rows shuffle. The MAD path is built
+from RANK-BASED medians (row_number + count windows + an explicit
+(a+b)/2 of the middle elements) rather than the engines' median()
+aggregates: the built-ins interpolate with engine-specific arithmetic
+((a+b)/2 vs a+(b-a)/2 — a 1-ulp difference that, amplified through
+(v - med)/mad, flipped a 4-decimal rounding boundary on 1 row in a
+million at sf1), while the explicit form is the same IEEE expression
+tree on every engine and therefore bit-identical. Cost: keyed-window
+shuffles on the same group key, which Catalyst plans as one exchange
+reused across the windows; exact medians over a skewed group cost that
+group's partition.
 """
 
 from __future__ import annotations
@@ -47,40 +51,71 @@ def grouped_ols(
     )
 
 
+def _with_rank_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str,
+    order_extra: list[str],
+) -> DataFrame:
+    """Attach the group's exact median as an EXPLICIT (a+b)/2 over the
+    rank-selected middle elements (a == b for odd counts). avg() over
+    the <= 2 middle rows is sum/count with IEEE-commutative addition —
+    deterministic and engine-portable, unlike built-in median()'s
+    interpolation arithmetic. One keyed shuffle (rank + count windows
+    share the group exchange) plus a broadcast-sized per-group join."""
+    w_rank = Window.partitionBy(*group_cols).orderBy(value_col, *order_extra)
+    w_grp = Window.partitionBy(*group_cols)
+    ranked = df.withColumn("__rn", F.row_number().over(w_rank)).withColumn(
+        "__cnt", F.count(F.lit(1)).over(w_grp)
+    )
+    mid = ranked.filter(
+        (F.col("__rn") == F.floor((F.col("__cnt") + 1) / 2))
+        | (F.col("__rn") == F.floor(F.col("__cnt") / 2) + 1)
+    )
+    med = mid.groupBy(*group_cols).agg(F.avg(value_col).alias(out_col))
+    return ranked.drop("__rn", "__cnt").join(F.broadcast(med), group_cols)
+
+
 def mad_outliers(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
     z_cutoff: float = 3.5,
-    exact: bool = True,
     ndigits: int = 4,
 ) -> DataFrame:
     """Robust z-score per row: 0.6745 * (v - median) / MAD within the
     group (the modified z-score of Iglewicz & Hoaglin), flagged at
-    |z| >= z_cutoff. The flag is computed from the ROUNDED z so the
-    boundary is a pure deterministic function, identical in the SQL
-    oracle.
+    |z| >= z_cutoff. Both medians are rank-based explicit forms (see
+    module docstring), so the score — and its rounding — is a pure
+    deterministic function of the input on any engine.
 
     MAD == 0 (constant-majority group) yields NULL z and no flag —
     every value equals the median or is infinitely far by this metric;
     surfacing NULL beats inventing a scale.
     """
-    w = Window.partitionBy(*group_cols)
-    med_fn = (
-        (lambda c: F.median(c))
-        if exact
-        else (lambda c: F.percentile_approx(c, 0.5))
+    with_med = _with_rank_median(
+        df, group_cols, value_col, "__med", order_extra=[]
     )
-    with_med = df.withColumn("__med", med_fn(F.col(value_col)).over(w))
-    with_mad = with_med.withColumn(
-        "__mad", med_fn(F.abs(F.col(value_col) - F.col("__med"))).over(w)
+    with_dev = with_med.withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("__med"))
     )
-    z = F.round(
+    with_mad = _with_rank_median(
+        with_dev, group_cols, "__dev", "__mad", order_extra=[value_col]
+    )
+    # Quantize with explicit floor arithmetic rather than round():
+    # engines implement round-half differently (Spark: exact BigDecimal
+    # HALF_UP; DuckDB: float-scaled nearbyint), so the same raw double
+    # can round to different 4th decimals at a boundary — observed on
+    # 1 row in a million at sf1. floor(x*10^d + 0.5)/10^d is the same
+    # IEEE op sequence everywhere, hence bit-identical.
+    scale = float(10**ndigits)
+    raw = (
         F.lit(0.6745)
         * (F.col(value_col) - F.col("__med"))
-        / F.when(F.col("__mad") > 0, F.col("__mad")),
-        ndigits,
+        / F.when(F.col("__mad") > 0, F.col("__mad"))
     )
+    z = F.floor(raw * scale + 0.5) / scale
     return (
         with_mad.withColumn("robust_z", z)
         .withColumn(
@@ -90,5 +125,5 @@ def mad_outliers(
                 F.abs(F.col("robust_z")) >= z_cutoff,
             ),
         )
-        .drop("__med", "__mad")
+        .drop("__med", "__mad", "__dev")
     )

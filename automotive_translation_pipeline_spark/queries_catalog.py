@@ -5423,30 +5423,49 @@ def stats_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stats_mad_outliers",
     """
-    WITH m AS (
+    WITH r AS (
         SELECT event_id, event_type, value,
-               median(CAST(value AS DOUBLE))
-                   OVER (PARTITION BY event_type) AS med
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
         FROM events
+    ), med AS (
+        SELECT event_type, avg(value) AS med FROM r
+        WHERE rn = floor((cnt + 1) / 2) OR rn = floor(cnt / 2) + 1
+        GROUP BY 1
     ), d AS (
-        SELECT *, median(abs(value - med))
-                      OVER (PARTITION BY event_type) AS mad
-        FROM m
+        SELECT r.event_id, r.event_type, r.value, med.med,
+               abs(r.value - med.med) AS dev
+        FROM r JOIN med USING (event_type)
+    ), r2 AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY event_type ORDER BY dev, value) AS drn,
+               count(*) OVER (PARTITION BY event_type) AS dcnt
+        FROM d
+    ), mad AS (
+        SELECT event_type, avg(dev) AS mad FROM r2
+        WHERE drn = floor((dcnt + 1) / 2) OR drn = floor(dcnt / 2) + 1
+        GROUP BY 1
     )
-    SELECT event_id, event_type, round(value, 4) AS value_r,
-           round(0.6745 * (value - med)
-                 / CASE WHEN mad > 0 THEN mad END, 4) AS robust_z,
-           CASE WHEN mad > 0 THEN
-               abs(round(0.6745 * (value - med) / mad, 4)) >= 3.5
+    SELECT d.event_id, d.event_type, round(d.value, 4) AS value_r,
+           floor(0.6745 * (d.value - d.med)
+                 / CASE WHEN mad.mad > 0 THEN mad.mad END
+                 * 10000 + 0.5) / 10000 AS robust_z,
+           CASE WHEN mad.mad > 0 THEN
+               abs(floor(0.6745 * (d.value - d.med) / mad.mad
+                         * 10000 + 0.5) / 10000) >= 3.5
            END AS is_outlier
-    FROM d
+    FROM d JOIN mad USING (event_type)
     """,
 )
 def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type outlier scores (operators/stats.py:mad_outliers):
-    modified z-score from two exact-median windows sharing one group
-    exchange; the outlier flag derives from the rounded z on both
-    engines so the cutoff boundary is deterministic."""
+    modified z-score from two RANK-BASED exact medians (explicit
+    (a+b)/2 of the middle elements — built-in median() interpolation
+    arithmetic differs by 1 ulp across engines, which flipped a
+    4-decimal boundary on 1 row in a million at sf1). The outlier flag
+    derives from the rounded z, so every output cell is a pure
+    deterministic function of the input on both engines."""
     from .operators.stats import mad_outliers
 
     t = load_testdata(spark, sf_dir)
@@ -5831,12 +5850,18 @@ def search_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH d0 AS (
         SELECT doc_id, {_DUCK_NORM.format(c="text")} AS nt
-        FROM documents WHERE doc_id < 5000
-    ), s AS (
+        FROM documents WHERE doc_id < 2000
+    ), w AS (
+        SELECT doc_id, string_split(nt, ' ') AS words FROM d0
+    ), sh AS (
         SELECT doc_id,
-               list_sort(list_distinct(string_split(nt, ' '))) AS words,
-               len(list_distinct(string_split(nt, ' '))) AS nw
-        FROM d0
+               list_sort(list_distinct(list_transform(
+                   range(1, len(words) - 1), i ->
+                   array_to_string(list_slice(words, i, i + 2), ' '))))
+                   AS toks
+        FROM w WHERE len(words) >= 3
+    ), s AS (
+        SELECT doc_id, toks AS words, len(toks) AS nw FROM sh
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
@@ -5851,14 +5876,16 @@ def search_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact set-similarity join at Jaccard >= 0.6 via prefix filtering
-    (operators/dedup.py:prefix_filter_jaccard_pairs) — lossless
-    blocking, so the oracle is the brute-force all-pairs ground truth
-    (size-ratio pre-filter only, itself implied by the threshold):
-    any pair the prefix join missed would break the hash. Inputs
-    bounded to doc_id < 5000 per the quadratic-oracle cap convention."""
+    """Exact set-similarity join at shingle-set Jaccard >= 0.6 via
+    prefix filtering (operators/dedup.py:prefix_filter_jaccard_pairs)
+    — lossless blocking, so the oracle is the brute-force all-pairs
+    ground truth (size-ratio pre-filter only, itself implied by the
+    threshold): any pair the prefix join missed would break the hash.
+    3-word shingle sets, since word sets over this corpus's small
+    vocabulary are degenerate (7M pairs at sf1); inputs bounded to
+    doc_id < 2000 per the quadratic-oracle cap convention."""
     from .operators.dedup import prefix_filter_jaccard_pairs
 
     t = load_testdata(spark, sf_dir)
-    docs = t["documents"].filter(F.col("doc_id") < 5000)
-    return prefix_filter_jaccard_pairs(docs, threshold=0.6)
+    docs = t["documents"].filter(F.col("doc_id") < 2000)
+    return prefix_filter_jaccard_pairs(docs, threshold=0.6, shingle_k=3)

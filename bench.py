@@ -76,6 +76,14 @@ HEADLINE = [
     "events_type_cooccurrence",
     "graph_pagerank_dup_hubs",
     "graph_triangle_counts",
+    "embedding_int8_quantize",
+    "text_bigram_surprisal",
+    "stream_static_enrich",
+    "orc_roundtrip_profile",
+    "stats_grouped_ols_trend",
+    "events_markov_transitions",
+    "search_rrf_hybrid",
+    "dedup_prefix_jaccard",
 ]
 
 

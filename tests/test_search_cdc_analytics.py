@@ -325,7 +325,9 @@ def test_prefix_jaccard_matches_bruteforce(spark):
     )
     got = {
         (r.id_a, r.id_b): r.jaccard
-        for r in prefix_filter_jaccard_pairs(docs, threshold=0.6).collect()
+        for r in prefix_filter_jaccard_pairs(
+            docs, threshold=0.6, shingle_k=None
+        ).collect()
     }
     # brute-force ground truth at t=0.6
     import itertools
@@ -337,3 +339,26 @@ def test_prefix_jaccard_matches_bruteforce(spark):
         if round(j, 4) >= 0.6:
             expect[(a, b)] = round(j, 4)
     assert got == expect and len(got) >= 2
+
+
+def test_prefix_jaccard_shingle_mode(spark):
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),
+            (2, "one two three four five seven"),  # shares 3 of 5 shingles... 
+            (3, "totally unrelated words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_jaccard_pairs(
+            docs, threshold=0.5, shingle_k=3
+        ).collect()
+    }
+    # docs 1/2: shingle sets of size 4 each, 3 shared -> J = 3/5 = 0.6
+    assert out == {(1, 2): 0.6}
