@@ -109,14 +109,22 @@ def collapse_word_repeats(c: Column) -> Column:
     """Collapse consecutive repeated words in the normalized text
     ("the the the model" -> "the model") — the stutter/boilerplate-run
     cleanup from standard web-text pipelines, as a pure array
-    expression: split, keep position i when it differs from position
-    i-1 (indexed lambda — ``element_at`` is 1-based so with Spark's
-    0-based lambda index it reads the PREVIOUS element), re-join.
+    expression. Formulated as a SHIFT + zip_with (pair each word with
+    its predecessor, null out the repeats, compact): zip_with
+    evaluates each argument array once, whereas the indexed-lambda
+    form (element_at(words, i) inside a filter) re-inlines and
+    re-evaluates the whole words expression PER ELEMENT — lambdas
+    have no let-binding and Catalyst does not CSE across them; that
+    quadratic was 34 s on 50k docs at sf1, this form is linear.
     Zero shuffles, zero Python; runs at scan speed on any corpus."""
     from .text import normalized_text
 
     words = F.split(normalized_text(c), " ")
-    kept = F.filter(
-        words, lambda x, i: (i == F.lit(0)) | (x != F.element_at(words, i))
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
     )
-    return F.array_join(kept, " ")
+    marked = F.zip_with(
+        words, prev, lambda w, p: F.when(p.isNull() | (w != p), w)
+    )
+    return F.array_join(F.filter(marked, lambda w: w.isNotNull()), " ")

@@ -43,22 +43,32 @@ def int8_quantize(
     """
     vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     scale = int8_scale(vec)
-    # least/greatest IGNORE nulls (both engines), so a NULL scale must
-    # null the whole array explicitly or the clamp would fabricate 127s.
+    # Two formulation constraints, both learned the hard way:
+    # - least/greatest IGNORE nulls (both engines), so a NULL scale
+    #   must null the whole array explicitly or the clamp fabricates
+    #   127s.
+    # - referencing `scale` INSIDE an element lambda re-inlines and
+    #   re-evaluates the whole max-abs reduction per element (no
+    #   let-binding, no CSE across lambdas — 30 s for 20k x 64 floats
+    #   at sf1). array_repeat(scale, n) evaluates it once and zip_with
+    #   walks the copies, restoring linearity.
+    scale_arr = F.array_repeat(scale, F.size(vec))
     q = F.when(
         scale.isNotNull(),
-        F.transform(
+        F.zip_with(
             vec,
-            lambda v: F.greatest(
+            scale_arr,
+            lambda v, s: F.greatest(
                 F.lit(-127),
-                F.least(F.lit(127), F.round(v / scale, 0).cast("int")),
+                F.least(F.lit(127), F.round(v / s, 0).cast("int")),
             ),
         ),
     )
     n = F.size(vec).cast("double")
+    deq = F.zip_with(q, scale_arr, lambda qq, s: qq * s)
     mse = (
         F.aggregate(
-            F.zip_with(vec, q, lambda v, qq: F.pow(v - qq * scale, 2)),
+            F.zip_with(vec, deq, lambda v, d: F.pow(v - d, 2)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

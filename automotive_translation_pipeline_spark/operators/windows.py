@@ -154,3 +154,139 @@ def markov_transitions(
             ndigits,
         ),
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Time-weighted average of a sampled value per key (TWAP): each
+    observation holds until the next one, so it weighs by its holding
+    interval; the final observation of a key carries zero weight
+    (nothing it holds over). Keys with a single event yield NULL — no
+    interval exists, surfaced rather than coerced to the plain mean.
+
+    One keyed shuffle (lead window), then a map-side-combined rollup.
+    """
+    # dt in EXACT integer microseconds (cast through TIMESTAMP under
+    # the session's pinned UTC): TWAP is a ratio, so the time unit
+    # cancels, and integer micros make the weighted sums — hence the
+    # rounding — bit-identical across engines (fractional epoch()
+    # seconds are already lossy doubles before the subtraction).
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    step = events.select(
+        F.col(key_col),
+        F.col(value_col),
+        (
+            F.lead(us).over(w) - us
+        ).cast("double").alias("__dt"),
+    ).filter(F.col("__dt").isNotNull())
+    return step.groupBy(key_col).agg(
+        F.round(
+            F.sum(F.col(value_col) * F.col("__dt")) / F.sum("__dt"), ndigits
+        ).alias("twap"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+def cumulative_unique(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Running count of distinct keys ever seen, by day — the
+    growth-curve query ("cumulative unique users"). The naive
+    count(DISTINCT) OVER (ORDER BY day) is quadratic state; the
+    scale shape is: keep each key's FIRST occurrence only (row_number
+    over the key partition), collapse to per-day first-appearance
+    counts, then one cumulative window over the tiny day-level series.
+
+    Returns (day, new_keys, cumulative_keys).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    firsts = (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.to_date(ts_col).alias("day"))
+    )
+    daily = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("new_keys"))
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.withColumn(
+        "cumulative_keys", F.sum("new_keys").over(w_cum)
+    )
+
+
+def attribution_models(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    touch_type: str = "view",
+    convert_type: str = "purchase",
+    value_col: str = "value",
+    window_minutes: int = 30,
+    ndigits: int = 2,
+) -> DataFrame:
+    """Three marketing-attribution models over the same touch window,
+    side by side: for each conversion, credit the touches (``view``)
+    in the preceding ``window_minutes`` under FIRST-touch, LAST-touch,
+    and LINEAR (equal-split) rules, then roll credited value up per
+    touch. Output is per-touch-event credit under each model — the
+    comparison table an attribution analysis starts from.
+
+    Scale shape: one interval join keyed on the user (the same shape
+    as the stream-stream attribution job), then window ranks WITHIN
+    each conversion's touch set (bounded by the window's touch count)
+    and a per-touch rollup. Deterministic tie-breaks on event id.
+
+    Returns (touch_id, first_credit, last_credit, linear_credit)
+    rounded; every credited conversion contributes its full value
+    exactly once per model.
+    """
+    touches = events.filter(F.col(type_col) == touch_type).select(
+        F.col(user_col).alias("u"),
+        F.col("event_id").alias("touch_id"),
+        F.col(ts_col).alias("t_ts"),
+    )
+    convs = events.filter(F.col(type_col) == convert_type).select(
+        F.col(user_col).alias("u"),
+        F.col("event_id").alias("conv_id"),
+        F.col(ts_col).alias("c_ts"),
+        F.col(value_col).alias("v"),
+    )
+    joined = touches.join(convs, "u").filter(
+        (F.col("t_ts") <= F.col("c_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("c_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES")
+        )
+    )
+    w_conv = Window.partitionBy("conv_id")
+    w_asc = w_conv.orderBy("t_ts", "touch_id")
+    w_desc = w_conv.orderBy(F.col("t_ts").desc(), F.col("touch_id").desc())
+    credited = joined.select(
+        "touch_id",
+        "v",
+        (F.row_number().over(w_asc) == 1).alias("__is_first"),
+        (F.row_number().over(w_desc) == 1).alias("__is_last"),
+        F.count(F.lit(1)).over(w_conv).alias("__n_touches"),
+    )
+    return credited.groupBy("touch_id").agg(
+        F.round(
+            F.sum(F.when(F.col("__is_first"), F.col("v")).otherwise(0.0)),
+            ndigits,
+        ).alias("first_credit"),
+        F.round(
+            F.sum(F.when(F.col("__is_last"), F.col("v")).otherwise(0.0)),
+            ndigits,
+        ).alias("last_credit"),
+        F.round(
+            F.sum(F.col("v") / F.col("__n_touches")), ndigits
+        ).alias("linear_credit"),
+    )

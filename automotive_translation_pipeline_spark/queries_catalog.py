@@ -5065,13 +5065,15 @@ def text_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_testdata(spark, sf_dir)
     docs = t["documents"]
     words = F.split(normalized_text(F.col("text")), " ")
-    kept = F.filter(
-        words, lambda x, i: (i == F.lit(0)) | (x != F.element_at(words, i))
-    )
+    # n_removed from the lengths of the joined strings (words kept ==
+    # spaces + 1), avoiding a second pass with the quadratic
+    # indexed-lambda form (see collapse_word_repeats docstring).
+    clean = collapse_word_repeats(F.col("text"))
+    kept_n = F.size(F.split(clean, " "))
     return docs.select(
         "doc_id",
-        collapse_word_repeats(F.col("text")).alias("clean_text"),
-        (F.size(words) - F.size(kept)).cast("long").alias("n_removed"),
+        clean.alias("clean_text"),
+        (F.size(words) - kept_n).cast("long").alias("n_removed"),
     )
 
 
@@ -5393,7 +5395,8 @@ def orc_roundtrip_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(regr_r2(value, x), 4) AS r2,
            CAST(count(*) AS BIGINT) AS n
     FROM (SELECT event_type, value,
-                 (epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 86400.0 AS x
+                 (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                     / 86400000000.0 AS x
           FROM events) t
     GROUP BY 1
     """,
@@ -5409,13 +5412,15 @@ def stats_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.stats import grouped_ols
 
     t = load_testdata(spark, sf_dir)
+    # Exact integer micros (not unix_timestamp, which truncates the
+    # sub-second part the oracle's epoch keeps) -> identical x values.
     ev = t["events"].withColumn(
         "x",
         (
-            F.unix_timestamp("ts")
-            - F.unix_timestamp(F.lit("2024-01-01").cast("timestamp"))
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.expr("unix_micros(TIMESTAMP '2024-01-01 00:00:00')")
         ).cast("double")
-        / 86400.0,
+        / 86400000000.0,
     )
     return grouped_ols(ev, ["event_type"], "value", "x")
 
@@ -5889,3 +5894,101 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_testdata(spark, sf_dir)
     docs = t["documents"].filter(F.col("doc_id") < 2000)
     return prefix_filter_jaccard_pairs(docs, threshold=0.6, shingle_k=3)
+
+
+@register(
+    "events_time_weighted_avg",
+    """
+    WITH s AS (
+        SELECT user_id, value,
+               CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts))
+                    - epoch_us(ts) AS DOUBLE) AS dt
+        FROM events
+    )
+    SELECT user_id,
+           round(sum(value * dt) / sum(dt), 4) AS twap,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM s WHERE dt IS NOT NULL GROUP BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP —
+    operators/windows.py:time_weighted_avg): each observation weighs
+    by its holding interval via one lead() window, then a map-side-
+    combined rollup. Single-event users surface as absent, not as a
+    fabricated plain mean."""
+    from .operators.windows import time_weighted_avg
+
+    t = load_testdata(spark, sf_dir)
+    return time_weighted_avg(t["events"])
+
+
+@register(
+    "events_cumulative_unique_users",
+    """
+    WITH f AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS day FROM events
+        GROUP BY user_id
+    ), d AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS new_keys FROM f GROUP BY day
+    )
+    SELECT day, new_keys,
+           CAST(sum(new_keys) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_keys
+    FROM d
+    """,
+)
+def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-unique-users growth curve
+    (operators/windows.py:cumulative_unique). The quadratic
+    count(DISTINCT) OVER (ORDER BY day) never appears: each user
+    collapses to a first appearance, days to first-appearance counts,
+    and the only unpartitioned window runs over the ~30-row day
+    series — tiny by construction, same class as the global-index
+    offset table."""
+    from .operators.windows import cumulative_unique
+
+    t = load_testdata(spark, sf_dir)
+    return cumulative_unique(t["events"])
+
+
+@register(
+    "events_attribution_models",
+    """
+    WITH touches AS (
+        SELECT user_id AS u, event_id AS touch_id, ts AS t_ts
+        FROM events WHERE event_type = 'view'
+    ), convs AS (
+        SELECT user_id AS u, event_id AS conv_id, ts AS c_ts, value AS v
+        FROM events WHERE event_type = 'purchase'
+    ), j AS (
+        SELECT t.touch_id, c.conv_id, c.v,
+               row_number() OVER (PARTITION BY c.conv_id
+                   ORDER BY t.t_ts, t.touch_id) AS rn_first,
+               row_number() OVER (PARTITION BY c.conv_id
+                   ORDER BY t.t_ts DESC, t.touch_id DESC) AS rn_last,
+               count(*) OVER (PARTITION BY c.conv_id) AS n_touches
+        FROM touches t JOIN convs c
+          ON t.u = c.u AND t.t_ts <= c.c_ts
+         AND t.t_ts >= c.c_ts - INTERVAL 30 MINUTE
+    )
+    SELECT touch_id,
+           round(sum(CASE WHEN rn_first = 1 THEN v ELSE 0 END), 2)
+               AS first_credit,
+           round(sum(CASE WHEN rn_last = 1 THEN v ELSE 0 END), 2)
+               AS last_credit,
+           round(sum(v / n_touches), 2) AS linear_credit
+    FROM j GROUP BY touch_id
+    """,
+)
+def events_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch / linear attribution side by side over
+    a 30-minute conversion window
+    (operators/windows.py:attribution_models): one user-keyed interval
+    join, per-conversion rank windows (state bounded by the window's
+    touch count), one per-touch rollup."""
+    from .operators.windows import attribution_models
+
+    t = load_testdata(spark, sf_dir)
+    return attribution_models(t["events"])

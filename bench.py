@@ -84,6 +84,9 @@ HEADLINE = [
     "events_markov_transitions",
     "search_rrf_hybrid",
     "dedup_prefix_jaccard",
+    "events_time_weighted_avg",
+    "events_cumulative_unique_users",
+    "events_attribution_models",
 ]
 
 

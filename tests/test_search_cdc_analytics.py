@@ -362,3 +362,74 @@ def test_prefix_jaccard_shingle_mode(spark):
     }
     # docs 1/2: shingle sets of size 4 each, 3 shared -> J = 3/5 = 0.6
     assert out == {(1, 2): 0.6}
+
+
+def test_time_weighted_avg_holding_intervals(spark):
+    from automotive_translation_pipeline_spark.operators.windows import (
+        time_weighted_avg,
+    )
+
+    rows = [
+        # user 1: value 10 held 10s, value 20 held 30s -> twap 17.5
+        (1, "2024-01-01 00:00:00", 10.0),
+        (1, "2024-01-01 00:00:10", 20.0),
+        (1, "2024-01-01 00:00:40", 99.0),  # final obs: zero weight
+        # user 2: single event -> absent
+        (2, "2024-01-01 00:00:00", 5.0),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "s", "value"]).select(
+        "user_id", F.to_timestamp("s").alias("ts"), "value"
+    )
+    out = {r.user_id: r for r in time_weighted_avg(ev).collect()}
+    assert out[1].twap == 17.5 and out[1].n_intervals == 2
+    assert 2 not in out
+
+
+def test_cumulative_unique_counts_first_appearance_only(spark):
+    from automotive_translation_pipeline_spark.operators.windows import (
+        cumulative_unique,
+    )
+
+    rows = [
+        (1, "2024-01-01 08:00:00"),
+        (1, "2024-01-02 08:00:00"),  # repeat: not new
+        (2, "2024-01-02 08:00:00"),
+        (3, "2024-01-02 09:00:00"),
+        (2, "2024-01-03 08:00:00"),  # repeat
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "s"]).select(
+        "user_id", F.to_timestamp("s").alias("ts")
+    )
+    out = {str(r.day): (r.new_keys, r.cumulative_keys)
+           for r in cumulative_unique(ev).collect()}
+    assert out == {"2024-01-01": (1, 1), "2024-01-02": (2, 3)}
+
+
+def test_attribution_models_conserve_value(spark):
+    from automotive_translation_pipeline_spark.operators.windows import (
+        attribution_models,
+    )
+
+    rows = [
+        # two views then a purchase of value 12 within 30 min
+        (1, 1, "2024-01-01 00:00:00", "view", 0.0),
+        (1, 2, "2024-01-01 00:10:00", "view", 0.0),
+        (1, 3, "2024-01-01 00:20:00", "purchase", 12.0),
+        # a view OUTSIDE the window of a later purchase
+        (2, 4, "2024-01-01 00:00:00", "view", 0.0),
+        (2, 5, "2024-01-01 02:00:00", "purchase", 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["user_id", "event_id", "s", "event_type", "value"]
+    ).select("user_id", "event_id", F.to_timestamp("s").alias("ts"),
+             "event_type", "value")
+    out = {r.touch_id: r for r in attribution_models(ev).collect()}
+    # first-touch: all 12 on touch 1; last-touch: all on touch 2;
+    # linear: 6 each. The out-of-window view gets nothing.
+    assert out[1].first_credit == 12.0 and out[1].last_credit == 0.0
+    assert out[2].first_credit == 0.0 and out[2].last_credit == 12.0
+    assert out[1].linear_credit == 6.0 and out[2].linear_credit == 6.0
+    assert 4 not in out
+    # every model conserves total credited value
+    for m in ("first_credit", "last_credit", "linear_credit"):
+        assert sum(getattr(r, m) for r in out.values()) == 12.0
