@@ -5992,3 +5992,180 @@ def events_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_testdata(spark, sf_dir)
     return attribution_models(t["events"])
+
+
+@register(
+    "text_source_vocab_overlap",
+    f"""
+    WITH d AS (
+        SELECT source, {_DUCK_NORM.format(c="text")} AS nt FROM documents
+    ), sw AS (
+        SELECT DISTINCT source, unnest(string_split(nt, ' ')) AS word FROM d
+    ), sizes AS (
+        SELECT source, CAST(count(*) AS DOUBLE) AS n FROM sw GROUP BY 1
+    ), inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM sw a JOIN sw b
+          ON a.word = b.word AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, i.n_shared,
+           round(i.n_shared / (sa.n + sb.n - i.n_shared), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-comparison matrix: vocabulary Jaccard between every pair
+    of sources — the quick diagnostic for 'are these two crawls the
+    same corpus?'. Distinct (source, word) collapse (map-side), a
+    word-keyed self-join bounded by per-word source counts (<=
+    n_sources per word), and a broadcast of the n_sources-row size
+    table."""
+    from .functions.text import normalized_text
+
+    t = load_testdata(spark, sf_dir)
+    sw = t["documents"].select(
+        "source",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("word"),
+    ).distinct()
+    sizes = sw.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    a = sw.withColumnRenamed("source", "source_a")
+    b = sw.withColumnRenamed("source", "source_b")
+    inter = (
+        a.join(b, "word")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = F.broadcast(sizes.withColumnRenamed("source", "source_a")
+                     .withColumnRenamed("n", "na"))
+    sb = F.broadcast(sizes.withColumnRenamed("source", "source_b")
+                     .withColumnRenamed("n", "nb"))
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a", "source_b", "n_shared",
+            F.round(
+                F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "embedding_centroid_affinity",
+    """
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+        FROM embeddings
+    ), u AS (
+        SELECT vec_id, label, unnest(emb) AS v,
+               unnest(generate_series(1, len(emb))) AS pos
+        FROM e
+    ), c AS (
+        SELECT label, pos, avg(v) AS cv FROM u GROUP BY 1, 2
+    ), p AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               sum(a.cv * b.cv) AS dot,
+               sqrt(sum(a.cv * a.cv)) AS na,
+               sqrt(sum(b.cv * b.cv)) AS nb
+        FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT label_a, label_b, round(dot / (na * nb), 4) AS cosine
+    FROM p
+    """,
+)
+def embedding_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-confusability map: cosine between every pair of label
+    centroids — near-1 pairs are candidates for merged or mislabeled
+    classes. Centroids from one map-side-collapsed posexplode
+    aggregation (labels x dim rows); the pairwise stage runs over that
+    TINY table only, never the corpus."""
+    t = load_testdata(spark, sf_dir)
+    u = t["embeddings"].select(
+        "label",
+        F.posexplode(F.transform("embedding", lambda v: v.cast("double"))),
+    ).select("label", F.col("pos"), F.col("col").alias("v"))
+    c = u.groupBy("label", "pos").agg(F.avg("v").alias("cv"))
+    a = c.select(F.col("label").alias("label_a"), "pos",
+                 F.col("cv").alias("cva"))
+    b = c.select(F.col("label").alias("label_b"), "pos",
+                 F.col("cv").alias("cvb"))
+    p = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("cva") * F.col("cvb")).alias("dot"),
+            F.sqrt(F.sum(F.col("cva") * F.col("cva"))).alias("na"),
+            F.sqrt(F.sum(F.col("cvb") * F.col("cvb"))).alias("nb"),
+        )
+    )
+    return p.select(
+        "label_a", "label_b",
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+    )
+
+
+@register(
+    "sql_recursive_bfs_hops",
+    (_DUCK_LSH_PAIRS
+     + """
+    , edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ), seeds AS (
+        SELECT DISTINCT u AS node FROM edges WHERE u < 100
+    ), walk AS (
+        SELECT node, 0 AS hops FROM seeds
+        UNION ALL
+        SELECT e.v AS node, w.hops + 1 AS hops
+        FROM walk w JOIN edges e ON e.u = w.node
+        WHERE w.hops < 4
+    )
+    SELECT node, CAST(min(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """).replace("WITH d AS", "WITH RECURSIVE d AS", 1),
+)
+def sql_recursive_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 recursive-CTE surface: BFS hop distance (<= 4 hops)
+    from low-id seed documents through the LSH candidate graph, as a
+    real `WITH RECURSIVE` executed BY SPARK — the same SQL family the
+    oracles use, now demonstrably portable in both directions. The
+    UNION ALL recursion is bounded by the hops guard; candidate
+    components are small by construction so the path expansion stays
+    bounded. (The iterative-DataFrame equivalent for unbounded graphs
+    is operators/dedup.py:connected_components.)"""
+    from .operators.dedup import minhash_lsh_candidates
+
+    t = load_testdata(spark, sf_dir)
+    pairs = minhash_lsh_candidates(
+        t["documents"], text_col="text", id_col="doc_id",
+        num_hashes=16, bands=4, k=3,
+    )
+    pairs.createOrReplaceTempView("lsh_pairs")
+    return spark.sql("""
+        WITH RECURSIVE edges AS (
+            SELECT id_a AS u, id_b AS v FROM lsh_pairs
+            UNION ALL SELECT id_b, id_a FROM lsh_pairs
+        ), seeds AS (
+            SELECT DISTINCT u AS node FROM edges WHERE u < 100
+        ), walk AS (
+            SELECT node, 0 AS hops FROM seeds
+            UNION ALL
+            SELECT e.v AS node, w.hops + 1 AS hops
+            FROM walk w JOIN edges e ON e.u = w.node
+            WHERE w.hops < 4
+        )
+        SELECT node, CAST(min(hops) AS BIGINT) AS hops
+        FROM walk GROUP BY node
+    """)

@@ -433,3 +433,30 @@ def test_attribution_models_conserve_value(spark):
     # every model conserves total credited value
     for m in ("first_credit", "last_credit", "linear_credit"):
         assert sum(getattr(r, m) for r in out.values()) == 12.0
+
+
+def test_source_vocab_overlap_via_catalog(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["text_source_vocab_overlap"](
+        spark, sf_dir
+    ).collect()
+    assert rows  # some pair exists at sf0.001
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert 0.0 <= r.jaccard <= 1.0
+
+
+def test_centroid_affinity_bounds_and_pairs(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["embedding_centroid_affinity"](
+        spark, sf_dir
+    ).collect()
+    labels = set()
+    for r in rows:
+        labels.add(r.label_a), labels.add(r.label_b)
+        assert r.label_a < r.label_b
+        assert -1.0 <= r.cosine <= 1.0
+    n = len(labels)
+    assert len(rows) == n * (n - 1) // 2  # every unordered pair once
