@@ -87,6 +87,9 @@ HEADLINE = [
     "events_time_weighted_avg",
     "events_cumulative_unique_users",
     "events_attribution_models",
+    "text_source_vocab_overlap",
+    "embedding_centroid_affinity",
+    "sql_recursive_bfs_hops",
 ]
 
 

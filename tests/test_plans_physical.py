@@ -338,3 +338,56 @@ def test_decontaminate_broadcasts_eval_never_shuffles_train(spark, sf_dir):
     train_branch = plan[join_pos:].split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in train_branch
     assert "partial_count" in plan
+
+
+def test_bm25_query_side_broadcasts(spark, sf_dir):
+    """The query-term join must broadcast the tiny term set — a
+    shuffled join would re-exchange the whole postings table per
+    query batch."""
+    plan = _physical(spark, "search_bm25_topk", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pairwise_ops_never_cartesian(spark, sf_dir):
+    """Every pairwise operator must pair through a KEYED join (prefix
+    token, band bucket, basket, position) — a cartesian/nested-loop
+    fallback is the n^2 cliff the blocking exists to avoid."""
+    for name in (
+        "dedup_prefix_jaccard",
+        "dedup_sorted_neighbors",
+        "graph_triangle_counts",
+        "events_type_cooccurrence",
+        "embedding_centroid_affinity",
+        "text_source_vocab_overlap",
+    ):
+        plan = _physical(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_equidepth_no_global_window(spark, sf_dir):
+    """Bin assignment must ride the range-partitioned global index —
+    a single-partition window over the fact table is the antipattern
+    the operator exists to avoid. (The plan's only SinglePartition
+    exchanges are tiny by construction: the P-row offset table and the
+    1-row total-count aggregate.)"""
+    plan = _physical(spark, "profile_equidepth_histogram", sf_dir)
+    assert "rangepartitioning" in plan.lower()
+    assert plan.lower().count("singlepartition") <= 2
+
+
+def test_enrich_is_broadcast_left_join(spark, sf_dir):
+    plan = _physical(spark, "stream_static_enrich", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_filter_applies_before_exchange(spark, sf_dir):
+    """The bloom membership test must prune the probe side at scan
+    level (a Filter containing the bitwise mask test), before any
+    exchange for the exact semi-join."""
+    plan = _physical(spark, "bloom_pruned_semi_join", sf_dir)
+    assert "&" in plan or "AND" in plan  # bitwise test present
+    # exact semi join still present for correctness
+    assert "LeftSemi" in plan
