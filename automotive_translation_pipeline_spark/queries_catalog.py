@@ -6169,3 +6169,113 @@ def sql_recursive_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT node, CAST(min(hops) AS BIGINT) AS hops
         FROM walk GROUP BY node
     """)
+
+
+@register(
+    "profile_psi_drift",
+    """
+    WITH b AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END
+                   AS period,
+               value
+        FROM events
+    ), rng AS (
+        SELECT min(value) AS lo, max(value) AS hi FROM events
+    ), bk AS (
+        SELECT event_type, period,
+               CAST(least(9, floor((value - rng.lo) * 10.0
+                                   / (rng.hi - rng.lo))) AS BIGINT) AS bucket
+        FROM b, rng
+    ), c AS (
+        SELECT event_type, period, bucket, count(*) AS n
+        FROM bk GROUP BY 1, 2, 3
+    ), grid AS (
+        SELECT DISTINCT et.event_type, g.bucket, p.period
+        FROM (SELECT DISTINCT event_type FROM events) et,
+             (SELECT unnest(range(0, 10)) AS bucket) g,
+             (VALUES ('a'), ('b')) p(period)
+    ), f AS (
+        SELECT g.event_type, g.bucket, g.period,
+               coalesce(c.n, 0) + 1 AS n_s
+        FROM grid g LEFT JOIN c
+          ON c.event_type = g.event_type AND c.bucket = g.bucket
+         AND c.period = g.period
+    ), sh AS (
+        SELECT event_type, bucket, period,
+               n_s / CAST(sum(n_s) OVER (PARTITION BY event_type, period)
+                          AS DOUBLE) AS share
+        FROM f
+    ), piv AS (
+        SELECT a.event_type, a.bucket, a.share AS pa, b2.share AS pb
+        FROM sh a JOIN sh b2
+          ON a.event_type = b2.event_type AND a.bucket = b2.bucket
+         AND a.period = 'a' AND b2.period = 'b'
+    )
+    SELECT event_type,
+           floor(sum((pa - pb) * ln(pa / pb)) * 10000 + 0.5) / 10000 AS psi
+    FROM piv GROUP BY event_type
+    """,
+)
+def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift of the value distribution per
+    event type between the stream's two halves — the standard
+    production drift monitor (PSI > 0.2 = investigate). Bucket edges
+    from a 1-row min/max broadcast, add-one smoothing on a dense
+    (type x bucket x period) grid so empty buckets contribute, shares
+    as windows over the tiny count table, floor-quantized PSI (the
+    round() half-boundary is engine-specific)."""
+    t = load_testdata(spark, sf_dir)
+    ev = t["events"]
+    rng = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    b = ev.select(
+        "event_type",
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "a"
+        ).otherwise("b").alias("period"),
+        "value",
+    ).crossJoin(F.broadcast(rng))
+    bk = b.select(
+        "event_type", "period",
+        F.least(
+            F.lit(9),
+            F.floor((F.col("value") - F.col("lo")) * 10.0
+                    / (F.col("hi") - F.col("lo"))),
+        ).cast("long").alias("bucket"),
+    )
+    c = bk.groupBy("event_type", "period", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(spark.range(0, 10).select(F.col("id").alias("bucket")))
+        .crossJoin(
+            spark.createDataFrame([("a",), ("b",)], ["period"])
+        )
+    )
+    f = grid.join(c, ["event_type", "period", "bucket"], "left").select(
+        "event_type", "period", "bucket",
+        (F.coalesce(F.col("n"), F.lit(0)) + 1).alias("n_s"),
+    )
+    w = Window.partitionBy("event_type", "period")
+    sh = f.select(
+        "event_type", "bucket", "period",
+        (F.col("n_s") / F.sum("n_s").over(w).cast("double")).alias("share"),
+    )
+    a = sh.filter(F.col("period") == "a").select(
+        "event_type", "bucket", F.col("share").alias("pa")
+    )
+    b2 = sh.filter(F.col("period") == "b").select(
+        "event_type", "bucket", F.col("share").alias("pb")
+    )
+    piv = a.join(b2, ["event_type", "bucket"])
+    return piv.groupBy("event_type").agg(
+        (
+            F.floor(
+                F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")))
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("psi")
+    )
