@@ -6279,3 +6279,84 @@ def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("psi")
     )
+
+
+@register(
+    "stream_view_attribution_outer",
+    """
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id, p.ts AS purchase_ts, v.ts AS view_ts,
+           round(p.value, 2) AS purchase_value
+    FROM events p
+    LEFT JOIN events v
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def stream_view_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream attribution
+    (streaming/jobs.py:view_purchase_attribution how='left_outer'):
+    unattributed purchases survive with NULL view columns — in true
+    streaming the NULL side emits only once the watermark proves no
+    match can arrive, which is why both streams carry watermarks.
+    Batch path here; the inner variant's streaming execution is
+    covered in tests/test_streaming.py."""
+    from .streaming.jobs import view_purchase_attribution
+
+    t = load_testdata(spark, sf_dir)
+    ev = t["events"]
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return view_purchase_attribution(views, purchases, how="left_outer")
+
+
+@register(
+    "profile_pareto_coverage",
+    """
+    WITH r AS (
+        SELECT source, n_chars,
+               sum(n_chars) OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(n_chars) OVER (PARTITION BY source) AS total,
+               count(*) OVER (PARTITION BY source) AS n_docs
+        FROM documents
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE cum - n_chars < 0.8 * total)
+                AS BIGINT) AS n_docs_80pct,
+           round(CAST(count(*) FILTER (WHERE cum - n_chars < 0.8 * total)
+                      AS DOUBLE) / n_docs, 4) AS doc_share_80pct
+    FROM r GROUP BY source, n_docs
+    """,
+)
+def profile_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration per source: how few documents (largest
+    first) cover 80% of the source's characters — the 'is this corpus
+    a few giants plus dust?' diagnostic that decides chunking and
+    sampling strategy. One per-source window pass; the comparison
+    uses exact integer cumsums against 0.8*total, deterministic on
+    both engines."""
+    t = load_testdata(spark, sf_dir)
+    w_ord = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("source")
+    r = t["documents"].select(
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(w_ord).alias("cum"),
+        F.sum("n_chars").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n_docs"),
+    )
+    in_head = (F.col("cum") - F.col("n_chars")) < 0.8 * F.col("total")
+    return r.groupBy("source", "n_docs").agg(
+        F.sum(F.when(in_head, 1).otherwise(0)).alias("n_docs_80pct"),
+        F.round(
+            F.sum(F.when(in_head, 1).otherwise(0)) / F.col("n_docs").cast("double"),
+            4,
+        ).alias("doc_share_80pct"),
+    ).select("source", "n_docs", "n_docs_80pct", "doc_share_80pct")

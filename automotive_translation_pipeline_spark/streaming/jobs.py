@@ -85,6 +85,7 @@ def view_purchase_attribution(
     horizon_minutes: int = 30,
     view_watermark: str = "60 minutes",
     purchase_watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: each purchase is
     attributed to every view by the same user within the preceding
@@ -114,7 +115,11 @@ def view_purchase_attribution(
             >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES")
         )
     )
-    return p.join(v, cond, "inner").select(
+    # how="left_outer" preserves unattributed purchases (view columns
+    # NULL) — in streaming mode Spark emits the NULL side only once the
+    # watermark proves no match can still arrive, which is exactly why
+    # both sides must carry watermarks here.
+    return p.join(v, cond, how).select(
         "purchase_id",
         "view_id",
         F.col("p_user").alias("user_id"),

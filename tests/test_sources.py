@@ -262,3 +262,18 @@ def test_avro_gate_is_loud(spark):
     else:
         with _pytest.raises(RuntimeError, match="spark-avro"):
             write_avro(df, "/tmp/claude-avro-probe")
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Reading a dataset whose files were written under an EVOLVED
+    schema (a column added later) must surface the union schema with
+    NULLs for pre-evolution files — the mergeSchema contract a
+    long-lived 100 TB table depends on."""
+    old = spark.createDataFrame([(1, "a")], ["id", "name"])
+    new = spark.createDataFrame([(2, "b", 0.5)], ["id", "name", "score"])
+    old.write.parquet(f"{tmp_path}/t/part=0")
+    new.write.parquet(f"{tmp_path}/t/part=1")
+    merged = spark.read.option("mergeSchema", True).parquet(f"{tmp_path}/t")
+    assert set(merged.columns) == {"id", "name", "score", "part"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 0.5

@@ -709,3 +709,57 @@ def test_stream_static_enrich_live(spark, tmp_path):
     q.awaitTermination(180)
     got = {r.event_id: r.tier for r in spark.read.parquet(out).collect()}
     assert got == {"e1": "GOLD", "e2": "SILVER", "e3": "UNKNOWN"}
+
+
+def test_stream_stream_left_outer_emits_null_side(spark, tmp_path):
+    """Unattributed purchases must emit with NULL view columns once
+    the watermark proves no matching view can still arrive — which
+    needs a later batch to advance the watermark past the purchase."""
+    from automotive_translation_pipeline_spark.streaming.jobs import (
+        view_purchase_attribution,
+    )
+
+    vdir = tmp_path / "views"; vdir.mkdir()
+    pdir = tmp_path / "purchases"; pdir.mkdir()
+    head = "event_id,user_id,ts,value\n"
+    # batch 1: one matched pair (user 1) and one unmatched purchase
+    # (user 2, no view in window)
+    (vdir / "f0.csv").write_text(
+        head + "v1,1,2024-01-01 00:05:00,0\n"
+    )
+    (pdir / "f0.csv").write_text(
+        head
+        + "p1,1,2024-01-01 00:10:00,40.0\n"
+        + "p2,2,2024-01-01 00:10:00,7.5\n"
+    )
+    # batch 2: far-future flush rows push both watermarks beyond
+    # p2 + horizon so the NULL side can finalize
+    (vdir / "f1.csv").write_text(head + "vF,9,2024-01-01 06:00:00,0\n")
+    (pdir / "f1.csv").write_text(head + "pF,9,2024-01-01 06:00:00,0\n")
+
+    schema = "event_id string, user_id long, ts timestamp, value double"
+
+    def stream(d):
+        return (
+            spark.readStream.schema(schema)
+            .option("header", True)
+            .option("maxFilesPerTrigger", 1)
+            .csv(f"{d}/*.csv")
+        )
+
+    out = str(tmp_path / "outer_out")
+    q = (
+        view_purchase_attribution(
+            stream(vdir), stream(pdir),
+            horizon_minutes=30, how="left_outer",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "outer_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.purchase_id: r.view_id for r in spark.read.parquet(out).collect()}
+    assert got.get("p1") == "v1"          # matched pair joined
+    assert "p2" in got and got["p2"] is None  # unmatched emitted w/ NULL
