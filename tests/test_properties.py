@@ -133,3 +133,90 @@ def test_spark_cascade_roundtrips_generated_payloads(spark):
             if len(v.strip()) >= 3 and not v.strip().isdigit()
         }
         assert got[cid] == clean, f"{cid} ({kind}): {got[cid]} != {clean}"
+
+
+def test_char_entropy_matches_python_reference(spark):
+    """Spark char_entropy == an independent pure-Python computation of
+    Shannon bits/char over the normalized text, for a seeded corpus of
+    adversarial shapes (repeats, unicode, whitespace runs, empties)."""
+    import math
+    import random
+    import re
+    from collections import Counter
+
+    from automotive_translation_pipeline_spark.functions.text import (
+        char_entropy,
+    )
+
+    rng = random.Random(42)
+    alphabet = "abcdefgh XYZ.,!🎉é\t\n"
+    texts = [""] + ["a" * n for n in (1, 7)] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 120)))
+        for _ in range(60)
+    ]
+
+    def ref(t: str) -> float:
+        nt = re.sub(r"\s+", " ", t.lower()).strip()
+        if not nt:
+            return 0.0
+        n = len(nt)
+        h = -sum(
+            (k / n) * math.log2(k / n) for k in Counter(nt).values()
+        )
+        return round(h, 4)
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["i", "t"])
+    got = {
+        r.i: r.h
+        for r in df.select("i", char_entropy(F.col("t")).alias("h")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert abs(got[i] - ref(t)) <= 1e-4, (i, repr(t), got[i], ref(t))
+
+
+def test_collapse_word_repeats_idempotent(spark):
+    import random
+
+    from automotive_translation_pipeline_spark.functions.cleaning import (
+        collapse_word_repeats,
+    )
+
+    rng = random.Random(7)
+    words = ["a", "b", "the", "model"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randrange(0, 30)))
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    once = collapse_word_repeats(F.col("t"))
+    twice = collapse_word_repeats(once)
+    rows = df.select(once.alias("o"), twice.alias("tw")).collect()
+    for r in rows:
+        assert r.o == r.tw  # fixed point after one pass
+        toks = r.o.split(" ") if r.o else []
+        assert all(x != y for x, y in zip(toks, toks[1:]))
+
+
+def test_int8_quantize_error_bound(spark):
+    """Per-component dequantization error is <= scale/2 (+ half-ulp)
+    except where clamping applies — and this corpus never clamps
+    because scale is derived from the max abs."""
+    import random
+
+    from automotive_translation_pipeline_spark.operators.embeddings import (
+        int8_quantize,
+    )
+
+    rng = random.Random(3)
+    vecs = [
+        (i, [rng.uniform(-5, 5) for _ in range(16)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    # unrounded scale for the bound check
+    out = int8_quantize(df, ndigits=12).collect()
+    by_id = {r.vec_id: r for r in out}
+    for i, v in vecs:
+        r = by_id[i]
+        for comp, q in zip(v, r.q):
+            assert abs(comp - q * r.scale) <= r.scale / 2 + 1e-9
