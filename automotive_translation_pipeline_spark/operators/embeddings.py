@@ -15,7 +15,7 @@ against dequantized vectors with one extra multiply.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -79,4 +79,67 @@ def int8_quantize(
         F.round(scale, ndigits).alias("scale"),
         q.alias("q"),
         F.round(mse, ndigits).alias("mse"),
+    )
+
+
+def cosine_topk_int8(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Exact top-k retrieval OVER THE INT8 CODES — the serving-side
+    composition of int8_quantize: cosine is scale-invariant, so
+    cosine(q_a * s_a, q_b * s_b) == cosine(q_a, q_b) and the whole
+    score is integer dot products divided by integer-derived norms.
+    Deterministic to the last bit on any engine (no float accumulation
+    differences exist to round away), and the int8 dot is the thing
+    SIMD serving engines actually execute.
+
+    Corpus stays partitioned; quantized queries broadcast; per-query
+    top-k window over candidates. Zero-vector rows (NULL codes) drop
+    out of both sides.
+    """
+    def codes(frame: DataFrame, out_id: str) -> DataFrame:
+        q = int8_quantize(frame, vec_col=vec_col, id_col=id_col, ndigits=12)
+        return q.filter(F.col("q").isNotNull()).select(
+            F.col(id_col).alias(out_id),
+            F.col("q").alias(f"__{out_id}_q"),
+        )
+
+    corpus = codes(df, "vec_id")
+    qry = codes(queries, "query_id")
+    joined = corpus.crossJoin(F.broadcast(qry)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "__vec_id_q", "__query_id_q",
+            lambda a, b: (a * b).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    sq = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        (dot / (sq("__vec_id_q") * sq("__query_id_q"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", "vec_id",
+                F.round("cosine", ndigits).alias("cosine_r"))
     )

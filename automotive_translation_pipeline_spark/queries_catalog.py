@@ -6360,3 +6360,91 @@ def profile_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("doc_share_80pct"),
     ).select("source", "n_docs", "n_docs_80pct", "doc_share_80pct")
+
+
+@register(
+    "ann_cosine_int8",
+    """
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, emb,
+               CASE WHEN list_max(list_transform(emb, v -> abs(v))) > 0
+                    THEN list_max(list_transform(emb, v -> abs(v))) / 127.0
+               END AS scale
+        FROM e
+    ), q AS (
+        SELECT vec_id,
+               list_transform(emb, v -> CAST(greatest(-127, least(127,
+                   CAST(round(v / scale, 0) AS INTEGER))) AS BIGINT)) AS qv
+        FROM s WHERE scale IS NOT NULL
+    ), n AS (
+        SELECT vec_id, qv,
+               sqrt(CAST(list_sum(list_transform(qv, x -> x * x))
+                         AS DOUBLE)) AS nrm
+        FROM q
+    ), scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id,
+               CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                    x -> x[1] * x[2])) AS DOUBLE) / (a.nrm * b.nrm) AS cosine
+        FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+    )
+    SELECT query_id, vec_id, round(cosine, 4) AS cosine_r FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored)
+    WHERE rk <= 10
+    """,
+)
+def ann_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval over the int8 CODES
+    (operators/embeddings.py:cosine_topk_int8): cosine is
+    scale-invariant so the score is pure integer dot products — the
+    SIMD-serving formulation, bit-deterministic on any engine. Ranking
+    differences vs the float-exact `ann_cosine_topk` measure the
+    quantization recall cost directly."""
+    from .operators.embeddings import cosine_topk_int8
+
+    t = load_testdata(spark, sf_dir)
+    emb = t["embeddings"]
+    return cosine_topk_int8(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    WITH u AS (
+        SELECT unnest(list_transform(embedding, v -> CAST(v AS DOUBLE)))
+                   AS v,
+               unnest(generate_series(1, len(embedding))) AS pos
+        FROM embeddings
+    )
+    SELECT CAST(pos AS BIGINT) AS pos,
+           round(avg(v), 4) AS mean_v,
+           round(stddev_pop(v), 4) AS std_v,
+           round(min(v), 4) AS min_v,
+           round(max(v), 4) AS max_v,
+           CAST(count(*) FILTER (WHERE v = 0) AS BIGINT) AS n_zero
+    FROM u GROUP BY pos
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health profile (dead dims, collapsed
+    variance, outlier ranges — the checks run before trusting a new
+    encoder): one posexplode collapsed map-side to 64 rows of moment
+    aggregates. stddev_pop (not sample) so both engines agree on the
+    denominator."""
+    t = load_testdata(spark, sf_dir)
+    u = t["embeddings"].select(
+        F.posexplode(F.transform("embedding", lambda v: v.cast("double")))
+    ).select((F.col("pos") + 1).cast("long").alias("pos"),
+             F.col("col").alias("v"))
+    return u.groupBy("pos").agg(
+        F.round(F.avg("v"), 4).alias("mean_v"),
+        F.round(F.stddev_pop("v"), 4).alias("std_v"),
+        F.round(F.min("v"), 4).alias("min_v"),
+        F.round(F.max("v"), 4).alias("max_v"),
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n_zero"),
+    )

@@ -460,3 +460,28 @@ def test_centroid_affinity_bounds_and_pairs(spark, sf_dir):
         assert -1.0 <= r.cosine <= 1.0
     n = len(labels)
     assert len(rows) == n * (n - 1) // 2  # every unordered pair once
+
+
+def test_int8_topk_recall_vs_float(spark, sf_dir):
+    from automotive_translation_pipeline_spark.operators.embeddings import (
+        cosine_topk_int8,
+    )
+    from automotive_translation_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+    from automotive_translation_pipeline_spark.sources.readers import (
+        load_testdata,
+    )
+
+    emb = load_testdata(spark, sf_dir)["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_bruteforce(emb, qs, k=10).collect()
+    }
+    quant = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_int8(emb, qs, k=10).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8  # int8 at 64 dims loses little
