@@ -127,3 +127,42 @@ def mad_outliers(
         )
         .drop("__med", "__mad", "__dev")
     )
+
+
+def grouped_quantiles_disc(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: list[float],
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """EXACT discrete quantiles per group: for each q the element at
+    rank ceil(q * n) of the sorted values — an actual data value, no
+    interpolation, hence bit-identical on every engine (the lesson
+    from mad_outliers applied as a reusable primitive).
+
+    One keyed shuffle (rank + count windows share the group exchange);
+    the rank-selected rows collapse to one row per (group, q).
+    Returns group_cols + (q, value).
+    """
+    order = [F.col(value_col), *[F.col(c) for c in (tiebreak_cols or [])]]
+    w_rank = Window.partitionBy(*group_cols).orderBy(*order)
+    w_grp = Window.partitionBy(*group_cols)
+    ranked = df.withColumn("__rn", F.row_number().over(w_rank)).withColumn(
+        "__cnt", F.count(F.lit(1)).over(w_grp)
+    )
+    cond = None
+    for q in qs:
+        c = F.col("__rn") == F.ceil(F.lit(q) * F.col("__cnt"))
+        cond = c if cond is None else (cond | c)
+    hits = ranked.filter(cond)
+    out = None
+    for q in qs:
+        sel = hits.filter(
+            F.col("__rn") == F.ceil(F.lit(q) * F.col("__cnt"))
+        ).select(
+            *group_cols, F.lit(q).alias("q"),
+            F.col(value_col).alias("value"),
+        )
+        out = sel if out is None else out.unionAll(sel)
+    return out

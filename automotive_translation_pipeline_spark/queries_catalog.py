@@ -6448,3 +6448,43 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("v"), 4).alias("max_v"),
         F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n_zero"),
     )
+
+
+@register(
+    "events_gap_quantiles",
+    """
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    ), v AS (
+        SELECT event_type, gap_us,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY gap_us) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM g WHERE gap_us IS NOT NULL
+    )
+    SELECT event_type, q, CAST(gap_us AS BIGINT) AS value
+    FROM v, (VALUES (0.5), (0.9), (0.99)) AS t(q)
+    WHERE rn = ceil(q * cnt)
+    """,
+)
+def events_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-gap p50/p90/p99 per event type, EXACT and
+    interpolation-free (operators/stats.py:grouped_quantiles_disc over
+    integer-microsecond gaps): the latency-profile query, built from
+    rank selection so every value is an actual observed gap and the
+    result is bit-identical cross-engine."""
+    from .operators.stats import grouped_quantiles_disc
+
+    t = load_testdata(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = t["events"].select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    out = grouped_quantiles_disc(
+        gaps, ["event_type"], "gap_us", [0.5, 0.9, 0.99]
+    )
+    return out.select("event_type", "q", F.col("value").cast("long").alias("value"))

@@ -277,3 +277,22 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score", "part"}
     rows = {r.id: r.score for r in merged.collect()}
     assert rows[1] is None and rows[2] == 0.5
+
+
+def test_ignore_corrupt_files_skips_garbage(spark, tmp_path):
+    """A 100 TB lake always contains a few truncated/garbage files;
+    with ignoreCorruptFiles the scan must survive them and read the
+    healthy rest (and fail LOUDLY without the option)."""
+    import pytest as _pytest
+
+    spark.createDataFrame([(i,) for i in range(10)], ["id"]).write.parquet(
+        f"{tmp_path}/t"
+    )
+    (tmp_path / "t" / "part-corrupt.parquet").write_bytes(b"not a parquet")
+    with _pytest.raises(Exception):
+        spark.read.parquet(f"{tmp_path}/t").count()
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        assert spark.read.parquet(f"{tmp_path}/t").count() == 10
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
