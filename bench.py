@@ -90,6 +90,12 @@ HEADLINE = [
     "text_source_vocab_overlap",
     "embedding_centroid_affinity",
     "sql_recursive_bfs_hops",
+    "profile_psi_drift",
+    "profile_pareto_coverage",
+    "stream_view_attribution_outer",
+    "ann_cosine_int8",
+    "embedding_dim_stats",
+    "events_gap_quantiles",
 ]
 
 
