@@ -6124,7 +6124,7 @@ def embedding_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION ALL SELECT id_b, id_a FROM pairs
     ), seeds AS (
-        SELECT DISTINCT u AS node FROM edges WHERE u < 100
+        SELECT DISTINCT u AS node FROM edges WHERE u % 97 = 0
     ), walk AS (
         SELECT node, 0 AS hops FROM seeds
         UNION ALL
@@ -6138,7 +6138,8 @@ def embedding_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sql_recursive_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 recursive-CTE surface: BFS hop distance (<= 4 hops)
-    from low-id seed documents through the LSH candidate graph, as a
+    from seed documents (ids divisible by 97 — spread across the id
+    space so seeds exist at every SF) through the LSH candidate graph, as a
     real `WITH RECURSIVE` executed BY SPARK — the same SQL family the
     oracles use, now demonstrably portable in both directions. The
     UNION ALL recursion is bounded by the hops guard; candidate
@@ -6158,7 +6159,7 @@ def sql_recursive_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT id_a AS u, id_b AS v FROM lsh_pairs
             UNION ALL SELECT id_b, id_a FROM lsh_pairs
         ), seeds AS (
-            SELECT DISTINCT u AS node FROM edges WHERE u < 100
+            SELECT DISTINCT u AS node FROM edges WHERE u % 97 = 0
         ), walk AS (
             SELECT node, 0 AS hops FROM seeds
             UNION ALL
