@@ -485,3 +485,24 @@ def test_int8_topk_recall_vs_float(spark, sf_dir):
     }
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.8  # int8 at 64 dims loses little
+
+
+def test_grouped_quantiles_disc_exactness(spark):
+    from automotive_translation_pipeline_spark.operators.stats import (
+        grouped_quantiles_disc,
+    )
+
+    # group g: values 1..10 -> p50 = 5 (ceil(.5*10)), p90 = 9
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(1, 11)] + [("h", 42.0)],
+        ["grp", "v"],
+    )
+    out = {
+        (r.grp, r.q): r.value
+        for r in grouped_quantiles_disc(df, ["grp"], "v", [0.5, 0.9]).collect()
+    }
+    assert out == {
+        ("g", 0.5): 5.0, ("g", 0.9): 9.0,
+        ("h", 0.5): 42.0, ("h", 0.9): 42.0,
+    }
+    # every returned value is an actual data value (discrete contract)
