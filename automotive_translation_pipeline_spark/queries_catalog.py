@@ -6498,3 +6498,83 @@ def events_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         gaps, ["event_type"], "gap_us", [0.5, 0.9, 0.99]
     )
     return out.select("event_type", "q", F.col("value").cast("long").alias("value"))
+
+
+@register(
+    "events_user_top_type",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, event_type AS top_type, CAST(n AS BIGINT) AS n
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+          FROM c)
+    WHERE rk = 1
+    """,
+)
+def events_user_top_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC per-group mode: each user's most frequent event
+    type with an explicit (count DESC, value) tie-break — the built-in
+    mode() aggregate picks an arbitrary element among ties on both
+    engines, so the portable form is count + rank. Map-side-combined
+    count, then a window over the per-user type table (<= 5 rows per
+    user)."""
+    t = load_testdata(spark, sf_dir)
+    c = t["events"].groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"), "n")
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    f"""
+    WITH f AS (
+        SELECT source, md5({_DUCK_NORM.format(c="text")}) AS fp
+        FROM documents
+    ), g0 AS (
+        SELECT source, fp, count(*) AS n FROM f GROUP BY source, fp
+    ), g AS (
+        SELECT source, fp, n,
+               sum(n) OVER (PARTITION BY fp) AS fp_total
+        FROM g0
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN fp_total > 1 THEN n ELSE 0 END) AS BIGINT)
+               AS n_in_dup_groups,
+           round(sum(CASE WHEN fp_total > 1 THEN n ELSE 0 END)
+                 / CAST(sum(n) AS DOUBLE), 4) AS dup_rate
+    FROM g GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication pressure per source: the share of each source's
+    documents whose exact fingerprint occurs more than once CORPUS-WIDE
+    (cross-source dups count for both sides) — the triage number that
+    decides where dedup effort goes. One md5-keyed collapse, a
+    fingerprint window over the collapsed table, one keyed rollup."""
+    from .functions.text import doc_fingerprint
+
+    t = load_testdata(spark, sf_dir)
+    f = t["documents"].select(
+        "source", doc_fingerprint(F.col("text")).alias("fp")
+    )
+    g = f.groupBy("source", "fp").agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "fp_total", F.sum("n").over(Window.partitionBy("fp"))
+    )
+    dup_n = F.sum(F.when(F.col("fp_total") > 1, F.col("n")).otherwise(0))
+    return g.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        dup_n.alias("n_in_dup_groups"),
+        F.round(dup_n / F.sum("n").cast("double"), 4).alias("dup_rate"),
+    )
