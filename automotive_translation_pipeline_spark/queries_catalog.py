@@ -6578,3 +6578,48 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_n.alias("n_in_dup_groups"),
         F.round(dup_n / F.sum("n").cast("double"), 4).alias("dup_rate"),
     )
+
+
+@register(
+    "lineitem_delay_quantiles",
+    """
+    WITH g AS (
+        SELECT o.o_orderpriority,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS delay_days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), v AS (
+        SELECT o_orderpriority, delay_days,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY delay_days) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        FROM g
+    )
+    SELECT o_orderpriority, q, CAST(delay_days AS BIGINT) AS value
+    FROM v, (VALUES (0.5), (0.9), (0.99)) AS t(q)
+    WHERE rn = ceil(q * cnt)
+    """,
+)
+def lineitem_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship delay p50/p90/p99 per order priority — the SLA
+    profile via the exact interpolation-free rank-select primitive
+    (operators/stats.py:grouped_quantiles_disc) over integer day
+    deltas, after one keyed lineitem-orders join."""
+    from .operators.stats import grouped_quantiles_disc
+
+    t = load_testdata(spark, sf_dir)
+    g = t["lineitem"].join(
+        t["orders"],
+        t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"],
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("delay_days"),
+    )
+    out = grouped_quantiles_disc(g, ["o_orderpriority"], "delay_days",
+                                 [0.5, 0.9, 0.99])
+    return out.select(
+        "o_orderpriority", "q", F.col("value").cast("long").alias("value")
+    )
