@@ -96,6 +96,9 @@ HEADLINE = [
     "ann_cosine_int8",
     "embedding_dim_stats",
     "events_gap_quantiles",
+    "events_user_top_type",
+    "dedup_rate_by_source",
+    "lineitem_delay_quantiles",
 ]
 
 
