@@ -43,7 +43,7 @@ def int8_quantize(
     """
     vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     scale = int8_scale(vec)
-    # Two formulation constraints, both learned the hard way:
+    # Three formulation constraints, all learned the hard way:
     # - least/greatest IGNORE nulls (both engines), so a NULL scale
     #   must null the whole array explicitly or the clamp fabricates
     #   127s.
@@ -52,6 +52,12 @@ def int8_quantize(
     #   let-binding, no CSE across lambdas — 30 s for 20k x 64 floats
     #   at sf1). array_repeat(scale, n) evaluates it once and zip_with
     #   walks the copies, restoring linearity.
+    # - NOT round(): Spark rounds doubles via BigDecimal HALF_UP while
+    #   DuckDB's round is float-scaled nearbyint (half-to-even), so a
+    #   component landing exactly on x.5 diverges per engine. The
+    #   sign-aware floor sign(x)*floor(abs(x)+0.5) is pure IEEE double
+    #   arithmetic — identical everywhere — and matches HALF_UP
+    #   (away-from-zero) on every representable tie.
     scale_arr = F.array_repeat(scale, F.size(vec))
     q = F.when(
         scale.isNotNull(),
@@ -60,7 +66,11 @@ def int8_quantize(
             scale_arr,
             lambda v, s: F.greatest(
                 F.lit(-127),
-                F.least(F.lit(127), F.round(v / s, 0).cast("int")),
+                F.least(
+                    F.lit(127),
+                    (F.signum(v) * F.floor(F.abs(v / s) + F.lit(0.5)))
+                    .cast("int"),
+                ),
             ),
         ),
     )

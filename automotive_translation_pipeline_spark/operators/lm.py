@@ -170,8 +170,6 @@ def bigram_surprisal(
     """
     words = F.split(normalized_text(F.col(text_col)), " ")
     n = F.size(words)
-    heads = F.slice(words, 1, n - 1)
-    tails = F.slice(words, 2, n - 1)
     bg = (
         df.select(F.col(id_col), words.alias("__w"))
         .filter(n >= 2)

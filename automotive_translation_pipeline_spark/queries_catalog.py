@@ -72,10 +72,8 @@ def register(name: str, sql: str | None):
 # by touching the entry (e.g. a docstring note), which flips its
 # fingerprint and forces the declaration here.
 _CHANGED_THIS_ROUND = frozenset({
-    "parse_udtf_lateral",     # rows-only -> DuckDB json_keys oracle
-    "r17_pack_greedy",        # oracle: MATERIALIZED costed CTE
-    "dedup_embedding_pairs",  # input bound (quadratic-oracle cap, sf1)
-    "dedup_edit_distance",    # input bound (quadratic-oracle cap, sf1)
+    "embedding_int8_quantize",  # quantize: sign*floor(abs+0.5), not round()
+    "ann_cosine_int8",          # same tie-portable quantization in oracle
 })
 
 
@@ -5637,11 +5635,15 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e
     ), q AS (
         -- least/greatest ignore NULLs: gate on scale explicitly so a
-        -- zero vector yields NULL qv, matching the Spark operator
+        -- zero vector yields NULL qv, matching the Spark operator.
+        -- sign*floor(abs+0.5), not round(): engine round() semantics
+        -- diverge on x.5 ties (Spark HALF_UP vs DuckDB half-even) —
+        -- both sides quantize with the same pure-IEEE expression.
         SELECT vec_id, emb, scale,
                CASE WHEN scale IS NOT NULL THEN
                    list_transform(emb, v -> CAST(greatest(-127, least(127,
-                       CAST(round(v / scale, 0) AS INTEGER))) AS INTEGER))
+                       CAST(sign(v) * floor(abs(v / scale) + 0.5)
+                            AS INTEGER))) AS INTEGER))
                END AS qv
         FROM s
     )
@@ -6388,7 +6390,8 @@ def profile_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), q AS (
         SELECT vec_id,
                list_transform(emb, v -> CAST(greatest(-127, least(127,
-                   CAST(round(v / scale, 0) AS INTEGER))) AS BIGINT)) AS qv
+                   CAST(sign(v) * floor(abs(v / scale) + 0.5)
+                        AS INTEGER))) AS BIGINT)) AS qv
         FROM s WHERE scale IS NOT NULL
     ), n AS (
         SELECT vec_id, qv,
