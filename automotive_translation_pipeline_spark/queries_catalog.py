@@ -74,6 +74,8 @@ def register(name: str, sql: str | None):
 _CHANGED_THIS_ROUND = frozenset({
     "embedding_int8_quantize",  # quantize: sign*floor(abs+0.5), not round()
     "ann_cosine_int8",          # same tie-portable quantization in oracle
+    "r15_extras_anti_join",     # routed through operators/joins.detect_extras
+    "sql_recursive_bfs_hops",   # seeds = lowest-id EDGE nodes (non-vacuous)
 })
 
 
@@ -331,12 +333,17 @@ def r14_first_match_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def r15_extras_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R-15: ids delivered that were never requested — left-anti join
-    (auto_translate.py:1006-1009)."""
+    """R-15: ids delivered that were never requested — the
+    ``detect_extras`` operator (auto_translate.py:1006-1009) over
+    events-vs-customer. NOTE: vacuously empty at small SFs (every event
+    user_id is a customer there); the non-vacuous exercise of the same
+    operator on the real response path is ``r15_extras_detect``."""
+    from .operators.joins import detect_extras
+
     t = load_testdata(spark, sf_dir)
+    expected = t["customer"].select(F.col("c_custkey").alias("user_id"))
     return (
-        t["events"]
-        .join(t["customer"], t["events"].user_id == t["customer"].c_custkey, "left_anti")
+        detect_extras(t["events"], expected, keys=("user_id",))
         .select("user_id")
         .distinct()
     )
@@ -407,6 +414,63 @@ def r18_batch_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return assigned.groupBy("batch_id").agg(
         F.count("*").alias("n_rows"), F.round(F.sum("cost"), 2).alias("total_cost")
+    )
+
+
+@register(
+    "r15_extras_detect",
+    _PACK_SQL_BASE
+    + """
+    , batches AS (SELECT DISTINCT batch_id FROM assigned)
+    SELECT batch_id,
+           'x' || batch_id AS description_id,
+           reverse('extra ' || batch_id) AS translation
+    FROM batches
+    WHERE CAST('0x' || substr(md5('extras|' || batch_id), 1, 8) AS BIGINT)
+          % 3 = 0
+    """,
+)
+def r15_extras_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-15, non-vacuous at every SF: the mock translator PLANTS one
+    unrequested id ('x' + batch_id) in a deterministic third of the
+    batches (md5 bucket — translate.py:render_mock_content_with_extras);
+    the full pack → translate → parse path runs and
+    ``operators/joins.py:detect_extras`` anti-joins the parsed rows
+    against the requested set. The oracle replays only the injection
+    CONTRACT (packed batch ids + bucket rule + planted id/value), so a
+    wrong parse, a lost extra, or a broken anti-join all hash-mismatch.
+    Reference behavior: auto_translate.py:1006-1009 (extra ids logged
+    on response ingestion)."""
+    from .operators.joins import detect_extras
+    from .operators.packing import materialize_requests
+    from .plans.pipeline import _parse_responses
+    from .translate import mock_translate_extras_udf, translate_requests
+
+    t = load_testdata(spark, sf_dir)
+    docs = (
+        t["documents"]
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            F.col("doc_id").cast("string").alias("description_id"),
+            F.trim("text").alias("english_sentence"),
+            F.col("lang").alias("shard"),
+            F.col("doc_id").alias("seq"),
+        )
+    )
+    assigned = assign_batches_cumsum(
+        with_cost(docs, "english_sentence"),
+        order_col="seq",
+        limit=4000,
+        shard_col="shard",
+    )
+    requests = materialize_requests(assigned)
+    responses = translate_requests(
+        requests, translator_udf=mock_translate_extras_udf
+    )
+    parsed = _parse_responses(responses)
+    expected = assigned.select("batch_id", "description_id")
+    return detect_extras(parsed, expected).select(
+        "batch_id", "description_id", "translation"
     )
 
 
@@ -6131,7 +6195,8 @@ def embedding_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION ALL SELECT id_b, id_a FROM pairs
     ), seeds AS (
-        SELECT DISTINCT u AS node FROM edges WHERE u % 97 = 0
+        SELECT node FROM (SELECT DISTINCT u AS node FROM edges)
+        ORDER BY node LIMIT 5
     ), walk AS (
         SELECT node, 0 AS hops FROM seeds
         UNION ALL
@@ -6145,8 +6210,10 @@ def embedding_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sql_recursive_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 recursive-CTE surface: BFS hop distance (<= 4 hops)
-    from seed documents (ids divisible by 97 — spread across the id
-    space so seeds exist at every SF) through the LSH candidate graph, as a
+    from seed documents (the 5 lowest-id nodes OF THE EDGE LIST — every
+    seed has a candidate-pair edge by construction, so the recursion
+    executes at least one non-empty expansion at ANY scale factor)
+    through the LSH candidate graph, as a
     real `WITH RECURSIVE` executed BY SPARK — the same SQL family the
     oracles use, now demonstrably portable in both directions. The
     UNION ALL recursion is bounded by the hops guard; candidate
@@ -6170,7 +6237,8 @@ def sql_recursive_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT id_a AS u, id_b AS v FROM lsh_pairs
             UNION ALL SELECT id_b, id_a FROM lsh_pairs
         ), seeds AS (
-            SELECT DISTINCT u AS node FROM edges WHERE u % 97 = 0
+            SELECT node FROM (SELECT DISTINCT u AS node FROM edges)
+            ORDER BY node LIMIT 5
         ), walk AS (
             SELECT node, 0 AS hops FROM seeds
             UNION ALL

@@ -20,6 +20,7 @@ because the DuckDB oracle can compute the same value in plain SQL.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from collections.abc import Callable
@@ -62,6 +63,61 @@ def mock_translate_udf(payload_json: pd.Series, custom_id: pd.Series) -> pd.Seri
     return pd.Series(
         [
             render_mock_content(json.loads(p) if p else {}, c or "")
+            for p, c in zip(payload_json, custom_id)
+        ]
+    )
+
+
+# --- extras injection (R-15 detect_extras exercise) -----------------------
+# The reference logs ids that arrive in a response but were never in the
+# request (auto_translate.py:1006-1009). To make that path observable —
+# and its oracle non-vacuous at every SF — this mock variant APPENDS one
+# unrequested id to a deterministic subset of batches. The extra is
+# prepended so it survives the truncated-json format's tail cut, and its
+# id/value are pure functions of the batch id so a DuckDB oracle can
+# replay the injection without running the pipeline.
+
+EXTRAS_MOD = 3  # bucket 0 of md5("extras|" + batch_id) gets an extra
+
+
+def extras_bucket(custom_id: Column | str, mod: int = EXTRAS_MOD) -> Column:
+    """Deterministic per-batch extras bucket (Column form). DuckDB twin:
+    ``CAST('0x' || substr(md5('extras|' || id), 1, 8) AS BIGINT) % mod``."""
+    col = F.col(custom_id) if isinstance(custom_id, str) else custom_id
+    hashed = F.md5(F.concat(F.lit("extras|"), col))
+    return F.conv(F.substring(hashed, 1, 8), 16, 10).cast("long") % mod
+
+
+def _extras_bucket_py(custom_id: str, mod: int = EXTRAS_MOD) -> int:
+    return int(
+        hashlib.md5(f"extras|{custom_id}".encode()).hexdigest()[:8], 16
+    ) % mod
+
+
+def extra_id(custom_id: str) -> str:
+    """The injected unrequested id for a batch ('x' + batch id — never
+    collides with numeric description ids)."""
+    return f"x{custom_id}"
+
+
+def render_mock_content_with_extras(
+    payload: dict[str, str], custom_id: str, mod: int = EXTRAS_MOD
+) -> str:
+    """``render_mock_content`` plus one planted extra entry for batches
+    in bucket 0; value = mock_translation('extra ' + batch id), i.e.
+    ``reverse('extra ' || batch_id)`` for the oracle."""
+    if _extras_bucket_py(custom_id or "", mod) == 0:
+        payload = {extra_id(custom_id): f"extra {custom_id}", **payload}
+    return render_mock_content(payload, custom_id)
+
+
+@F.pandas_udf(T.StringType())
+def mock_translate_extras_udf(
+    payload_json: pd.Series, custom_id: pd.Series
+) -> pd.Series:
+    return pd.Series(
+        [
+            render_mock_content_with_extras(json.loads(p) if p else {}, c or "")
             for p, c in zip(payload_json, custom_id)
         ]
     )

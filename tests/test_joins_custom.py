@@ -161,3 +161,58 @@ def test_cogroup_reconcile_missing_and_extra(spark):
     assert got[0]["n_missing"] == 1 and got[0]["n_extra"] == 1
     assert got[1]["n_missing"] == 0 and got[1]["n_extra"] == 0
     assert got[1]["n_expected"] == 2 and got[1]["n_actual"] == 2
+
+
+def test_detect_extras_finds_planted_extras(spark):
+    """R-15 end-to-end on the response path: the extras-injecting mock
+    plants one unrequested id per bucket-0 batch; detect_extras must
+    surface EXACTLY the planted set after the full materialize →
+    translate → parse round trip (no false extras, none lost to the
+    format-varying render, incl. the truncated-json tail cut)."""
+    from automotive_translation_pipeline_spark.operators.joins import (
+        detect_extras,
+    )
+    from automotive_translation_pipeline_spark.operators.packing import (
+        assign_batches_cumsum,
+        materialize_requests,
+        with_cost,
+    )
+    from automotive_translation_pipeline_spark.plans.pipeline import (
+        _parse_responses,
+    )
+    from automotive_translation_pipeline_spark.translate import (
+        _extras_bucket_py,
+        extra_id,
+        mock_translate_extras_udf,
+        mock_translation,
+        translate_requests,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"sentence number {i} with some words", "en" if i % 2 else "de")
+         for i in range(1, 61)],
+        "seq long, english_sentence string, shard string",
+    ).withColumn("description_id", F.col("seq").cast("string"))
+    assigned = assign_batches_cumsum(
+        with_cost(docs, "english_sentence"),
+        order_col="seq", limit=120, shard_col="shard",
+    )
+    responses = translate_requests(
+        materialize_requests(assigned), translator_udf=mock_translate_extras_udf
+    )
+    parsed = _parse_responses(responses)
+    expected = assigned.select("batch_id", "description_id")
+    got = {
+        (r["batch_id"], r["description_id"], r["translation"])
+        for r in detect_extras(parsed, expected).collect()
+    }
+    batches = [r["batch_id"] for r in assigned.select("batch_id").distinct().collect()]
+    planted = {
+        (b, extra_id(b), mock_translation(f"extra {b}"))
+        for b in batches if _extras_bucket_py(b) == 0
+    }
+    assert planted, "test corpus produced no bucket-0 batch — grow it"
+    assert got == planted
+    # and the plain mock plants nothing: detect_extras returns empty
+    clean = _parse_responses(translate_requests(materialize_requests(assigned)))
+    assert detect_extras(clean, expected).count() == 0
