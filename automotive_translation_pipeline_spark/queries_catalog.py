@@ -5229,23 +5229,18 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-entropy quality signal (functions/text.py:char_entropy):
-    Shannon bits/char of each document's normalized character
-    distribution plus the distinct-char count. Whole-stage-codegen
-    array lambdas — a zero-shuffle scan-level gate that catches
-    degenerate/low-compressibility text the word-level rules miss."""
-    from .functions.text import char_entropy, normalized_text
+    """Character-entropy quality signal: Shannon bits/char of each
+    document's normalized character distribution plus the distinct-char
+    count, on the Arrow histogram kernel
+    (operators/lm.py:char_stats_arrow — one numpy bincount per doc;
+    the column-expression twin functions/text.py:char_entropy is
+    pinned equal by test_char_stats_arrow_matches_column_form). A
+    zero-shuffle scan-level gate that catches degenerate/
+    low-compressibility text the word-level rules miss."""
+    from .operators.lm import char_stats_arrow
 
     t = load_testdata(spark, sf_dir)
-    nt = normalized_text(F.col("text"))
-    return t["documents"].select(
-        "doc_id",
-        F.length(nt).cast("long").alias("n_chars_norm"),
-        F.size(F.array_distinct(F.split(nt, ""))).cast("long").alias(
-            "n_distinct_chars"
-        ),
-        char_entropy(F.col("text")).alias("char_entropy"),
-    )
+    return char_stats_arrow(t["documents"], text_col="text", id_col="doc_id")
 
 
 @register(

@@ -120,3 +120,50 @@ def test_split_drift_smoothing_keeps_terms_finite(spark):
     # fully symmetric corpus: the two exclusive words draw equal terms
     by_word = {r.word: r.js_term for r in out}
     assert by_word["onlytrain"] == by_word["onlyeval"]
+
+
+def test_char_stats_arrow_matches_column_form(spark):
+    """The Arrow histogram kernel and the column-expression form are
+    the same operator: identical (n, distinct, entropy) on adversarial
+    inputs — empty, whitespace-only, single-char runs, unicode,
+    mixed-case collapse."""
+    import pyspark.sql.functions as F
+
+    from automotive_translation_pipeline_spark.functions.text import (
+        char_entropy,
+        normalized_text,
+    )
+    from automotive_translation_pipeline_spark.operators.lm import (
+        char_stats_arrow,
+    )
+
+    rows = [
+        (0, ""),
+        (1, "   "),
+        (2, "aaaa"),
+        (3, "abab"),
+        (4, "The quick Brown\tfox   jumps!"),
+        (5, "héllo wörld — ünïcode § text"),
+        (6, "0123456789" * 7),
+        (7, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nt = normalized_text(F.col("text"))
+    want = {
+        r["doc_id"]: (r["n"], r["d"], r["h"])
+        for r in df.select(
+            "doc_id",
+            F.length(nt).cast("long").alias("n"),
+            F.size(F.array_distinct(F.split(nt, ""))).cast("long").alias("d"),
+            char_entropy(F.col("text")).alias("h"),
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_chars_norm"], r["n_distinct_chars"], r["char_entropy"])
+        for r in char_stats_arrow(df).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0], (k, got[k], want[k])
+        assert got[k][1] == want[k][1], (k, got[k], want[k])
+        assert abs(got[k][2] - want[k][2]) < 1e-9, (k, got[k], want[k])
