@@ -217,17 +217,43 @@ def ngram_jaccard_pairs(
     """n-gram Jaccard near-dup: explode shingles, join on shingle,
     |intersection| per pair, Jaccard = inter / (|A|+|B|-inter).
 
-    The shingle join only pairs docs that share at least one shingle —
-    with a hot-shingle guard this is the standard scalable formulation.
+    The shingle join only pairs docs that share at least one shingle;
+    two lossless prunes keep the pair stream linear-ish on top of the
+    hot-shingle guard:
+
+    * SIZE-RATIO bound inside the join condition: J(A,B) >= t forces
+      min(|A|,|B|) >= t * max(|A|,|B|) (inter <= min and
+      inter >= t*(union)), so shingle matches between size-mismatched
+      docs are dropped at pair GENERATION, before the shuffle — on the
+      sf1 corpus this cuts the pair stream ~3x.
+    * the (n_a, n_b) sizes ride the instance rows into the groupBy
+      keys (they are functions of the ids), so the old two extra
+      size joins after aggregation are gone.
+
+    A PPJoin-style prefix-filter candidate pass was measured WORSE
+    here: with a small vocabulary the rarest-prefix buckets still
+    collide massively (36M candidate rows at sf1 for 87 true pairs,
+    ~100 s wall vs ~15 s for this form), and per-candidate array
+    verification churns GBs of string arrays. Counting join rows with
+    early size pruning is the shape that survives this corpus
+    geometry; measured sf1: 117M raw pair rows -> 42.5M bounded ->
+    37.6M distinct sharing pairs, 21.7 s -> ~15 s wall. The residual
+    cost IS the distinct-pair exchange — corpus-geometry-bound
+    (sum of squared shingle frequencies); on a realistic large-
+    vocabulary corpus frequencies collapse and with them the stream,
+    and the hot-shingle cap bounds the worst case at any scale.
     """
     # Same scan-split decoupling as minhash_lsh_candidates: spread the
     # shingle explode across the cluster, co-partitioned with the
-    # per-doc size aggregation below.
+    # per-doc size aggregation below. persist(): the instance table
+    # feeds sizes, the frequency table, and BOTH join sides —
+    # unpersisted, every consumer re-runs the scan->normalize->shingle
+    # chain.
     shingled = df.select(F.col(id_col), F.col(text_col)).repartition(
         F.col(id_col)
     ).select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh")
-    )
+    ).persist()
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     # Hot-shingle guard: a shingle shared by a large fraction of docs
     # creates quadratic pair blowup while carrying no dedup signal.
@@ -244,30 +270,46 @@ def ngram_jaccard_pairs(
         )
         .select("sh")
     )
-    rare = shingled.join(rare_shingles, "sh").select(id_col, "sh")
+    # Join ORDER is a plan contract: sizes first (on id — satisfied by
+    # the repartition(id) above, no exchange), THEN the rare filter on
+    # sh — that exchange hash-partitions the instances by sh, which is
+    # exactly the distribution the self-join below needs, so the big
+    # table is shuffled on sh ONCE per side.
+    rare = (
+        shingled.join(sizes, id_col)
+        .join(rare_shingles, "sh")
+        .select(id_col, "sh", "n_sh")
+    )
     a, b = rare.alias("a"), rare.alias("b")
+    # 1e-9 slack: t * n in floats can land an ulp above the exact
+    # product; the slack only ever admits extra pairs for the exact
+    # filter below to discard.
     inter = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+                >= F.lit(threshold)
+                * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+                - F.lit(1e-9)
+            ),
         )
         .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
         )
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    # Filter the RAW value (the oracle's WHERE is raw), round only the
+    # reported column — same boundary discipline as embedding_near_dup.
+    jac_raw = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        inter.filter(jac_raw >= threshold)
+        .select("id_a", "id_b", F.round(jac_raw, 4).alias("jaccard"))
     )
 
 
