@@ -35,12 +35,21 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 3,
     damping: float = 0.85,
-    checkpoint: bool = False,
+    checkpoint: bool = True,
     ndigits: int = 4,
 ) -> DataFrame:
     """Power-iteration PageRank over a SYMMETRIC edge list (u, v) —
     every node must appear as a source, which symmetrized undirected
     graphs guarantee, so there is no dangling mass to redistribute.
+
+    ``checkpoint`` (default ON) truncates the rank vector's lineage
+    with a lazy localCheckpoint each round — the same trap
+    connected_components guards against: iterate-without-truncation
+    stacks one join+agg subtree PER ROUND into a single plan, and
+    past a handful of iterations Catalyst re-analysis dominates the
+    actual compute (each checkpoint is one |nodes|-row materialization,
+    noise next to the per-round edge join). Pass ``checkpoint=False``
+    only for 1-3 iteration runs where plan size cannot accumulate.
 
     Returns (node, pr_rel) where pr_rel = rank * n_nodes — the
     scale-invariant form (1.0 == the uniform-rank baseline), stable to
@@ -82,16 +91,54 @@ def pagerank(
 
 
 def triangle_counts(pairs: DataFrame) -> DataFrame:
-    """Per-node triangle participation over an ordered edge list
-    (id_a < id_b, one row per undirected edge).
+    """Per-node triangle participation over an edge list (id_a < id_b,
+    one row per undirected edge), DEGREE-ORDERED (Schank & Wagner's
+    forward / compact-forward family).
 
-    Each triangle a<b<c is found exactly once as
-    (a,b) x (b,c) closed by (a,c); its count lands on all three
-    nodes. Returns (node, n_triangles) for nodes in >= 1 triangle.
+    Edges are re-oriented low-degree → high-degree endpoint (ties by
+    id): under any strict total order each triangle x<y<z is found
+    exactly once as the wedge x→y, y→z closed by x→z, and with the
+    DEGREE order every node's forward fan-out is O(sqrt(m)) — the
+    wedge join generates O(m^1.5) rows worst-case instead of the
+    O(sum of per-node forward-degree²) an id order leaves unbounded
+    (one high-degree hub with small-id neighbors turns the id-ordered
+    wedge join quadratic; degree ordering points those edges INTO the
+    hub instead). The count set is orientation-invariant, so results
+    are identical to the id-ordered form.
+
+    Returns (node, n_triangles) for nodes in >= 1 triangle.
     """
-    e1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    e2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
-    e3 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    # Eager checkpoint: the edge list fans out to SIX consumers (two
+    # degree unions, the orientation join, three wedge-join aliases).
+    # A lazy persist upstream doesn't help — the first action launches
+    # those consumers as CONCURRENT stages and each recomputes the
+    # (possibly expensive — LSH ladder) pair pipeline before the cache
+    # lands (measured 2x wall at sf1). One blocking edge-list
+    # materialization is the standard graph-engine move and is bounded
+    # by the candidate-pair count, never the corpus.
+    e = pairs.select("id_a", "id_b").localCheckpoint()
+    deg = (
+        e.select(F.col("id_a").alias("node"))
+        .unionAll(e.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("id_a"),
+                          F.col("__deg").alias("__da")), "id_a")
+        .join(deg.select(F.col("node").alias("id_b"),
+                         F.col("__deg").alias("__db")), "id_b")
+    )
+    a_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("id_a") < F.col("id_b"))
+    )
+    fwd = ed.select(
+        F.when(a_first, F.col("id_a")).otherwise(F.col("id_b")).alias("u"),
+        F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias("v"),
+    )
+    e1 = fwd.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = fwd.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = fwd.select(F.col("u").alias("a"), F.col("v").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
     per_corner = (
         tri.select(F.col("a").alias("node"))

@@ -506,3 +506,44 @@ def test_grouped_quantiles_disc_exactness(spark):
         ("h", 0.5): 42.0, ("h", 0.9): 42.0,
     }
     # every returned value is an actual data value (discrete contract)
+
+
+def test_triangle_counts_high_degree_hub(spark):
+    """Degree-ordered orientation: a star hub (high degree, LOW id —
+    the id-ordered worst case, all edges formerly fanning OUT of it)
+    plus two triangles through the hub. Counts must be exact and the
+    hub's forward fan-out in the oriented edge list must be 0 (every
+    hub edge points INTO the hub)."""
+    from automotive_translation_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # hub = node 0 connected to 1..20; triangles (0,1,2) and (0,3,4)
+    edges = [(0, i) for i in range(1, 21)] + [(1, 2), (3, 4)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r.node: r.n_triangles for r in triangle_counts(pairs).collect()}
+    assert out == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_pagerank_checkpoint_bounds_plan_growth(spark):
+    """10 iterations with the default (checkpoint=True) must keep the
+    logical plan flat — the final plan hangs off a checkpointed scan
+    (LogicalRDD / ExistingRDD), not 10 stacked join+agg subtrees; the
+    unfenced variant's plan string grows ~linearly per round."""
+    from automotive_translation_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1)]]
+        + [(b, a) for a, b in [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1)]],
+        "u long, v long",
+    )
+    fenced = pagerank(edges, iterations=10)
+    unfenced = pagerank(edges, iterations=10, checkpoint=False)
+    p_fenced = fenced._jdf.queryExecution().analyzed().toString()
+    p_unfenced = unfenced._jdf.queryExecution().analyzed().toString()
+    assert "ExistingRDD" in p_fenced or "LogicalRDD" in p_fenced
+    assert len(p_fenced) < len(p_unfenced) / 3
+    # and the fenced values are the real ranks (same as unfenced)
+    want = {r.node: r.pr_rel for r in unfenced.collect()}
+    got = {r.node: r.pr_rel for r in fenced.collect()}
+    assert got == want
