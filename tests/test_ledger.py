@@ -204,3 +204,74 @@ def test_merge_delta_real_merge_into(spark, tmp_path):
     assert d == p == {"batch_m1": "completed", "batch_m2": "submitted"}
     # MERGE upserts in place: the delta table itself is one row per job.
     assert delta.events().count() == 2
+
+
+def test_tracker_cli_in_process(ledger, capsys):
+    """The batch_tracker CLI parity module: all four subcommands over a
+    live ledger (reference batch_tracker.py:66-140), driven in-process
+    against the session fixture."""
+    from automotive_translation_pipeline_spark import tracker
+
+    ledger.update_status("batch_aaa", "completed", output_file="outA.csv")
+
+    assert tracker.main([ledger.path, "list"], spark=ledger.spark) == 0
+    out = capsys.readouterr().out
+    assert "ALL BATCH RECORDS" in out
+    assert "batch_aaa" in out and "batch_bbb" in out
+    assert "Total records: 2" in out
+    assert "2023-11-14" in out  # F-15 rendering of 1700000100
+
+    assert tracker.main([ledger.path, "status", "completed"], spark=ledger.spark) == 0
+    out = capsys.readouterr().out
+    assert "batch_aaa" in out and "batch_bbb" not in out
+    assert "Records with status 'completed': 1" in out
+
+    assert tracker.main([ledger.path, "details", "batch_bbb"], spark=ledger.spark) == 0
+    out = capsys.readouterr().out
+    assert "Job ID:          batch_bbb" in out
+    assert "Status:          submitted" in out
+    assert "Target Language: Hindi" in out
+
+    assert tracker.main([ledger.path, "details", "nope"], spark=ledger.spark) == 0
+    assert "No batch record found" in capsys.readouterr().out
+
+    assert tracker.main([ledger.path, "summary"], spark=ledger.spark) == 0
+    out = capsys.readouterr().out
+    assert "Total batches: 2" in out
+    assert "completed: 1" in out and "submitted: 1" in out
+    assert "Hindi: 1" in out and "Telugu: 1" in out
+    assert "Recent activity" in out
+
+    assert tracker.main([ledger.path], spark=ledger.spark) == 1  # usage
+    assert "Usage:" in capsys.readouterr().out
+
+
+def test_tracker_cli_subprocess(ledger):
+    """The real console entry path: one subprocess, its own
+    SparkSession, all four subcommands against the ledger directory on
+    disk."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo');\n"
+        "from automotive_translation_pipeline_spark import tracker\n"
+        f"led = {ledger.path!r}\n"
+        "rc = 0\n"
+        "for args in (['list'], ['status', 'submitted'],\n"
+        "             ['details', 'batch_aaa'], ['summary']):\n"
+        "    rc |= tracker.main([led] + args)\n"
+        "sys.exit(rc)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "ALL BATCH RECORDS" in proc.stdout
+    assert "BATCH RECORDS WITH STATUS: SUBMITTED" in proc.stdout
+    assert "=== BATCH DETAILS FOR JOB ID: batch_aaa ===" in proc.stdout
+    assert "=== BATCH TRACKING SUMMARY ===" in proc.stdout
