@@ -1,0 +1,276 @@
+"""Bounded accuracy checks for the rows-only catalog entries.
+
+Ten catalog queries have no DuckDB oracle BY NATURE (engine-specific
+hashes, approximate sketches, iterative selection). Each one still has
+a quantitative contract — recall vs an exact twin, one-sided sketch
+error, rank-accuracy of a quantile sketch — asserted by pytest. This
+module packages those same contracts as sweep-runnable hooks so
+``tools/check_correctness.py`` can print a pass/fail accuracy line for
+the unverifiable set in the SAME run that oracle-checks everything
+else: the rows-only entries become bounded-verified, not just
+row-counted.
+
+Every check is ``(spark, sf_dir) -> (ok, detail)`` and mirrors the
+bound its pytest twin asserts (noted per check), so the sweep and the
+test suite can never disagree about what "accurate" means.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .sources import load_testdata
+
+Check = Callable[[SparkSession, str], tuple[bool, str]]
+
+
+def _recall_topk(exact_rows, approx_rows) -> float:
+    exact: dict = {}
+    for r in exact_rows:
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got: dict = {}
+    for r in approx_rows:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(got.get(q, set()) & hits) / len(hits) for q, hits in exact.items()
+    ]
+    return sum(recalls) / len(recalls) if recalls else 0.0
+
+
+def _bruteforce_top10(spark, sf_dir):
+    from .operators.similarity import cosine_topk_bruteforce
+
+    emb = load_testdata(spark, sf_dir)["embeddings"]
+    return cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 5), k=10
+    ).collect()
+
+
+def check_agg_approx_distinct(spark, sf_dir):
+    """|HLL estimate - exact| <= max(2, 10% exact) — the
+    test_approx_count_distinct_accuracy bound (rsd 5% + slack)."""
+    t = load_testdata(spark, sf_dir)
+    exact = t["events"].select("user_id").distinct().count()
+    approx = t["events"].agg(
+        F.approx_count_distinct("user_id").alias("a")
+    ).first()["a"]
+    ok = abs(approx - exact) <= max(2, exact * 0.10)
+    return ok, f"exact={exact} approx={approx}"
+
+
+def check_simhash_buckets(spark, sf_dir):
+    """simhash_table == the scalar simhash64 definition on a corpus
+    sample (test_simhash_table_matches_scalar), so the buckets are
+    hashes of the documented frequency-weighted majority vote."""
+    from .operators.dedup import simhash64, simhash_table
+
+    docs = load_testdata(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") < 20
+    )
+    scalar = {
+        r["doc_id"]: r["h"]
+        for r in docs.select(
+            "doc_id", simhash64(F.col("text")).alias("h")
+        ).collect()
+    }
+    table = {r["doc_id"]: r["simhash"] for r in simhash_table(docs).collect()}
+    n_bad = sum(1 for k in scalar if table.get(k) != scalar[k])
+    return n_bad == 0, f"sampled={len(scalar)} mismatched={n_bad}"
+
+
+def check_ann_lsh(spark, sf_dir):
+    """Every LSH hit is a genuine exact cosine (subset property,
+    test_lsh_topk_subset_of_bruteforce_corpus) and each query returns
+    at least one hit."""
+    from .operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+
+    emb = load_testdata(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["vec_id"]): round(r["cosine"], 6)
+        for r in cosine_topk_bruteforce(emb, queries, k=500).collect()
+    }
+    approx = cosine_topk_lsh(emb, queries, k=10, n_planes=6).collect()
+    qids = {r["query_id"] for r in approx}
+    bad = [
+        r
+        for r in approx
+        if abs(round(r["cosine"], 6) - exact.get((r["query_id"], r["vec_id"]), 9e9))
+        > 1e-9
+    ]
+    ok = len(qids) == 5 and not bad
+    return ok, f"queries_hit={len(qids)}/5 score_mismatches={len(bad)}"
+
+
+def check_ann_ivf(spark, sf_dir):
+    """Mean recall@10 vs brute force >= 0.5
+    (test_ivf_topk_recall_vs_bruteforce)."""
+    from .operators.similarity import cosine_topk_ivf
+
+    emb = load_testdata(spark, sf_dir)["embeddings"]
+    rec = _recall_topk(
+        _bruteforce_top10(spark, sf_dir),
+        cosine_topk_ivf(
+            emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=8, n_probe=4
+        ).collect(),
+    )
+    return rec >= 0.5, f"mean_recall@10={rec:.2f} (>=0.5)"
+
+
+def check_ann_pq(spark, sf_dir):
+    """Mean recall@10 vs brute force >= 0.5
+    (test_pq_topk_recall_vs_bruteforce)."""
+    from .operators.similarity import cosine_topk_pq
+
+    emb = load_testdata(spark, sf_dir)["embeddings"]
+    rec = _recall_topk(
+        _bruteforce_top10(spark, sf_dir),
+        cosine_topk_pq(
+            emb, emb.filter(F.col("vec_id") < 5), k=10, rerank=64
+        ).collect(),
+    )
+    return rec >= 0.5, f"mean_recall@10={rec:.2f} (>=0.5)"
+
+
+def check_ann_ivf_indexed(spark, sf_dir):
+    """The persisted-index IVF keeps the same recall bound as the
+    in-memory IVF (test_ivf_indexed_matches_inmemory_and_prunes pins
+    exact parity; here the recall floor doubles as a staleness check
+    on the written index)."""
+    from urllib.parse import urlparse
+
+    from .operators.similarity import build_ivf_index, cosine_topk_ivf_indexed
+
+    emb = load_testdata(spark, sf_dir)["embeddings"]
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    idx = f"{warehouse}/ann_ivf_index_accuracy"
+    build_ivf_index(emb, idx, n_cells=8)
+    rec = _recall_topk(
+        _bruteforce_top10(spark, sf_dir),
+        cosine_topk_ivf_indexed(
+            spark, idx, emb.filter(F.col("vec_id") < 5), k=10, n_probe=4
+        ).collect(),
+    )
+    return rec >= 0.5, f"mean_recall@10={rec:.2f} (>=0.5)"
+
+
+def check_ann_mmr(spark, sf_dir):
+    """MMR scores are exact cosines, ranks are a 1..k permutation per
+    query (the test_extensions MMR contract)."""
+    from .operators.similarity import cosine_topk_bruteforce, mmr_rerank
+
+    emb = load_testdata(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["vec_id"]): round(r["cosine"], 6)
+        for r in cosine_topk_bruteforce(emb, queries, k=500).collect()
+    }
+    rows = mmr_rerank(emb, queries, k=10, fetch_k=40, lambda_=0.7).collect()
+    ranks: dict = {}
+    bad_scores = 0
+    for r in rows:
+        ranks.setdefault(r["query_id"], []).append(r["mmr_rank"])
+        if abs(round(r["cosine"], 6) - exact.get((r["query_id"], r["vec_id"]), 9e9)) > 1e-9:
+            bad_scores += 1
+    bad_ranks = [q for q, rk in ranks.items() if sorted(rk) != list(range(1, 11))]
+    ok = len(ranks) == 5 and not bad_scores and not bad_ranks
+    return ok, (
+        f"queries={len(ranks)}/5 score_mismatches={bad_scores} "
+        f"bad_rank_queries={len(bad_ranks)}"
+    )
+
+
+def check_heavy_hitters_cms(spark, sf_dir):
+    """CMS top-10 vs the exact top-10: >=8 overlap, never
+    under-counts, overestimate bounded (test_cms_matches_exact_topk)."""
+    from .operators.sketches import topk_heavy_hitters_cms
+
+    words = load_testdata(spark, sf_dir)["documents"].select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    )
+    exact = {
+        r["w"]: r["n"]
+        for r in words.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(10)
+        .collect()
+    }
+    got = topk_heavy_hitters_cms(words, "w", k=10)
+    overlap = len({w for w, _ in got} & set(exact))
+    under = sum(1 for w, est in got if w in exact and est < exact[w])
+    loose = sum(
+        1 for w, est in got if w in exact and est > exact[w] * 1.2 + 10
+    )
+    ok = overlap >= 8 and under == 0 and loose == 0
+    return ok, f"top10_overlap={overlap}/10 undercounts={under} loose={loose}"
+
+
+def check_hll_mergeable(spark, sf_dir):
+    """Per-language Datasketches-HLL estimate within 2% of the exact
+    distinct fingerprint count (the VERDICT-mandated bound; lgk 12
+    rsd ~1.6%)."""
+    from .functions.text import doc_fingerprint
+
+    docs = load_testdata(spark, sf_dir)["documents"].select(
+        "lang", doc_fingerprint(F.col("text")).alias("fp")
+    )
+    exact = {
+        r["lang"]: r["n"]
+        for r in docs.distinct().groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    est = {
+        r["lang"]: r["e"]
+        for r in docs.groupBy("lang")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("fp")).alias("e"))
+        .collect()
+    }
+    worst = max(
+        abs(est[lang] - n) / max(n, 1) for lang, n in exact.items()
+    )
+    return worst <= 0.02, f"worst_rel_err={worst:.4f} (<=0.02)"
+
+
+def check_approx_quantiles(spark, sf_dir):
+    """Each GK-sketch percentile lands between the exact quantiles at
+    q +/- 0.001 (10x the sketch's 1/accuracy=1e-4 rank guarantee — a
+    hard bound, not a tolerance)."""
+    t = load_testdata(spark, sf_dir)
+    qs = [0.5, 0.95, 0.99]
+    lo_hi = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", qs, 10000).alias("ap"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.499, 0.949, 0.989))"
+            ).alias("lo"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.501, 0.951, 0.991))"
+            ).alias("hi"),
+        )
+        .collect()
+    )
+    bad = []
+    for r in lo_hi:
+        for i in range(len(qs)):
+            if not (r["lo"][i] <= r["ap"][i] <= r["hi"][i]):
+                bad.append((r["l_returnflag"], qs[i]))
+    return not bad, f"groups={len(lo_hi)} out_of_rank_bound={bad or 0}"
+
+
+ACCURACY_CHECKS: dict[str, Check] = {
+    "dedup_simhash_buckets": check_simhash_buckets,
+    "agg_approx_distinct": check_agg_approx_distinct,
+    "ann_cosine_lsh": check_ann_lsh,
+    "ann_cosine_ivf": check_ann_ivf,
+    "ann_cosine_pq": check_ann_pq,
+    "ann_cosine_ivf_indexed": check_ann_ivf_indexed,
+    "heavy_hitters_cms": check_heavy_hitters_cms,
+    "agg_hll_mergeable": check_hll_mergeable,
+    "ann_mmr_diversified": check_ann_mmr,
+    "profile_approx_quantiles": check_approx_quantiles,
+}

@@ -106,9 +106,32 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(spark_pdf)} rows (no oracle) "
-                  f"[{time.time()-t0:.1f}s]")
-            n_rowsonly += 1
+            # Rows-only by nature — run its bounded accuracy contract
+            # (recall / sketch-error / rank-bound) instead of an oracle.
+            from automotive_translation_pipeline_spark.accuracy import (
+                ACCURACY_CHECKS,
+            )
+
+            hook = ACCURACY_CHECKS.get(name)
+            if hook is None:
+                print(f"rows  {name}: {len(spark_pdf)} rows (no oracle, "
+                      f"NO ACCURACY HOOK) [{time.time()-t0:.1f}s]")
+                n_rowsonly += 1
+                continue
+            try:
+                ok, detail = hook(spark, args.sf)
+            except Exception:
+                print(f"FAIL  {name}: ACCURACY HOOK ERROR\n"
+                      f"{traceback.format_exc()}")
+                n_fail += 1
+                continue
+            verdict = "accuracy PASS" if ok else "ACCURACY FAIL"
+            print(f"rows  {name}: {len(spark_pdf)} rows ({verdict}: "
+                  f"{detail}) [{time.time()-t0:.1f}s]")
+            if ok:
+                n_rowsonly += 1
+            else:
+                n_fail += 1
             continue
         try:
             oracle_pdf = con.execute(oracles[name]).fetchdf()
