@@ -318,3 +318,157 @@ def test_openai_transport_lifecycle_with_mocked_client(spark, tmp_path):
     assert seen["endpoint"] == "/v1/chat/completions"
     assert seen["completion_window"] == "24h"
     assert seen["input_file_id"].startswith("file-")
+
+
+# ---------------------------------------------------------------------------
+# Wire-path replay: a canned transcript of the four Batch API calls
+# (tests/fixtures/openai_batch_transcript.json — realistic response
+# objects per the public Batch API shape) drives OpenAIBatchTransport
+# end-to-end through run_batch_lifecycle. Regression-locks the request
+# construction AND the response ingestion against recorded wire bodies,
+# no credentials or network involved.
+# ---------------------------------------------------------------------------
+
+
+class ReplayOpenAIClient:
+    """Strict replay double: every incoming SDK call must match the
+    next recorded call's name and arguments; responses are served
+    verbatim from the transcript."""
+
+    def __init__(self, transcript):
+        self._calls = list(transcript["calls"])
+        self._served = 0
+        self.files = _Obj(create=self._files_create, content=self._files_content)
+        self.batches = _Obj(
+            create=self._batches_create, retrieve=self._batches_retrieve
+        )
+
+    def _next(self, name):
+        assert self._served < len(self._calls), f"unexpected extra call {name}"
+        rec = self._calls[self._served]
+        assert rec["call"] == name, (
+            f"call #{self._served}: got {name}, transcript has {rec['call']}"
+        )
+        self._served += 1
+        return rec
+
+    def assert_drained(self):
+        assert self._served == len(self._calls), (
+            f"transcript not fully replayed: {self._served}/{len(self._calls)}"
+        )
+
+    def _files_create(self, file, purpose):
+        import json as _json
+
+        rec = self._next("files.create")
+        name, blob = file
+        assert purpose == rec["request"]["purpose"]
+        # line ORDER is groupBy-output order (legitimately
+        # nondeterministic, and irrelevant to the Batch API) — compare
+        # the line SET keyed by custom_id
+        key = lambda d: d["custom_id"]  # noqa: E731
+        got_lines = sorted(
+            (_json.loads(ln) for ln in blob.decode().splitlines()), key=key
+        )
+        assert got_lines == sorted(rec["request"]["lines"], key=key), (
+            "uploaded request JSONL drifted from the recorded wire body"
+        )
+        return _Obj(**rec["response"])
+
+    def _batches_create(self, input_file_id, endpoint, completion_window):
+        rec = self._next("batches.create")
+        want = rec["request"]
+        assert (input_file_id, endpoint, completion_window) == (
+            want["input_file_id"],
+            want["endpoint"],
+            want["completion_window"],
+        )
+        return _Obj(**rec["response"])
+
+    def _batches_retrieve(self, job_id):
+        rec = self._next("batches.retrieve")
+        assert job_id == rec["request"]["batch_id"]
+        return _Obj(**rec["response"])
+
+    def _files_content(self, file_id):
+        rec = self._next("files.content")
+        assert file_id == rec["request"]["file_id"]
+        return _Obj(content=rec["response_body"].encode())
+
+
+def test_openai_wire_replay_end_to_end(spark, tmp_path):
+    """run_batch_lifecycle over OpenAIBatchTransport against the canned
+    transcript: request serialization matches the recorded upload,
+    every call matches in order, the ledger reaches 'completed', and
+    the ingested responses equal the recorded expectations."""
+    import json
+    from pathlib import Path
+
+    import pyspark.sql.functions as F
+
+    from automotive_translation_pipeline_spark.ledger import Ledger
+    from automotive_translation_pipeline_spark.operators.packing import (
+        assign_batches_cumsum,
+        materialize_requests,
+        with_cost,
+    )
+    from automotive_translation_pipeline_spark.transport import (
+        run_batch_lifecycle,
+    )
+
+    transcript = json.loads(
+        (Path(__file__).parent / "fixtures" / "openai_batch_transcript.json")
+        .read_text()
+    )
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"vehicle description number {i} with distinctive paint",
+                "en" if i % 2 else "de",
+            )
+            for i in range(1, 13)
+        ],
+        "seq long, english_sentence string, shard string",
+    ).withColumn("description_id", F.col("seq").cast("string"))
+    requests = materialize_requests(
+        assign_batches_cumsum(
+            with_cost(docs, "english_sentence"),
+            order_col="seq",
+            limit=60,
+            shard_col="shard",
+        )
+    )
+
+    client = ReplayOpenAIClient(transcript)
+    transport = OpenAIBatchTransport(client=client)
+    ledger = Ledger(spark, str(tmp_path / "ledger"))
+    out = run_batch_lifecycle(
+        spark,
+        requests,
+        transport,
+        ledger,
+        str(tmp_path),
+        batch_id="replay_run",
+        target_language="German",
+        poll_interval_secs=0,
+    )
+    client.assert_drained()
+
+    got = sorted(
+        (
+            {
+                "custom_id": r["custom_id"],
+                "status_code": r["status_code"],
+                "content": r["content"],
+            }
+            for r in out.collect()
+        ),
+        key=lambda d: d["custom_id"],
+    )
+    want = sorted(
+        transcript["expected_responses"], key=lambda d: d["custom_id"]
+    )
+    assert got == want
+    job_id = transcript["calls"][1]["response"]["id"]
+    assert ledger.get(job_id)["status"] == transcript["final_ledger_status"]
