@@ -76,6 +76,7 @@ _CHANGED_THIS_ROUND = frozenset({
     "ann_cosine_int8",          # same tie-portable quantization in oracle
     "r15_extras_anti_join",     # routed through operators/joins.detect_extras
     "sql_recursive_bfs_hops",   # seeds = lowest-id EDGE nodes (non-vacuous)
+    "text_char_entropy",        # Arrow histogram kernel (O(n) per doc)
 })
 
 
