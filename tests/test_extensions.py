@@ -606,3 +606,51 @@ def test_label_centroid_outliers_centroid_value(spark):
     r = label_centroid_outliers(df, k_outliers=0).collect()[0]
     assert r.cosine_c == 1.0
     assert not r.is_outlier
+
+
+def test_ngram_jaccard_matches_python_bruteforce(spark):
+    """The size-ratio prune in ngram_jaccard_pairs is lossless: the
+    operator's pairs equal an independent all-pairs Python computation
+    on a corpus with near-dups of EQUAL and of MISMATCHED sizes, and
+    with a pair sitting exactly at a size boundary (|B| = 0.8|A| up to
+    integer shingles)."""
+    import itertools
+
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),                                  # 8 3-shingles
+        (2, base),                                  # exact dup of 1
+        (3, base + " lambda"),                      # superset, close size
+        (4, base + " lambda mu nu xi omicron pi rho sigma tau upsilon"),
+        # ^ much larger: shares 1's shingles but size-ratio excluded by
+        #   the jaccard math itself
+        (5, "one two three four five six"),
+        (6, "one two three four five seven"),       # differs in tail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        inter = len(sa & sb)
+        if not inter:
+            continue
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= 0.8:
+            want[(ia, ib)] = round(j, 4)
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.8).collect()
+    }
+    assert got == want
+    assert (1, 2) in got  # the exact dup is found
+    assert not any(4 in pair for pair in got)  # size-mismatched excluded
