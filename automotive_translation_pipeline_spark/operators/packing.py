@@ -60,8 +60,19 @@ def assign_batches_cumsum(
         w = Window.partitionBy(shard_col).orderBy(order_col)
     else:
         w = Window.orderBy(order_col)
-    cum = F.sum(cost_col).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    local = F.floor((cum - F.lit(1e-9)) / F.lit(limit)).cast("long")
+    # The prefix sum runs over INTEGER TENTHS of the cost, not the
+    # float cost: engines accumulate float window sums in different
+    # orders (sequential vs segment tree), and at sf3 magnitudes
+    # (~7M cumulative) the drift crossed batch boundaries — 14
+    # off-by-one batch ids against the DuckDB oracle. Per-row
+    # cost*10 is within 1 ulp of an integer for any integer token
+    # count (cost = toks*(1+factor)), so round() lands identically on
+    # both engines, and integer sums are exact at ANY scale. For
+    # already-integer costs (chunk packing) this is bit-identical to
+    # the old float formula.
+    cost_tenths = F.round(F.col(cost_col) * 10, 0).cast("long")
+    cum = F.sum(cost_tenths).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    local = F.floor((cum - F.lit(1)) / F.lit(limit * 10)).cast("long")
     if shard_col:
         batch = F.concat_ws("-", F.col(shard_col), local.cast("string"))
     else:

@@ -77,6 +77,18 @@ _CHANGED_THIS_ROUND = frozenset({
     "r15_extras_anti_join",     # routed through operators/joins.detect_extras
     "sql_recursive_bfs_hops",   # seeds = lowest-id EDGE nodes (non-vacuous)
     "text_char_entropy",        # Arrow histogram kernel (O(n) per doc)
+    # integer-tenths pack prefix sum (float window sums drifted across
+    # engines at sf3 — boundary off-by-ones); every entry replaying the
+    # cumsum pack changed batch boundaries:
+    "r17_pack_cumsum",
+    "r18_batch_sizes",
+    "r19_batch_id_mapping",
+    "pipeline_rows",
+    "pipeline_rows_staged",
+    "pipeline_summary",
+    "analyze_error_taxonomy",
+    "analyze_full_taxonomy",
+    "folder_status_taxonomy",
 })
 
 
@@ -365,10 +377,14 @@ _PACK_SQL_BASE = f"""
                + {_DUCK_BPE.format(c="sentence")} * 1.8 AS cost
         FROM todo
     ), assigned AS (
+        -- integer-tenths prefix sum: float window sums accumulate in
+        -- engine-specific order and drift across batch boundaries at
+        -- sf3 magnitudes (see operators/packing.py)
         SELECT doc_id, lang, cost,
                lang || '-' || cast(cast(floor(
-                   (sum(cost) OVER (PARTITION BY lang ORDER BY doc_id
-                                    ROWS UNBOUNDED PRECEDING) - 1e-9) / 4000
+                   (sum(cast(round(cost * 10, 0) as bigint))
+                        OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - 1) / 40000
                ) as bigint) as varchar) AS batch_id
         FROM costed
     )
@@ -763,8 +779,9 @@ _PIPELINE_SQL_BASE = f"""
     ), assigned AS (
         SELECT description_id, sentence, shard, seq,
                shard || '-' || cast(cast(floor(
-                   (sum(cost) OVER (PARTITION BY shard ORDER BY seq
-                                    ROWS UNBOUNDED PRECEDING) - 1e-9) / 4000
+                   (sum(cast(round(cost * 10, 0) as bigint))
+                        OVER (PARTITION BY shard ORDER BY seq
+                              ROWS UNBOUNDED PRECEDING) - 1) / 40000
                ) as bigint) as varchar) AS batch_id
         FROM costed
     ), fmt AS (
