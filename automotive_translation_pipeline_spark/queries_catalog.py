@@ -89,6 +89,7 @@ _CHANGED_THIS_ROUND = frozenset({
     "analyze_error_taxonomy",
     "analyze_full_taxonomy",
     "folder_status_taxonomy",
+    "tpch_q15_top_supplier",   # oracle CTE MATERIALIZED (float-eq at sf3)
 })
 
 
@@ -2733,7 +2734,13 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q15_top_supplier",
     """
-    WITH revenue AS (
+    -- MATERIALIZED is load-bearing: the CTE is referenced twice (join
+    -- side + scalar max) and DuckDB's parallel float aggregation is
+    -- order-nondeterministic PER EVALUATION — at sf3 the two
+    -- evaluations disagreed in the last ulps and the equality matched
+    -- nothing. One materialization = one set of floats, the same
+    -- consistency the Spark side gets from persist().
+    WITH revenue AS MATERIALIZED (
         SELECT l_suppkey AS supplier_no,
                sum(l_extendedprice * (1 - l_discount)) AS total_revenue
         FROM lineitem
