@@ -159,7 +159,19 @@ def equidepth_histogram(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.min(value_col), 2).alias("lo"),
             F.round(F.max(value_col), 2).alias("hi"),
-            F.round(F.sum(value_col), 2).alias("sum_v"),
+            # sum in integer CENTS: per-bin float sums accumulate in
+            # engine-specific order and at sf3 magnitudes (~1e11 per
+            # bin) the drift reached the 2nd decimal the output
+            # reports. Prices carry two decimals, so v*100 is within
+            # an ulp of an integer and round() lands identically on
+            # both engines; integer sums are exact at any scale.
+            F.round(
+                F.sum(
+                    F.round(F.col(value_col) * 100, 0).cast("long")
+                )
+                / 100.0,
+                2,
+            ).alias("sum_v"),
         )
     )
 
