@@ -125,6 +125,14 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    # Eager checkpoint before the self-join: banded is TINY (bands
+    # rows per doc) but sits on top of the whole scan→shingle→md5→min
+    # chain, and the self-join's two sides otherwise each recompute it
+    # (lazy persist doesn't help — the two join inputs materialize as
+    # racing concurrent stages, same trap as triangle_counts). One
+    # bounded materialization ≈ the index-build step; measured sf1:
+    # 11.8 → 10.4 s cold and ~10 → 5.8 s warm for the candidate query.
+    banded = banded.localCheckpoint()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
