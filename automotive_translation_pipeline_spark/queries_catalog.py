@@ -1224,28 +1224,43 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     _DUCK_SHINGLE_CTE
     + """
-    , ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-    dfreq AS (SELECT s, count(*) AS c FROM ex GROUP BY s),
-    rare AS (SELECT e.doc_id, e.s FROM ex e
-             JOIN dfreq ON e.s = dfreq.s
-              AND dfreq.c <= greatest(50, cast(0.05 *
-                      (SELECT count(*) FROM documents) AS bigint))),
-    inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
-        FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ), sz AS (SELECT doc_id, len(shingles) AS ns FROM sh)
+    , sig AS (
+        SELECT doc_id,
+               list_transform(range(0, 16), i ->
+                   list_min(list_transform(shingles, s -> md5(i || ':' || s)))
+               ) AS sig
+        FROM sh
+    ), banded AS (
+        SELECT doc_id, b.band,
+               array_to_string(list_slice(sig, b.band * 2 + 1, b.band * 2 + 2),
+                               '|') AS bucket
+        FROM sig, (SELECT unnest(range(0, 8)) AS band) b
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), scored AS (
+        SELECT p.id_a, p.id_b,
+               len(list_intersect(a.shingles, b.shingles)) AS ni,
+               len(a.shingles) AS na, len(b.shingles) AS nb
+        FROM pairs p
+        JOIN sh a ON a.doc_id = p.id_a
+        JOIN sh b ON b.doc_id = p.id_b
+    )
     SELECT id_a, id_b,
-           round(ni * 1.0 / (sa.ns + sb.ns - ni), 4) AS jaccard
-    FROM inter
-    JOIN sz sa ON sa.doc_id = id_a
-    JOIN sz sb ON sb.doc_id = id_b
-    WHERE ni * 1.0 / (sa.ns + sb.ns - ni) >= 0.8
+           round(ni * 1.0 / (na + nb - ni), 4) AS jaccard
+    FROM scored
+    WHERE ni * 1.0 / (na + nb - ni) >= 0.8
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram Jaccard near-dup pairs >= 0.8 via shingle-join, with the
-    hot-shingle guard (doc-frequency cap) that keeps the join linear."""
+    """3-gram Jaccard near-dup pairs >= 0.8, LSH-blocked: MinHash(16)
+    banding (8 bands x 2 rows; miss ~3e-4 at J=0.8) generates the
+    candidate stream, exact distinct-shingle Jaccard verifies each
+    candidate — the scale-safe composition (the exhaustive shingle-join
+    twin is ``ngram_jaccard_pairs(exhaustive=True)``, measured
+    super-linear at sf3). The oracle replays the identical md5 banding
+    and exact verification, so parity is hash-exact."""
     from .operators.dedup import ngram_jaccard_pairs
 
     t = load_testdata(spark, sf_dir)

@@ -609,11 +609,11 @@ def test_label_centroid_outliers_centroid_value(spark):
 
 
 def test_ngram_jaccard_matches_python_bruteforce(spark):
-    """The size-ratio prune in ngram_jaccard_pairs is lossless: the
-    operator's pairs equal an independent all-pairs Python computation
-    on a corpus with near-dups of EQUAL and of MISMATCHED sizes, and
-    with a pair sitting exactly at a size boundary (|B| = 0.8|A| up to
-    integer shingles)."""
+    """The size-ratio prune in the exhaustive ngram path is lossless:
+    the operator's pairs equal an independent all-pairs Python
+    computation on a corpus with near-dups of EQUAL and of MISMATCHED
+    sizes, and with a pair sitting exactly at a size boundary
+    (|B| = 0.8|A| up to integer shingles)."""
     import itertools
 
     from automotive_translation_pipeline_spark.operators.dedup import (
@@ -649,8 +649,20 @@ def test_ngram_jaccard_matches_python_bruteforce(spark):
 
     got = {
         (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in ngram_jaccard_pairs(df, threshold=0.8).collect()
+        for r in ngram_jaccard_pairs(df, threshold=0.8, exhaustive=True).collect()
     }
     assert got == want
     assert (1, 2) in got  # the exact dup is found
     assert not any(4 in pair for pair in got)  # size-mismatched excluded
+
+    # The default LSH-blocked form: every pair it emits is a TRUE pair
+    # with the exact Jaccard score (verification is exact), and the
+    # certain-collision cases (identical signatures) are always found.
+    blocked = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.8).collect()
+    }
+    assert set(blocked) <= set(want)           # no false positives, ever
+    for pair, j in blocked.items():
+        assert j == want[pair]                 # exact scores on survivors
+    assert (1, 2) in blocked                   # exact dup: all bands collide
