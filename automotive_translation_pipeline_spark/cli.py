@@ -148,14 +148,21 @@ def cmd_analyze(
     n_repaired = repaired_rows.count()
     if n_repaired:
         dest = os.path.splitext(responses_jsonl.rstrip("/"))[0] + "_repaired.jsonl"
-        repaired_rows.select(
+        # One real JSONL FILE, like the reference's analyze path — not a
+        # Spark .text() part-file directory. The repaired set is bounded
+        # (failed batches only), so collecting it driver-side is the
+        # same contract as the report print above.
+        lines = repaired_rows.select(
             F.to_json(
                 F.struct(
                     F.col("custom_id"),
                     F.col("repaired_content").alias("content"),
                 )
-            )
-        ).coalesce(1).write.mode("overwrite").text(dest)
+            ).alias("j")
+        ).collect()
+        with open(dest, "w", encoding="utf-8") as fh:
+            for r in lines:
+                fh.write(r["j"] + "\n")
         print(f"\nRepaired {n_repaired} truncated batch(es) -> {dest}")
 
     if input_csv:

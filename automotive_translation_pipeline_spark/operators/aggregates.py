@@ -129,6 +129,12 @@ def equidepth_histogram(
     count/bins rows (±1), with true bin boundaries — the profile shape
     approx-percentile sketches can't pin down exactly.
 
+    PRECONDITION: ``value_col`` must carry at most TWO decimal places
+    (prices/amounts). The per-bin sums accumulate in integer CENTS for
+    engine-exact totals at any scale, so finer-grained values are
+    silently quantized to 0.01 — rescale to your own integer grid (or
+    accept float drift) for higher-precision inputs.
+
     The naive form is ntile()/row_number() over a GLOBAL window — the
     single-task antipattern. This uses the range-partitioned global
     index (operators/indexing.py:with_global_index: range exchange +

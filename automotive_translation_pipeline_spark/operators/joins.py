@@ -245,8 +245,12 @@ def bloom_semi_join(
     ~40% for 30k, where the bloom barely prunes). So by default m is
     sized FROM the build side: one count() of the (small) build input,
     then m = next_pow2(10 bits/key), floor 2^16 — ~1% fp at any n.
-    Pass an explicit m_bits to skip the count when the cardinality is
-    known a priori.
+
+    NOTE: with the default ``m_bits=None`` that count() is an EAGER
+    action at DataFrame-CONSTRUCTION time (and re-runs on every call)
+    — laziness is broken for callers that only build plans. Pass an
+    explicit ``m_bits`` to keep construction lazy when the build-side
+    cardinality is known a priori.
     """
     if m_bits is None:
         n_keys = small_keys.count()  # build side is small by contract

@@ -222,9 +222,11 @@ def char_stats_arrow(
     Entropy accumulates in the same order as the sorted-run form
     (np.unique sorts by codepoint; UTF-8 binary order == codepoint
     order), H = log2(n) - sum(c*log2 c)/n. Empty docs pin to
-    (0, 1, 0.0) exactly like the column form (split('','') -> ['']).
-    Rounding happens Spark-side (HALF_UP, same as every oracle-facing
-    float here).
+    (0, 1, 0.0) exactly like the column form (split('','') -> ['']);
+    NULL text propagates NULL for all three stats, also like the
+    column form (masked Arrow arrays, not a ''-coercion). Rounding
+    happens Spark-side (HALF_UP, same as every oracle-facing float
+    here).
     """
     import math
 
@@ -238,13 +240,15 @@ def char_stats_arrow(
 
     def kernel(batches):
         for pdf in batches:
-            ns = np.empty(len(pdf), dtype=np.int64)
-            ds = np.empty(len(pdf), dtype=np.int64)
-            hs = np.empty(len(pdf), dtype=np.float64)
+            ns = np.zeros(len(pdf), dtype=np.int64)
+            ds = np.zeros(len(pdf), dtype=np.int64)
+            hs = np.zeros(len(pdf), dtype=np.float64)
+            null = np.zeros(len(pdf), dtype=bool)
             for i, s in enumerate(pdf["__nt"]):
-                codes = np.frombuffer(
-                    (s or "").encode("utf-32-le"), dtype=np.uint32
-                )
+                if s is None:
+                    null[i] = True
+                    continue
+                codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
                 n = codes.size
                 if n == 0:
                     ns[i], ds[i], hs[i] = 0, 1, 0.0
@@ -260,9 +264,9 @@ def char_stats_arrow(
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "n_chars_norm": ns,
-                    "n_distinct_chars": ds,
-                    "__h": hs,
+                    "n_chars_norm": pd.arrays.IntegerArray(ns, mask=null),
+                    "n_distinct_chars": pd.arrays.IntegerArray(ds, mask=null),
+                    "__h": pd.arrays.FloatingArray(hs, mask=null),
                 }
             )
 

@@ -55,6 +55,13 @@ def assign_batches_cumsum(
     With ``shard_col`` the window partitions by shard and batch ids are
     ``(shard, local_batch)`` pairs — no global ordering, no single-task
     bottleneck, survives 1000 executors.
+
+    PRECONDITION: ``cost_col`` must carry at most ONE decimal place
+    (integer token counts times a 1-decimal overhead factor, as
+    produced by this module). The prefix sum runs over integer TENTHS
+    for engine-exact batch boundaries, so finer-grained costs are
+    silently quantized to 0.1 — callers with sub-tenth costs must
+    rescale to their own integer grid first.
     """
     if shard_col:
         w = Window.partitionBy(shard_col).orderBy(order_col)

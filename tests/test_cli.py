@@ -91,8 +91,12 @@ def test_cli_analyze_taxonomy(spark, tmp_path, capsys):
     assert "Repaired 1 truncated batch(es)" in text
     assert "Original rows:   3" in text
     assert "Missing ids:     1" in text  # id 3 never parsed
-    repaired_dir = tmp_path / "responses_repaired.jsonl"
-    assert repaired_dir.exists()
+    repaired_file = tmp_path / "responses_repaired.jsonl"
+    assert repaired_file.is_file()  # one real JSONL file, not a part-file dir
+    lines = repaired_file.read_text(encoding="utf-8").splitlines()
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert set(rec) == {"custom_id", "content"} and rec["content"]
 
 
 def test_cli_batch_folder(spark, tmp_path, capsys):

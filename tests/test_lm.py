@@ -146,6 +146,7 @@ def test_char_stats_arrow_matches_column_form(spark):
         (5, "héllo wörld — ünïcode § text"),
         (6, "0123456789" * 7),
         (7, "x"),
+        (8, None),  # NULL text: all three stats must be NULL (not 0/1/0.0)
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     nt = normalized_text(F.col("text"))
@@ -164,6 +165,9 @@ def test_char_stats_arrow_matches_column_form(spark):
     }
     assert got.keys() == want.keys()
     for k in want:
+        if want[k][0] is None:  # NULL text row: NULL propagates in both forms
+            assert got[k] == (None, None, None), (k, got[k], want[k])
+            continue
         assert got[k][0] == want[k][0], (k, got[k], want[k])
         assert got[k][1] == want[k][1], (k, got[k], want[k])
         assert abs(got[k][2] - want[k][2]) < 1e-9, (k, got[k], want[k])
