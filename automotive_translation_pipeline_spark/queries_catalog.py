@@ -2493,6 +2493,325 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+# --- Derived partsupp -------------------------------------------------
+# The generated testdata has no partsupp file, so BOTH engines derive
+# the SAME table in-plan from part x supplier: the TPC-H supplier-
+# assignment formula (0-based keys: suppkey = (partkey + j*(S/4 +
+# partkey/S)) mod S for j in 0..3; spec 2.18.3 modulo the 1-based
+# shift) plus md5-derived availqty/supplycost, portable via the same
+# conv(md5) == CAST('0x'||md5) identity as _DUCK_BUCKET. DISTINCT
+# because tiny supplier counts (sf0.001: S=10) can collide the
+# formula's j-offsets; dedup is identical on both sides. This closes
+# TPC-H q2/q11/q16/q20 — previously "inexpressible" in COVERAGE.md.
+
+
+def _ps_bucket(prefix: str, mod: int) -> Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix),
+                        F.col("ps_partkey").cast("string"),
+                        F.lit(":"),
+                        F.col("ps_suppkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % mod
+    )
+
+
+def _partsupp(t: dict) -> DataFrame:
+    """Derived partsupp: (ps_partkey, ps_suppkey, ps_availqty,
+    ps_supplycost). ps_supplycost carries exactly 2 decimals (integer
+    cents / 100.0), so cents arithmetic over it is exact — q11 relies
+    on that for engine-exact threshold comparison."""
+    scnt = t["supplier"].agg(F.count(F.lit(1)).alias("__S"))
+    base = (
+        t["part"]
+        .select(F.col("p_partkey").alias("ps_partkey"))
+        .crossJoin(F.broadcast(scnt))
+        .select(
+            "ps_partkey",
+            F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("__j"),
+            "__S",
+        )
+        .select(
+            "ps_partkey",
+            (
+                (
+                    F.col("ps_partkey")
+                    + F.col("__j")
+                    * (
+                        F.floor(F.col("__S") / 4)
+                        + F.floor(F.col("ps_partkey") / F.col("__S"))
+                    )
+                )
+                % F.col("__S")
+            )
+            .cast("long")
+            .alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    return base.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (_ps_bucket("aq:", 9999) + 1).cast("long").alias("ps_availqty"),
+        ((_ps_bucket("sc:", 99900) + 100) / 100.0).alias("ps_supplycost"),
+    )
+
+
+_DUCK_MD5_PS = (
+    "CAST('0x' || substr(md5('{p}' || CAST(ps_partkey AS VARCHAR) || ':' "
+    "|| CAST(ps_suppkey AS VARCHAR)), 1, 8) AS BIGINT)"
+)
+_DUCK_PARTSUPP = f"""
+    WITH partsupp AS (
+        SELECT ps_partkey, ps_suppkey,
+               ({_DUCK_MD5_PS.format(p="aq:")} % 9999) + 1 AS ps_availqty,
+               (({_DUCK_MD5_PS.format(p="sc:")} % 99900) + 100) / 100.0
+                   AS ps_supplycost
+        FROM (
+            SELECT DISTINCT p.p_partkey AS ps_partkey,
+                   (p.p_partkey + j.j * (s.S // 4 + p.p_partkey // s.S))
+                       % s.S AS ps_suppkey
+            FROM part p,
+                 (SELECT count(*) AS S FROM supplier) s,
+                 (SELECT unnest(range(0, 4)) AS j) j
+        )
+    )
+"""
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    _DUCK_PARTSUPP
+    + """
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+           ps.ps_supplycost
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size <= 10 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
+      AND ps.ps_supplycost = (
+          SELECT min(ps2.ps_supplycost)
+          FROM partsupp ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+          JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+          WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated min-cost subquery decorrelated into a
+    per-part min over the region-filtered partsupp, joined back on
+    (partkey, exact min cost) — dims all broadcast; the only wide table
+    is the derived partsupp itself. (p_mfgr isn't in this testdata;
+    p_brand stands in. The min-cost equality is exact: both engines
+    compute identical doubles from identical integer cents.)"""
+    t = load_testdata(spark, sf_dir)
+    ps = _partsupp(t)
+    s, n, r, p = t["supplier"], t["nation"], t["region"], t["part"]
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    eu_ps = ps.join(
+        F.broadcast(eu_supp.select("s_suppkey", "s_name", "s_acctbal", "n_name")),
+        ps.ps_suppkey == F.col("s_suppkey"),
+    )
+    min_cost = eu_ps.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    parts = p.filter((F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD"))
+    return (
+        eu_ps.join(F.broadcast(parts.select("p_partkey", "p_brand")),
+                   eu_ps.ps_partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(min_cost),
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+                "ps_supplycost")
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    _DUCK_PARTSUPP
+    + """
+    , natps AS (
+        SELECT ps.ps_partkey,
+               CAST(round(ps.ps_supplycost * 100, 0) AS BIGINT)
+                   * ps.ps_availqty AS cents
+        FROM partsupp ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'
+    )
+    SELECT ps_partkey, round(sum(cents) / 100.0, 2) AS stock_value
+    FROM natps
+    GROUP BY ps_partkey
+    HAVING sum(cents) * (SELECT count(DISTINCT ps_partkey) FROM natps) * 10
+           > 12 * (SELECT sum(cents) FROM natps)
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: grouped stock value vs a scalar fraction of the
+    national total — the total rides as a broadcast 1-row cross join.
+    The fraction is SCALE-INVARIANT (parts above 1.2x the national
+    mean; TPC-H's own fraction is 0.0001/SF for the same reason — a
+    fixed fraction returns 0 rows once part count outgrows it). All
+    arithmetic runs in integer CENTS (ps_supplycost carries exactly 2
+    decimals), so the HAVING threshold is an exact integer comparison
+    on both engines — no float-sum order drift at any SF."""
+    t = load_testdata(spark, sf_dir)
+    ps = _partsupp(t)
+    s, n = t["supplier"], t["nation"]
+    nat_supp = s.join(
+        F.broadcast(n.filter(F.col("n_name") == "NATION_3")),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    cents = (
+        F.round(F.col("ps_supplycost") * 100, 0).cast("long")
+        * F.col("ps_availqty")
+    )
+    natps = ps.join(F.broadcast(nat_supp), ps.ps_suppkey == F.col("s_suppkey")) \
+        .select("ps_partkey", cents.alias("cents"))
+    total = natps.agg(
+        F.sum("cents").alias("total_cents"),
+        F.count_distinct("ps_partkey").alias("n_parts"),
+    )
+    return (
+        natps.groupBy("ps_partkey")
+        .agg(F.sum("cents").alias("sum_cents"))
+        .crossJoin(F.broadcast(total))
+        .filter(
+            F.col("sum_cents") * F.col("n_parts") * 10
+            > 12 * F.col("total_cents")
+        )
+        .select(
+            "ps_partkey",
+            F.round(F.col("sum_cents") / 100.0, 2).alias("stock_value"),
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_relationship",
+    _DUCK_PARTSUPP
+    + """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps.ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: count-distinct suppliers per (brand, type, size)
+    with a NOT IN supplier exclusion — expressed as a broadcast
+    anti-join (the excluded set is tiny) above a broadcast part-filter
+    join. (No s_comment in this testdata: negative-balance suppliers
+    stand in for the complaints exclusion.)"""
+    t = load_testdata(spark, sf_dir)
+    ps = _partsupp(t)
+    p, s = t["part"], t["supplier"]
+    parts = p.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excluded = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(parts), ps.ps_partkey == F.col("p_partkey"))
+        .join(F.broadcast(excluded), ps.ps_suppkey == F.col("s_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_excess_stock",
+    _DUCK_PARTSUPP
+    + """
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_5', 'NATION_6', 'NATION_7', 'NATION_8')
+      AND s.s_suppkey IN (
+          SELECT ps.ps_suppkey
+          FROM partsupp ps
+          JOIN (
+              SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+              FROM lineitem
+              WHERE l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1997-01-01'
+              GROUP BY l_partkey, l_suppkey
+          ) lq ON lq.l_partkey = ps.ps_partkey
+              AND lq.l_suppkey = ps.ps_suppkey
+          WHERE ps.ps_partkey IN (
+                    SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            AND 2 * ps.ps_availqty > CAST(lq.qty AS BIGINT))
+    """,
+)
+def tpch_q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers of 'red%' parts holding more than half a
+    year's shipped quantity in stock. The correlated availqty subquery
+    is decorrelated into a per-(part, supplier) lineitem aggregate
+    joined to partsupp (inner join == the NULL-excluding correlated
+    semantics), and the excess test is the exact integer form
+    2*availqty > qty (l_quantity is integer-valued), so no 0.5* float
+    boundary. Supplier membership is a left-semi join."""
+    t = load_testdata(spark, sf_dir)
+    ps = _partsupp(t)
+    s, n, p, li = t["supplier"], t["nation"], t["part"], t["lineitem"]
+    red_parts = p.filter(F.col("p_name").like("red%")).select("p_partkey")
+    year_qty = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+    )
+    excess = (
+        ps.join(F.broadcast(red_parts), ps.ps_partkey == F.col("p_partkey"))
+        .join(
+            year_qty,
+            (ps.ps_partkey == year_qty.l_partkey)
+            & (ps.ps_suppkey == year_qty.l_suppkey),
+        )
+        .filter(2 * F.col("ps_availqty") > F.col("qty"))
+        .select("ps_suppkey")
+    )
+    return (
+        s.join(
+            F.broadcast(n.filter(F.col("n_name").isin(
+                "NATION_5", "NATION_6", "NATION_7", "NATION_8"))),
+            s.s_nationkey == F.col("n_nationkey"),
+        )
+        .join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi")
+        .select("s_name", "n_name")
+    )
+
+
 @register(
     "tpch_q8_market_share",
     """

@@ -37,6 +37,10 @@ HEADLINE = [
     "tpch_q15_top_supplier",
     "tpch_q18_large_orders",
     "tpch_q21_waiting_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_relationship",
+    "tpch_q20_excess_stock",
     "r17_pack_cumsum",
     "r17_pack_greedy",
     "r25_last_wins",
