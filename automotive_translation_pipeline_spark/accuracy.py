@@ -61,24 +61,10 @@ def check_agg_approx_distinct(spark, sf_dir):
     return ok, f"exact={exact} approx={approx}"
 
 
-def check_simhash_buckets(spark, sf_dir):
-    """simhash_table == the scalar simhash64 definition on a corpus
-    sample (test_simhash_table_matches_scalar), so the buckets are
-    hashes of the documented frequency-weighted majority vote."""
-    from .operators.dedup import simhash64, simhash_table
-
-    docs = load_testdata(spark, sf_dir)["documents"].filter(
-        F.col("doc_id") < 20
-    )
-    scalar = {
-        r["doc_id"]: r["h"]
-        for r in docs.select(
-            "doc_id", simhash64(F.col("text")).alias("h")
-        ).collect()
-    }
-    table = {r["doc_id"]: r["simhash"] for r in simhash_table(docs).collect()}
-    n_bad = sum(1 for k in scalar if table.get(k) != scalar[k])
-    return n_bad == 0, f"sampled={len(scalar)} mismatched={n_bad}"
+# (dedup_simhash_buckets graduated to a full DuckDB oracle in round 6
+# — portable md5-based 60-bit simhash — so its table==scalar hook
+# retired; the scalar-parity property lives on in
+# test_simhash_table_matches_scalar.)
 
 
 def _exact_pair_cosines(spark, sf_dir, pairs):
@@ -291,7 +277,6 @@ def check_approx_quantiles(spark, sf_dir):
 
 
 ACCURACY_CHECKS: dict[str, Check] = {
-    "dedup_simhash_buckets": check_simhash_buckets,
     "agg_approx_distinct": check_agg_approx_distinct,
     "ann_cosine_lsh": check_ann_lsh,
     "ann_cosine_ivf": check_ann_ivf,

@@ -443,29 +443,44 @@ def simhash_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 1,
+    portable: bool = False,
 ) -> DataFrame:
-    """Table-scale SimHash: explode shingles → one xxhash64 per row →
-    63 conditional-sum aggregates (map-side partial) → bit assembly.
-    Each shingle is hashed exactly once; the shuffle carries one row of
-    63 small ints per doc. Same output contract as ``simhash64``:
-    (id, simhash long)."""
+    """Table-scale SimHash: explode shingles → one hash per row →
+    per-bit conditional-sum aggregates (map-side partial) → bit
+    assembly. Each shingle is hashed exactly once; the shuffle carries
+    one row of small ints per doc. Same output contract as
+    ``simhash64``: (id, simhash long).
+
+    ``portable=False`` (default): 63 bits of xxhash64 — the fast
+    JVM-native path. ``portable=True``: 60 bits from the first 15 hex
+    chars of md5 — the ENGINE-PORTABLE bit source (Spark
+    conv(md5) == DuckDB CAST('0x'||md5), same identity as the MinHash
+    family), so the whole simhash is DuckDB-oracle-checkable."""
     # No distinct: SimHash is frequency-weighted (a word appearing twice
     # votes twice), matching the scalar form and the classic definition.
+    nbits = 60 if portable else 63
     shingled = df.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), k)).alias("__sh"),
-    ).select(id_col, F.xxhash64(F.col("__sh")).alias("__h"))
+    )
+    if portable:
+        h = F.conv(F.substring(F.md5(F.col("__sh")), 1, 15), 16, 10).cast(
+            "long"
+        )
+    else:
+        h = F.xxhash64(F.col("__sh"))
+    shingled = shingled.select(id_col, h.alias("__h"))
     counts = shingled.groupBy(id_col).agg(
         F.count("*").alias("__n"),
         *[
             F.sum(
                 F.when(F.col("__h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(0)
             ).alias(f"b{b}")
-            for b in range(63)
+            for b in range(nbits)
         ],
     )
     sim = F.lit(0)
-    for b in range(63):
+    for b in range(nbits):
         sim = sim.bitwiseOR(
             F.when(F.col(f"b{b}") * 2 > F.col("__n"), F.lit(1 << b)).otherwise(F.lit(0))
         )

@@ -1658,20 +1658,61 @@ def setop_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 
-@register("dedup_simhash_buckets", None)
+# Portable 60-bit SimHash oracle: per-bit majority vote over
+# md5-derived word hashes, generated as 60 conditional sums + a
+# power-of-two assembly — the same conv(md5) == CAST('0x'||md5)
+# identity the MinHash oracle rides.
+_SIMHASH_BIT_SUMS = ",\n               ".join(
+    f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE 0 END) AS b{b}"
+    for b in range(60)
+)
+_SIMHASH_ASSEMBLE = "\n             + ".join(
+    f"(CASE WHEN b{b} * 2 > n THEN {1 << b} ELSE 0 END)" for b in range(60)
+)
+
+
+@register(
+    "dedup_simhash_buckets",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_DUCK_NORM.format(c="text")} AS nt FROM documents
+    ), w AS (
+        SELECT doc_id, unnest(string_split(nt, ' ')) AS word FROM d
+    ), h AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS hv
+        FROM w
+    ), agg AS (
+        SELECT doc_id, count(*) AS n,
+               {_SIMHASH_BIT_SUMS}
+        FROM h GROUP BY doc_id
+    ), sim AS (
+        SELECT doc_id,
+               {_SIMHASH_ASSEMBLE} AS simhash
+        FROM agg
+    )
+    SELECT (simhash >> 44) AS bucket, count(*) AS n
+    FROM sim GROUP BY 1 HAVING count(*) > 1
+    """,
+)
 def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup buckets (xxhash64-based — engine-specific bit
-    patterns, so rows-only check + unit tests instead of an oracle).
-    Uses the aggregation-form simhash_table (each shingle hashed once)."""
+    """SimHash near-dup buckets, ORACLE-CHECKED (round 6, was
+    rows-only): the portable simhash_table draws its 60 bits from md5
+    — engine-identical in Spark and DuckDB — so the full per-bit
+    majority vote and bucketing is hash-verified, like the MinHash
+    family. Uses the aggregation form (each shingle hashed once);
+    the xxhash64 fast path stays the library default."""
     from .operators.dedup import simhash_table
 
     t = load_testdata(spark, sf_dir)
-    sh = simhash_table(t["documents"], text_col="text", id_col="doc_id")
+    sh = simhash_table(
+        t["documents"], text_col="text", id_col="doc_id", portable=True
+    )
     # Bucket by the top 16 bits: candidate groups for near-dup scan.
     return (
-        sh.withColumn("bucket", F.shiftrightunsigned("simhash", 48))
+        sh.withColumn("bucket", F.shiftrightunsigned("simhash", 44))
         .groupBy("bucket")
-        .agg(F.count("*").alias("n"), F.collect_set("doc_id").alias("doc_ids"))
+        .agg(F.count("*").alias("n"))
         .filter(F.col("n") > 1)
         .select("bucket", "n")
     )

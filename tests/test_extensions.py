@@ -78,6 +78,27 @@ def test_simhash_table_matches_scalar(spark):
     }
     assert scalar == table
 
+    # Portable (md5/60-bit) form: a Python reference computes the same
+    # frequency-weighted per-bit majority vote from the same md5 bits.
+    import hashlib
+
+    def ref_simhash(text):
+        words = " ".join(text.lower().split()).split(" ")
+        hs = [
+            int(hashlib.md5(w.encode()).hexdigest()[:15], 16) for w in words
+        ]
+        out = 0
+        for b in range(60):
+            if sum((h >> b) & 1 for h in hs) * 2 > len(hs):
+                out |= 1 << b
+        return out
+
+    portable = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_table(df, portable=True).collect()
+    }
+    assert portable == {i: ref_simhash(t) for i, t in rows}
+
 
 def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     """IVF with a generous probe count recovers most of the exact
