@@ -38,6 +38,7 @@ USAGE = """Automotive Translation Pipeline (Spark engine)
 Usage:
   python -m automotive_translation_pipeline_spark.cli translate <input.csv> <target_language> <output.csv>
   python -m automotive_translation_pipeline_spark.cli analyze <responses.jsonl> [input.csv]
+  python -m automotive_translation_pipeline_spark.cli analyze <responses.jsonl> --batch <custom_id> --requests <requests.jsonl>
   python -m automotive_translation_pipeline_spark.cli batch <input_dir> <target_language> <output_dir>"""
 
 
@@ -192,6 +193,98 @@ def cmd_analyze(
     classified.unpersist()
 
 
+def cmd_analyze_batch(
+    spark: SparkSession,
+    responses_jsonl: str,
+    requests_jsonl: str,
+    custom_id: str,
+) -> int:
+    """``analyze --batch`` drill-down (reference
+    ``old_functionalities/check_and_process.py:322-374``
+    ``debug_specific_batch``): one batch's expected-vs-received ids —
+    missing translations, extras (R-15 ``detect_extras``), and the
+    R-29 order check — from the request JSONL that created the batch
+    plus the response JSONL."""
+    from .functions.parsing import parse_translations
+    from .functions.predicates import is_truncated
+    from .functions.repair import repair_json_udf
+    from .operators.joins import detect_extras
+    from .operators.windows import sequence_check
+    from .sources.readers import read_request_jsonl, read_response_jsonl
+
+    print(f"Drill-down for batch {custom_id}")
+    req = read_request_jsonl(spark, requests_jsonl).filter(
+        F.col("custom_id") == custom_id
+    )
+    expected = req.select(
+        F.posexplode("payload").alias(
+            "exp_pos", "description_id", "english_sentence"
+        )
+    ).persist()
+    n_expected = expected.count()
+    if n_expected == 0:
+        print(f"[ERROR] {custom_id} not found in {requests_jsonl}")
+        return 1
+    resp = read_response_jsonl(spark, responses_jsonl).filter(
+        F.col("custom_id") == custom_id
+    )
+    if resp.isEmpty():
+        print(f"[ERROR] {custom_id} not found in {responses_jsonl}")
+        return 1
+    effective = F.coalesce(
+        F.when(is_truncated(F.col("content")), repair_json_udf(F.col("content"))),
+        F.col("content"),
+    )
+    parsed = resp.select(
+        "custom_id",
+        F.length("content").alias("content_chars"),
+        F.posexplode(parse_translations(effective)).alias(
+            "pos", "description_id", "translation"
+        ),
+    ).persist()
+    n_received = parsed.count()
+    chars = parsed.select("content_chars").first()
+    print(f"Expected ids:    {n_expected}")
+    print(f"Received ids:    {n_received} "
+          f"(content {chars['content_chars'] if chars else 0} chars)")
+
+    missing = expected.join(
+        parsed.select("description_id"), "description_id", "left_anti"
+    ).orderBy("exp_pos")
+    print(f"\nMissing translations for {custom_id}:")
+    for r in missing.collect():
+        print(f"  - {r['description_id']}: {r['english_sentence']}")
+
+    extras = detect_extras(
+        parsed.select("custom_id", "description_id"),
+        expected.withColumn("custom_id", F.lit(custom_id)),
+        keys=("custom_id", "description_id"),
+    )
+    print(f"\nExtra translations for {custom_id}:")
+    for r in extras.collect():
+        print(f"  - {r['description_id']}")
+
+    seq = sequence_check(
+        parsed.join(
+            expected.select(
+                "description_id", (F.col("exp_pos") + 1).alias("num")
+            ),
+            "description_id",
+        ),
+        "custom_id",
+        "pos",
+        "num",
+    )
+    viol = seq.collect()
+    print(f"\nOrder violations: {len(viol)}")
+    for r in viol:
+        print(f"  - {r['description_id']}: requested at {r['num']}, "
+              f"received at {r['expected_number']}")
+    expected.unpersist()
+    parsed.unpersist()
+    return 0
+
+
 def cmd_batch(
     spark: SparkSession, input_dir: str, language: str, output_dir: str
 ) -> None:
@@ -251,8 +344,24 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         print(USAGE)
         return 1
     cmd, *rest = argv
+    # --batch <custom_id> --requests <requests.jsonl>: the analyze
+    # drill-down flags, extracted before the positional check.
+    flags: dict[str, str] = {}
+    positional: list[str] = []
+    i = 0
+    while i < len(rest):
+        if rest[i] in ("--batch", "--requests") and i + 1 < len(rest):
+            flags[rest[i][2:]] = rest[i + 1]
+            i += 2
+        else:
+            positional.append(rest[i])
+            i += 1
+    rest = positional
     specs = {"translate": (3, 3), "analyze": (1, 2), "batch": (3, 3)}
     if cmd not in specs or not (specs[cmd][0] <= len(rest) <= specs[cmd][1]):
+        print(USAGE)
+        return 1
+    if cmd == "analyze" and ("batch" in flags) != ("requests" in flags):
         print(USAGE)
         return 1
     if spark is None:
@@ -262,6 +371,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     if cmd == "translate":
         cmd_translate(spark, *rest)
     elif cmd == "analyze":
+        if "batch" in flags:
+            return cmd_analyze_batch(
+                spark, rest[0], flags["requests"], flags["batch"]
+            )
         cmd_analyze(spark, *rest)
     else:
         cmd_batch(spark, *rest)

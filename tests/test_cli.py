@@ -99,6 +99,70 @@ def test_cli_analyze_taxonomy(spark, tmp_path, capsys):
     assert set(rec) == {"custom_id", "content"} and rec["content"]
 
 
+def test_cli_analyze_batch_drilldown(spark, tmp_path, capsys):
+    """analyze --batch <custom_id> (reference debug_specific_batch,
+    check_and_process.py:322-374): expected-vs-received drill-down on a
+    batch with a missing id, a planted extra, and out-of-order parses."""
+    requests = tmp_path / "requests.jsonl"
+    payload = {"1": "alpha one", "2": "beta two", "3": "gamma three"}
+    requests.write_text(
+        json.dumps(
+            {
+                "custom_id": "b-1",
+                "method": "POST",
+                "url": "/v1/chat/completions",
+                "body": {
+                    "messages": [
+                        {"role": "system", "content": "translate"},
+                        {"role": "user", "content": json.dumps(payload)},
+                    ]
+                },
+            }
+        )
+        + "\n",
+        encoding="utf-8",
+    )
+    responses = tmp_path / "responses.jsonl"
+    # id 3 never answered; id 4 was never requested; 2 before 1.
+    content = json.dumps({"2": "zwei", "1": "eins", "4": "vier"})
+    responses.write_text(
+        json.dumps(
+            {
+                "custom_id": "b-1",
+                "response": {
+                    "status_code": 200,
+                    "body": {"choices": [{"message": {"content": content}}]},
+                },
+                "error": None,
+            }
+        )
+        + "\n",
+        encoding="utf-8",
+    )
+
+    rc = cli.main(
+        ["analyze", str(responses), "--batch", "b-1",
+         "--requests", str(requests)],
+        spark=spark,
+    )
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "Expected ids:    3" in text
+    assert "Received ids:    3" in text
+    assert "- 3: gamma three" in text          # missing, with its sentence
+    assert "Extra translations for b-1:\n  - 4" in text  # planted extra
+    assert "Order violations: 2" in text       # 2 and 1 swapped
+
+    # unknown custom_id -> error exit, reference-style message
+    rc = cli.main(
+        ["analyze", str(responses), "--batch", "nope",
+         "--requests", str(requests)],
+        spark=spark,
+    )
+    assert rc == 1
+    assert "not found" in capsys.readouterr().out
+
+
 def test_cli_batch_folder(spark, tmp_path, capsys):
     ind = tmp_path / "csvs"
     ind.mkdir()
