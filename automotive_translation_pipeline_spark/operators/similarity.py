@@ -309,7 +309,7 @@ def build_ivf_index(
 def build_pq_codebook(
     corpus: DataFrame,
     m: int = 8,
-    n_codes: int = 16,
+    n_codes: int = 32,
     train_sample: int = 2048,
     seed: int = 42,
     vec_col: str = "embedding",
@@ -387,7 +387,7 @@ def cosine_topk_pq(
     queries: DataFrame,
     k: int = 10,
     m: int = 8,
-    n_codes: int = 16,
+    n_codes: int = 32,
     rerank: int = 64,
     train_sample: int = 2048,
     seed: int = 42,

@@ -3596,7 +3596,7 @@ def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_testdata(spark, sf_dir)
     emb = t["embeddings"]
     return cosine_topk_pq(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, m=8, n_codes=16, rerank=64
+        emb, emb.filter(F.col("vec_id") < 5), k=10, m=8, n_codes=32, rerank=64
     ).select("query_id", "vec_id", F.round("cosine", 4).alias("cosine_r"))
 
 
