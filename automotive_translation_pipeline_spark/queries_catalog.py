@@ -3747,16 +3747,17 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_feature_stats",
     """
-    SELECT CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp' ELSE 'wav' END AS format,
+    SELECT CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav'
+                ELSE 'mp4' END AS format,
            CAST(count(*) AS BIGINT) AS n_items,
-           CAST(coalesce(sum(CASE WHEN doc_id % 5 < 4
+           CAST(coalesce(sum(CASE WHEN doc_id % 6 <> 4
                                   THEN doc_id % 497 + 16 END), 0)
                 AS BIGINT) AS sum_width,
-           CAST(coalesce(sum(CASE WHEN doc_id % 5 < 4
+           CAST(coalesce(sum(CASE WHEN doc_id % 6 <> 4
                                   THEN doc_id % 383 + 16 END), 0)
                 AS BIGINT) AS sum_height,
-           CAST(coalesce(sum(CASE WHEN doc_id % 5 = 4
+           CAST(coalesce(sum(CASE WHEN doc_id % 6 >= 4
                                   THEN (doc_id % 90 + 1) * 250 END), 0)
                 AS BIGINT) AS sum_duration_ms
     FROM documents GROUP BY 1
@@ -3765,12 +3766,13 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata end-to-end, now with a real oracle (round-1/2
     roadmap item): binary media cells are synthesized from doc_id with
-    REAL container headers (PNG/JPEG/GIF/BMP/WAV magic bytes), streamed
-    through Arrow into the pure-Python header parser
-    (operators/multimodal.py:parse_media_header — no PIL/ffmpeg needed),
+    REAL container headers (PNG/JPEG/GIF/BMP/WAV/MP4 magic bytes),
+    streamed through Arrow into the pure-Python header parser
+    (operators/multimodal.py:parse_media_header — no PIL/ffmpeg needed;
+    the MP4 branch is a real ISO-BMFF box walk to mvhd/tkhd, round 6),
     and the PARSED width/height/duration aggregates must reproduce the
     oracle's plain arithmetic on doc_id. If builder or parser drift, the
-    hashes diverge — a genuine round-trip check, not a stub. Pixel
+    hashes diverge — a genuine round-trip check, not a stub. Pixel/frame
     decode stays dependency-gated; the feature-histogram path keeps its
     pytest coverage."""
     from .operators.multimodal import media_from_ids, media_metadata

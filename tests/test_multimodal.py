@@ -17,6 +17,7 @@ from automotive_translation_pipeline_spark.operators.multimodal import (
     parse_media_header,
     png_bytes,
     resize_images,
+    mp4_bytes,
     synth_media,
     wav_bytes,
 )
@@ -29,6 +30,11 @@ def test_header_codec_roundtrip():
     assert parse_media_header(bmp_bytes(300, 200)) == ("bmp", 300, 200, None)
     fmt, w, h, dur = parse_media_header(wav_bytes(2500, sample_rate=1000))
     assert (fmt, w, h, dur) == ("wav", None, None, 2500)
+    assert parse_media_header(mp4_bytes(320, 240, 12500)) == (
+        "mp4", 320, 240, 12500)
+    # Trailing payload after moov must not confuse the box walk.
+    assert parse_media_header(mp4_bytes(64, 48, 750, b"opaque-frames")) == (
+        "mp4", 64, 48, 750)
     assert parse_media_header(b"not a media file")[0] == "unknown"
     assert parse_media_header(b"")[0] == "unknown"
     assert parse_media_header(None)[0] == "unknown"
@@ -45,6 +51,7 @@ def test_truncated_containers_degrade_gracefully():
         gif_bytes(12, 8),
         bmp_bytes(300, 200),
         wav_bytes(500, sample_rate=1000),
+        mp4_bytes(320, 240, 12500),
     ]
     for full in samples:
         for cut in range(len(full) + 1):
@@ -64,7 +71,8 @@ def test_jpeg_parse_skips_leading_segments():
 
 def test_media_metadata_matches_synth_meta(spark):
     """Parsed header metadata must agree with the declared meta struct
-    for every non-video row (video content is opaque by design)."""
+    for every row — including video, whose ISO-BMFF container metadata
+    is real since round 6 (frame decode stays the codec gate)."""
     media = synth_media(spark, 30)
     parsed = {r["media_id"]: r for r in media_metadata(media).collect()}
     for row in media.collect():
@@ -79,21 +87,28 @@ def test_media_metadata_matches_synth_meta(spark):
             assert got["format"] == "wav"
             assert got["duration_ms"] == row["meta"]["duration_ms"]
         else:
-            assert got["format"] == "unknown"
+            # Video container metadata is REAL since round 6 (ISO BMFF
+            # box walk); only frame decode stays codec-gated.
+            assert got["format"] == "mp4"
+            assert (got["width"], got["height"], got["duration_ms"]) == (
+                row["meta"]["width"],
+                row["meta"]["height"],
+                row["meta"]["duration_ms"],
+            )
 
 
 def test_media_from_ids_roundtrip(spark):
-    ids = spark.range(0, 25).withColumnRenamed("id", "doc_id")
+    ids = spark.range(0, 30).withColumnRenamed("id", "doc_id")
     meta = media_metadata(media_from_ids(ids)).collect()
-    fmts = {r["media_id"] % 5 for r in meta}
-    assert fmts == set(range(5))
+    fmts = {r["media_id"] % 6 for r in meta}
+    assert fmts == set(range(6))
     for r in meta:
         i = r["media_id"]
-        expect = ("png", "jpeg", "gif", "bmp", "wav")[i % 5]
+        expect = ("png", "jpeg", "gif", "bmp", "wav", "mp4")[i % 6]
         assert r["format"] == expect
-        if expect == "wav":
+        if expect in ("wav", "mp4"):
             assert r["duration_ms"] == (i % 90 + 1) * 250
-        else:
+        if expect != "wav":
             assert (r["width"], r["height"]) == (i % 497 + 16, i % 383 + 16)
 
 
