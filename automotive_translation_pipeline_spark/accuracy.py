@@ -1,7 +1,8 @@
 """Bounded accuracy checks for the rows-only catalog entries.
 
-Ten catalog queries have no DuckDB oracle BY NATURE (engine-specific
-hashes, approximate sketches, iterative selection). Each one still has
+Nine catalog queries have no DuckDB oracle BY NATURE (approximate
+sketches, engine-specific hashes, iterative selection; SimHash
+graduated to a portable md5 oracle in round 6). Each one still has
 a quantitative contract — recall vs an exact twin, one-sided sketch
 error, rank-accuracy of a quantile sketch — asserted by pytest. This
 module packages those same contracts as sweep-runnable hooks so
