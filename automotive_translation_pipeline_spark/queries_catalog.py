@@ -60,58 +60,48 @@ def register(name: str, sql: str | None):
 # .json) is diffed against the live catalog, and any drift that is not
 # declared here fails the suite — so this set can no longer go stale
 # silently (VERDICT r3 item 8). Refresh flow at round end:
-#   python tools/catalog_fingerprints.py --write   # snapshot
-#   then empty/refill this set for the next round's edits.
-# If an entry here has NOT yet been hash-greened by the driver at
-# refresh time, keep its OLD fingerprint in the refreshed snapshot
-# (so it still reads as drifted and keeps its sampling priority) —
-# the self-heal clause in _driver_history retires it the moment a
-# CORRECTNESS artifact hash-greens the new version.
+#   1. prune entries hash-greened by a CORRECTNESS artifact generated
+#      against the CURRENT code (an artifact that greened an entry's
+#      old version proves nothing about the new one);
+#   2. python tools/refresh_fingerprints_round_end.py — writes current
+#      fingerprints, but entries still declared here keep their OLD
+#      snapshot fingerprint so they continue to read as drifted;
+#   3. refill this set as the next round's edits land.
+# Sampling priority keys off DRIFT (current vs snapshot fingerprint),
+# so a declared entry outranks never-sampled queries exactly as long
+# as its verified-at-snapshot version differs from the live one.
 # Fingerprints cover the catalog entry's own source + oracle SQL; a
 # deep operator change that alters a query's RESULTS must be surfaced
 # by touching the entry (e.g. a docstring note), which flips its
 # fingerprint and forces the declaration here.
 _CHANGED_THIS_ROUND = frozenset({
+    # carried from round 5 — changed then, not yet driver-sampled since
+    # (the r05 artifact has no row for them; self-heal retires each the
+    # moment a CORRECTNESS artifact hash-greens the new version):
     "embedding_int8_quantize",  # quantize: sign*floor(abs+0.5), not round()
     "ann_cosine_int8",          # same tie-portable quantization in oracle
-    "r15_extras_anti_join",     # routed through operators/joins.detect_extras
     "sql_recursive_bfs_hops",   # seeds = lowest-id EDGE nodes (non-vacuous)
     "text_char_entropy",        # Arrow histogram kernel (O(n) per doc)
-    # integer-tenths pack prefix sum (float window sums drifted across
-    # engines at sf3 — boundary off-by-ones); every entry replaying the
-    # cumsum pack changed batch boundaries:
-    "r17_pack_cumsum",
-    "r18_batch_sizes",
-    "r19_batch_id_mapping",
-    "pipeline_rows",
-    "pipeline_rows_staged",
-    "pipeline_summary",
-    "analyze_error_taxonomy",
-    "analyze_full_taxonomy",
-    "folder_status_taxonomy",
-    "tpch_q15_top_supplier",   # oracle CTE MATERIALIZED (float-eq at sf3)
-    "unpivot_lineitem_measures",   # bounded per-measure rollup (sf3 result cap)
-    "profile_equidepth_histogram", # integer-cents sum (sf3 float drift)
+    "profile_equidepth_histogram",  # integer-cents sum (sf3 float drift)
+    # round 6 edits:
+    "dedup_ngram_jaccard",      # LSH-block candidates + exact verify
+    "dedup_simhash_buckets",    # promoted rows-only -> full DuckDB oracle
+    "ann_cosine_pq",            # 32-code codebook + scale-aware re-rank
+    "multimodal_feature_stats", # MP4 (ISO BMFF) joins the container mix
 })
 
 
-def _driver_history() -> tuple[set[str], set[str], set[str]]:
-    """(ever-sampled, green, latest-hash-green) query names across all
-    driver rounds.
+def _driver_history() -> tuple[set[str], set[str]]:
+    """(ever-sampled, green) query names across all driver rounds.
 
     A row counts as green if its value hash matched, or if it is a
     rows-only query (err == "no_oracle") that the driver has already
-    observed — re-sampling either adds no signal. latest-hash-green is
-    stricter (hash_match only, newest artifact only): it is what lets a
-    _CHANGED_THIS_ROUND entry self-heal — once the driver hash-greens
-    the changed version, the entry stops outranking never-sampled
-    queries even if the frozenset goes stale."""
+    observed — re-sampling either adds no signal."""
     import json
     from pathlib import Path
 
     seen: set[str] = set()
     green: set[str] = set()
-    latest_hash_green: set[str] = set()
     root = Path(__file__).resolve().parent.parent
     artifacts = sorted(root.glob("CORRECTNESS_r*.json"))
     for path in artifacts:
@@ -121,23 +111,57 @@ def _driver_history() -> tuple[set[str], set[str], set[str]]:
             continue
         if not isinstance(rows, dict):
             continue
-        is_latest = path == artifacts[-1]
         for name, row in rows.items():
             seen.add(name)
             if not isinstance(row, dict):
                 continue
             if row.get("hash_match") is True or row.get("err") == "no_oracle":
                 green.add(name)
-            if is_latest and row.get("hash_match") is True:
-                latest_hash_green.add(name)
-    return seen, green, latest_hash_green
+    return seen, green
+
+
+def _drifted_names() -> set[str]:
+    """Entries whose (implementation source + oracle SQL) fingerprint
+    differs from the committed round-end snapshot — i.e. versions no
+    CORRECTNESS artifact has verified yet. Same hash recipe as
+    tools/catalog_fingerprints.py (kept in lockstep by
+    tests/test_catalog_fingerprints.py, which diffs through BOTH
+    paths). Missing snapshot -> treat every declared entry as drifted
+    so priority degrades safely."""
+    import hashlib
+    import inspect
+    import json
+    from pathlib import Path
+
+    snap = (
+        Path(__file__).resolve().parent.parent
+        / "tools"
+        / "catalog_fingerprints.json"
+    )
+    try:
+        old = json.loads(snap.read_text())
+    except (OSError, ValueError):
+        return set(_CHANGED_THIS_ROUND)
+    drifted: set[str] = set()
+    for name, (fn, sql) in _REGISTRY.items():
+        blob = inspect.getsource(fn) + "\n----\n" + (sql or "<rows-only>")
+        fp = hashlib.sha256(blob.encode()).hexdigest()[:16]
+        if name in old and old[name] != fp:
+            drifted.add(name)
+    return drifted
 
 
 def _ordered_names() -> list[str]:
-    seen, green, latest_hash_green = _driver_history()
+    seen, green = _driver_history()
+    drifted = _drifted_names()
 
     def rank(name: str) -> int:
-        if name in _CHANGED_THIS_ROUND and name not in latest_hash_green:
+        # Changed-and-unverified first: declared this round AND the
+        # live fingerprint still differs from the last verified
+        # snapshot (version-aware — a driver green of the OLD version
+        # cannot clear priority for the new one; the round-end refresh
+        # is what retires drift once the new version verifies).
+        if name in _CHANGED_THIS_ROUND and name in drifted:
             return 0
         if name not in seen:
             return 1

@@ -1,11 +1,15 @@
 """Round-end fingerprint snapshot refresh, with priority retention.
 
 Writes the current per-query fingerprints to the committed snapshot,
-EXCEPT for entries still declared in ``_CHANGED_THIS_ROUND`` that the
-driver has not yet hash-greened: those keep their previous (old)
-fingerprint so they continue to read as drifted — which is what keeps
-their driver-sampling priority — until a CORRECTNESS artifact
-hash-greens the new version and the self-heal clause retires them.
+EXCEPT for entries still declared in ``_CHANGED_THIS_ROUND``: those
+keep their previous (old) fingerprint so they continue to read as
+drifted — which is what keeps their driver-sampling priority (the
+ordering rank keys off drift directly). Prune verified entries from
+``_CHANGED_THIS_ROUND`` FIRST (hash-green in a CORRECTNESS artifact
+generated against the current code), then run this. Retaining on
+declaration alone — not on ``latest_hash_green`` — is what makes a
+LATE refresh safe: an artifact that greened an entry's OLD version
+can no longer clear the new version's priority.
 See the refresh-flow comment in queries_catalog.py.
 
     python tools/refresh_fingerprints_round_end.py
@@ -21,7 +25,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from automotive_translation_pipeline_spark.queries_catalog import (  # noqa: E402
     _CHANGED_THIS_ROUND,
-    _driver_history,
 )
 from tools.catalog_fingerprints import SNAPSHOT, current_fingerprints  # noqa: E402
 
@@ -29,12 +32,11 @@ from tools.catalog_fingerprints import SNAPSHOT, current_fingerprints  # noqa: E
 def main() -> None:
     cur = current_fingerprints()
     old = json.loads(SNAPSHOT.read_text()) if SNAPSHOT.exists() else {}
-    _, _, latest_hash_green = _driver_history()
 
     retained: list[str] = []
     out = dict(cur)
     for name in _CHANGED_THIS_ROUND:
-        if name in old and name not in latest_hash_green:
+        if name in old:
             out[name] = old[name]
             retained.append(name)
 
