@@ -14,6 +14,12 @@ token-budget discipline applied WITHIN a document):
   100 TB is embarrassingly parallel and stays inside whole-stage
   codegen.
 
+- ``remove_duplicate_segments``: the ACTIVE form of substring-level
+  dedup — drop exact duplicate text blocks corpus-wide (first
+  occurrence wins) and reassemble each document from its surviving
+  blocks, the Lee et al. 2021 "dedup the substring, keep the
+  document" transform on non-overlapping block boundaries.
+
 - ``segment_dup_stats``: per-document duplicated-segment fraction —
   the fraction of k-token windows (at every word offset) that also
   occur in at least one OTHER document. This is the document-level
@@ -81,6 +87,85 @@ def chunk_documents(
         F.least(F.lit(chunk_tokens).cast("long"), F.col("__n") - start0).alias(
             "n_tokens"
         ),
+    )
+
+
+def remove_duplicate_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 16,
+) -> DataFrame:
+    """Corpus-wide exact-duplicate-segment removal with document
+    reconstruction (Lee et al. 2021's substring dedup, on fixed
+    non-overlapping block boundaries).
+
+    The normalized text is cut into consecutive ``seg_words``-word
+    blocks (the final block may be short). Across the WHOLE corpus,
+    every block whose exact text already occurred at a smaller
+    (doc, block index) position — including earlier in the same
+    document — is dropped; each document is then reassembled from its
+    surviving blocks in order. Unlike document-level dedup, a document
+    that shares boilerplate with an earlier one survives with the
+    boilerplate cut out rather than being dropped whole.
+
+    Output: (id, n_segments, n_kept, kept_text) for EVERY input
+    document — a fully-duplicated document stays present with
+    ``n_kept = 0`` and empty ``kept_text``.
+
+    Scale: explode is narrow (no shuffle); first-occurrence election is
+    ONE row_number window partitioned by the block text (the same
+    shuffle key cardinality as exact dedup — hot blocks cost rows
+    proportional to their occurrence count, never pairwise); the
+    rebuild is one keyed rollup whose order comes from ``array_sort``
+    inside the aggregation buffer, not an extra sort exchange. Two
+    shuffles total, both linear.
+    """
+    from pyspark.sql import Window
+
+    if seg_words <= 0:
+        raise ValueError("seg_words must be positive")
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    n = F.size(words)
+    # ceil(n / seg_words) blocks; int-int division yields DOUBLE in
+    # both Spark and DuckDB, so ceil() agrees with the oracle.
+    n_segs = F.ceil(n / F.lit(seg_words)).cast("long")
+    base = df.select(
+        F.col(id_col),
+        words.alias("__words"),
+        n_segs.alias("__n_segs"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_segs - 1)).alias("seg_idx"),
+    )
+    segs = base.select(
+        F.col(id_col),
+        F.col("__n_segs"),
+        F.col("seg_idx"),
+        F.array_join(
+            F.slice(
+                F.col("__words"),
+                (F.col("seg_idx") * seg_words).cast("int") + F.lit(1),
+                F.lit(seg_words),
+            ),
+            " ",
+        ).alias("seg_text"),
+    )
+    win = Window.partitionBy("seg_text").orderBy(F.col(id_col), F.col("seg_idx"))
+    flagged = segs.withColumn("__rn", F.row_number().over(win))
+    kept_struct = F.when(
+        F.col("__rn") == 1, F.struct(F.col("seg_idx"), F.col("seg_text"))
+    )  # NULL otherwise; collect_list drops NULLs
+    return flagged.groupBy(id_col).agg(
+        F.first("__n_segs").alias("n_segments"),
+        F.coalesce(
+            F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["seg_text"],
+            ),
+            " ",
+        ).alias("kept_text"),
     )
 
 

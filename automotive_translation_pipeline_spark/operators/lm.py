@@ -198,6 +198,101 @@ def bigram_surprisal(
     )
 
 
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_dim: int = 8192,
+) -> DataFrame:
+    """Per-document score from a hashing-trick linear text classifier —
+    the execution shape of a fastText-style quality model (a linear
+    layer over hashed bag-of-words features, the architecture behind
+    CCNet's and DataComp's cheap quality classifiers) with a
+    deterministic md5-derived weight table standing in for trained
+    coefficients (no training happens here; swap ``hash_dim``-bucket
+    md5 weights for a real model's vector and the plan is unchanged).
+
+    The hashing trick is what makes this a 100 TB operator: there is NO
+    vocabulary table and NO join — each word occurrence maps to
+    ``w = bucket(md5(word)) - hash_dim/2`` (an integer in
+    [-hash_dim/2, hash_dim/2)) inside whole-stage codegen, documents
+    collapse map-side to an exact integer sum, and the mean score is a
+    single division per document. One keyed shuffle (the per-doc
+    rollup); integer domain throughout so the score is bit-identical
+    cross-engine (float sums are order-dependent; BIGINT sums are not).
+
+    Output: (id, n_words, score_micro) with ``score_micro =
+    round(mean(w) / (hash_dim/2) * 1e6)`` — a [-1e6, 1e6) integer.
+    """
+    from .sampling import hash_bucket
+
+    half = hash_dim // 2
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+            "word"
+        ),
+    )
+    w_int = hash_bucket(F.col("word"), hash_dim) - F.lit(half)
+    return words.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.floor(
+            (F.sum(w_int).cast("double") / (F.count(F.lit(1)) * float(half)))
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("score_micro"),
+    )
+
+
+def bpe_top_pairs(
+    df: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """Top-k adjacent-character-pair frequencies — the first merge
+    iteration of BPE tokenizer training (Sennrich et al. 2016: count
+    symbol pairs over the word-frequency dictionary, merge the most
+    frequent). Selecting merge #1 is the primitive; a full tokenizer
+    loops it over a shrinking vocab with the previous merges applied.
+
+    Scale shape: the corpus explodes to words ONCE and collapses
+    map-side to the (word, freq) vocabulary — every later step runs
+    over the vocab, which is orders of magnitude smaller than the
+    corpus (pair explosion is per DISTINCT word, weighted by its
+    frequency, never per occurrence). Top-k is a TakeOrdered, not a
+    global sort; ties break on the pair text so the cut is total.
+
+    Output: (pair, pair_count), ``pair`` the 2-char substring.
+    """
+    words = df.select(
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+            "word"
+        )
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("__wf"))
+    # sequence(1, 0) would DESCEND in Spark — guard short words first.
+    pairs = (
+        vocab.filter(F.length("word") >= 2)
+        .select(
+            "__wf",
+            "word",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word") - 1)
+            ).alias("__i"),
+        )
+        .select(
+            F.col("word").substr(F.col("__i"), F.lit(2)).alias("pair"),
+            "__wf",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("__wf").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(k)
+    )
+
+
 def char_stats_arrow(
     df: DataFrame,
     text_col: str = "text",

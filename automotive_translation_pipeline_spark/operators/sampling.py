@@ -122,6 +122,80 @@ def mixture_sample(
     )
 
 
+def temperature_mix_rates(
+    df: DataFrame,
+    group_col: str,
+    target_fraction: float = 0.5,
+    sqrt_scale: int = 1000,
+) -> DataFrame:
+    """Per-group keep-rates for temperature-flattened mixing at
+    alpha = 0.5: sampling probability proportional to ``sqrt(n_g)``
+    rather than ``n_g`` — the multilingual/multi-source rebalancing
+    rule (mBERT / XLM-R / T5 use p_g ∝ n_g^alpha) that up-weights
+    small sources without letting any one giant source dominate.
+
+    alpha is FIXED at 0.5: ``sqrt`` is IEEE-correctly-rounded on every
+    engine, while ``pow(x, a)`` is not guaranteed to be — a generic
+    alpha would make the rate (and thus the sampled row set) differ
+    between engines at the threshold boundary. For the same reason the
+    sqrt is immediately quantized to an integer (``floor(sqrt(n) *
+    sqrt_scale + 0.5)``) so the normalizing total is an EXACT integer
+    sum, not an order-dependent float sum; each rate is then a single
+    multiply/divide over exact integers — deterministic cross-engine.
+
+    Expected sample size is ``target_fraction`` of the corpus:
+    ``rate_g = min(1, target_fraction * N * s_g / (S * n_g))`` with
+    ``s_g = round(sqrt(n_g) * sqrt_scale)``, ``S = sum(s_g)``,
+    ``N = sum(n_g)``. Output: (group, n_total, rate).
+
+    Plan: one map-side-combined count per group, a one-row total, a
+    broadcast back over the tiny group table — the corpus is scanned
+    once and never shuffled.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_total"))
+    withs = counts.withColumn(
+        "__s",
+        F.floor(F.sqrt(F.col("n_total")) * sqrt_scale + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    tot = withs.agg(
+        F.sum("n_total").alias("__tot_n"), F.sum("__s").alias("__tot_s")
+    )
+    return withs.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_total",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_fraction))
+            * (F.col("__tot_n").cast("double") * F.col("__s"))
+            / (F.col("__tot_s").cast("double") * F.col("n_total")),
+        ).alias("rate"),
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    target_fraction: float = 0.5,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Deterministic alpha=0.5 temperature sample: membership decided
+    by each row's key hash against its group's ``temperature_mix_rates``
+    rate — same rows every run, every engine, any partitioning. The
+    rate table broadcasts; the corpus side is a pure filter."""
+    rates = temperature_mix_rates(df, group_col, target_fraction)
+    return (
+        df.join(F.broadcast(rates.select(group_col, "rate")), group_col)
+        .filter(
+            hash_bucket(F.col(key_col), buckets)
+            < F.floor(F.lit(float(buckets)) * F.col("rate")).cast("bigint")
+        )
+        .drop("rate")
+    )
+
+
 def split_of(
     key: Column, eval_fraction: float = 0.1, buckets: int = DEFAULT_BUCKETS
 ) -> Column:

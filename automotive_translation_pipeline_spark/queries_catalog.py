@@ -7134,3 +7134,241 @@ def lineitem_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderpriority", "q", F.col("value").cast("long").alias("value")
     )
+
+
+# =========================================================================
+# round 6: curation-pipeline closure — substring dedup (active form),
+# temperature mixing, hashed quality classifier, BPE merge statistics,
+# VARIANT semi-structured extraction
+# =========================================================================
+
+
+@register(
+    "dedup_remove_dup_segments",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_DUCK_NORM.format(c="text")} AS nt FROM documents
+    ), w AS (
+        SELECT doc_id, string_split(nt, ' ') AS words FROM d
+    ), ix AS (
+        SELECT doc_id, words,
+               CAST(ceil(len(words) / 16.0) AS BIGINT) AS n_segments,
+               unnest(range(0, CAST(ceil(len(words) / 16.0) AS BIGINT)))
+                   AS seg_idx
+        FROM w
+    ), seg AS (
+        SELECT doc_id, n_segments, seg_idx,
+               array_to_string(list_slice(words,
+                   CAST(seg_idx * 16 + 1 AS INT),
+                   CAST(seg_idx * 16 + 16 AS INT)), ' ') AS seg_text
+        FROM ix
+    ), r AS (
+        SELECT doc_id, n_segments, seg_idx, seg_text,
+               row_number() OVER (PARTITION BY seg_text
+                                  ORDER BY doc_id, seg_idx) AS rn
+        FROM seg
+    )
+    SELECT doc_id,
+           CAST(max(n_segments) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN seg_text END, ' '
+                               ORDER BY seg_idx), '') AS kept_text
+    FROM r GROUP BY doc_id
+    """,
+)
+def dedup_remove_dup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup in its ACTIVE form (Lee et al. 2021):
+    cut every document into 16-word blocks, drop each block whose
+    exact text already occurred at a smaller (doc, block) position
+    corpus-wide, and reassemble the documents from the survivors —
+    boilerplate is removed, the documents live on
+    (operators/chunking.py:remove_duplicate_segments). Two linear
+    shuffles: the first-occurrence window keyed on block text and the
+    per-doc rebuild; the complement of the PASSIVE dup-fraction signal
+    (dedup_segment_overlap)."""
+    from .operators.chunking import remove_duplicate_segments
+
+    t = load_testdata(spark, sf_dir)
+    return remove_duplicate_segments(
+        t["documents"], text_col="text", id_col="doc_id", seg_words=16
+    )
+
+
+@register(
+    "sample_temperature_mixture",
+    """
+    WITH c AS (
+        SELECT source, count(*) AS n_total FROM documents GROUP BY source
+    ), s AS (
+        SELECT source, n_total,
+               CAST(floor(sqrt(n_total) * 1000 + 0.5) AS BIGINT) AS sq
+        FROM c
+    ), t AS (
+        SELECT sum(n_total) AS nn, sum(sq) AS ss FROM s
+    ), r AS (
+        SELECT source, n_total,
+               least(1.0, 0.5 * (CAST(nn AS DOUBLE) * sq)
+                              / (CAST(ss AS DOUBLE) * n_total)) AS rate
+        FROM s, t
+    ), k AS (
+        SELECT d.source, count(*) AS n_kept
+        FROM documents d JOIN r USING (source)
+        WHERE (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 10000)
+              < CAST(floor(10000 * rate) AS BIGINT)
+        GROUP BY d.source
+    )
+    SELECT r.source, CAST(r.n_total AS BIGINT) AS n_total,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(floor(rate * 1000000 + 0.5) AS BIGINT) AS rate_micro
+    FROM r LEFT JOIN k USING (source)
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha=0.5 temperature-flattened source mixing (operators/
+    sampling.py:temperature_mixture_sample): keep-rates proportional to
+    sqrt(n_source)/n_source so small sources are up-weighted, target
+    half the corpus overall, membership by doc_id hash. Output is the
+    achieved mix — per source: corpus count, sampled count, and the
+    micro-quantized rate the hash threshold derives from. sqrt (IEEE-
+    exact) + integer-quantized normalizer keep the rates bit-identical
+    cross-engine; the corpus is scanned once and never shuffled."""
+    from .operators.sampling import (
+        hash_bucket,
+        temperature_mix_rates,
+    )
+
+    t = load_testdata(spark, sf_dir)
+    docs = t["documents"]
+    rates = temperature_mix_rates(docs, "source", target_fraction=0.5)
+    kept = (
+        docs.join(F.broadcast(rates.select("source", "rate")), "source")
+        .filter(
+            hash_bucket(F.col("doc_id"), 10_000)
+            < F.floor(F.lit(10_000.0) * F.col("rate")).cast("bigint")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        F.col("n_total").cast("long").alias("n_total"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.floor(F.col("rate") * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("rate_micro"),
+    )
+
+
+@register(
+    "text_quality_classifier",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_DUCK_NORM.format(c="text")} AS nt FROM documents
+    ), w AS (
+        SELECT doc_id, unnest(string_split(nt, ' ')) AS word FROM d
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(floor(
+               (CAST(sum((CAST('0x' || substr(md5(word), 1, 8) AS BIGINT)
+                          % 8192) - 4096) AS DOUBLE)
+                / (count(*) * CAST(4096 AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT) AS score_micro
+    FROM w GROUP BY doc_id
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear text-classifier scoring (operators/lm.py:
+    hashed_linear_score) — the execution shape of a fastText-style
+    quality model: no vocabulary table, no join; each word maps to an
+    integer weight in codegen, documents collapse map-side to an exact
+    BIGINT sum, one division per document. The md5-derived weight table
+    stands in for trained coefficients; swapping in a real model's
+    vector leaves the plan untouched."""
+    from .operators.lm import hashed_linear_score
+
+    t = load_testdata(spark, sf_dir)
+    return hashed_linear_score(
+        t["documents"], text_col="text", id_col="doc_id", hash_dim=8192
+    )
+
+
+@register(
+    "text_bpe_top_pairs",
+    f"""
+    WITH d AS (
+        SELECT {_DUCK_NORM.format(c="text")} AS nt FROM documents
+    ), w AS (
+        SELECT unnest(string_split(nt, ' ')) AS word FROM d
+    ), v AS (
+        SELECT word, count(*) AS wf FROM w GROUP BY word
+    ), p0 AS (
+        SELECT word, wf, unnest(range(1, length(word))) AS i
+        FROM v WHERE length(word) >= 2
+    ), p AS (
+        SELECT substr(word, CAST(i AS INT), 2) AS pair, wf FROM p0
+    )
+    SELECT pair, CAST(sum(wf) AS BIGINT) AS pair_count
+    FROM p GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 20
+    """,
+)
+def text_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration (Sennrich et al. 2016) — top-20
+    adjacent-character pairs weighted by word frequency, the tokenizer-
+    training primitive (operators/lm.py:bpe_top_pairs). The corpus
+    collapses to its (word, freq) vocabulary before any pair explodes,
+    so the heavy step is vocabulary-sized, not corpus-sized; the cut is
+    a TakeOrdered with a total (count DESC, pair ASC) order."""
+    from .operators.lm import bpe_top_pairs
+
+    t = load_testdata(spark, sf_dir)
+    return bpe_top_pairs(t["documents"], text_col="text", k=20)
+
+
+@register(
+    "variant_props_rollup",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_min,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_max,
+           CAST(floor(
+               (CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                     AS DOUBLE)
+                / count(CAST(json_extract(props, '$.k') AS BIGINT)))
+               * 100 + 0.5) AS BIGINT) AS k_avg_centi,
+           CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    ``parse_json`` once per row, ``variant_get`` typed paths inside the
+    aggregate — the open-schema ingestion path (no fixed struct schema
+    declared anywhere) that replaces schema-on-write for event
+    payloads. The oracle extracts the same paths with DuckDB's JSON
+    functions; the binary VARIANT encoding is engine-internal, the
+    extracted VALUES are the contract."""
+    t = load_testdata(spark, sf_dir)
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    ev = t["events"].select("event_type", k.alias("k"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.floor(
+            (F.sum("k").cast("double") / F.count("k")) * 100 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("k_avg_centi"),
+        F.sum(F.when(F.col("k") > 50, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_big"),
+    )

@@ -1,0 +1,161 @@
+"""Round-6 curation operators: segment removal, temperature mixing,
+hashed classifier, BPE pair statistics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from automotive_translation_pipeline_spark.operators.chunking import (
+    remove_duplicate_segments,
+)
+from automotive_translation_pipeline_spark.operators.lm import (
+    bpe_top_pairs,
+    hashed_linear_score,
+)
+from automotive_translation_pipeline_spark.operators.sampling import (
+    temperature_mix_rates,
+    temperature_mixture_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# --- remove_duplicate_segments ------------------------------------------
+
+
+def test_remove_dup_segments_first_occurrence_wins(spark):
+    # 4-word blocks; doc 2 repeats doc 1's first block verbatim.
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d x y z w"),
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_segments(df, seg_words=4).collect()
+    }
+    assert out[1].n_segments == 2 and out[1].n_kept == 2
+    assert out[1].kept_text == "a b c d e f g h"
+    assert out[2].n_segments == 2 and out[2].n_kept == 1
+    assert out[2].kept_text == "x y z w"
+
+
+def test_remove_dup_segments_fully_duplicated_doc_stays_present(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c d")])
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_segments(df, seg_words=4).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[2].n_kept == 0 and out[2].kept_text == ""
+
+
+def test_remove_dup_segments_within_doc_repeat_dropped(spark):
+    # Same block twice INSIDE one doc: the later copy is dropped too.
+    df = _docs(spark, [(5, "a b c d a b c d e f g h")])
+    r = remove_duplicate_segments(df, seg_words=4).collect()[0]
+    assert (r.n_segments, r.n_kept) == (3, 2)
+    assert r.kept_text == "a b c d e f g h"
+
+
+def test_remove_dup_segments_partial_tail_block(spark):
+    # 6 words at seg_words=4: blocks "a b c d" and "e f".
+    df = _docs(spark, [(1, "a b c d e f")])
+    r = remove_duplicate_segments(df, seg_words=4).collect()[0]
+    assert (r.n_segments, r.n_kept) == (2, 2)
+    assert r.kept_text == "a b c d e f"
+
+
+# --- temperature mixing --------------------------------------------------
+
+
+def test_temperature_rates_flatten_toward_small_groups(spark):
+    # 90/10 split: at alpha=0.5 the small group's keep-rate must exceed
+    # the large group's (rate ∝ 1/sqrt(n)).
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    # target 0.3 keeps both rates below the min(1, .) cap — at 0.5 the
+    # small group would clamp and distort the ratio.
+    rates = {
+        r.source: r.rate
+        for r in temperature_mix_rates(df, "source", 0.3).collect()
+    }
+    assert rates["small"] > rates["big"]
+    # rate ratio equals sqrt(n_big / n_small) up to quantization, while
+    # the RAW probability ratio would be 9x — temperature halves it.
+    assert rates["small"] / rates["big"] == pytest.approx(
+        math.sqrt(90 / 10), rel=0.01
+    )
+
+
+def test_temperature_sample_is_deterministic_and_a_subset(spark):
+    rows = [(i, "s" + str(i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    a = sorted(
+        r.doc_id
+        for r in temperature_mixture_sample(df, "source", "doc_id", 0.5).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in temperature_mixture_sample(df, "source", "doc_id", 0.5).collect()
+    )
+    assert a == b and 0 < len(a) < 300
+
+
+def test_temperature_target_fraction_hits_overall_size(spark):
+    rows = [(i, "s" + str(i % 4)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    kept = temperature_mixture_sample(df, "source", "doc_id", 0.5).count()
+    # Hash-threshold quantization and per-group rounding put the
+    # achieved size within a few percent of the target.
+    assert abs(kept - 1000) < 100
+
+
+# --- hashed linear classifier -------------------------------------------
+
+
+def test_hashed_score_bounded_and_deterministic(spark):
+    df = _docs(spark, [(1, "alpha beta gamma delta"), (2, "alpha alpha")])
+    out1 = {r.doc_id: r for r in hashed_linear_score(df).collect()}
+    out2 = {r.doc_id: r for r in hashed_linear_score(df).collect()}
+    for d in (1, 2):
+        assert out1[d].score_micro == out2[d].score_micro
+        assert -1_000_000 <= out1[d].score_micro < 1_000_000
+    assert out1[1].n_words == 4 and out1[2].n_words == 2
+
+
+def test_hashed_score_repeat_word_is_its_own_weight(spark):
+    # A doc of one repeated word scores exactly that word's weight.
+    one = hashed_linear_score(_docs(spark, [(1, "zzz")])).collect()[0]
+    rep = hashed_linear_score(_docs(spark, [(2, "zzz zzz zzz")])).collect()[0]
+    assert one.score_micro == rep.score_micro
+
+
+# --- BPE top pairs -------------------------------------------------------
+
+
+def test_bpe_pairs_weighted_by_word_frequency(spark):
+    # "ab" appears in both words; word freq weights: ab=3+2, bc=3.
+    df = _docs(spark, [(1, "abc abc abc ab ab")])
+    out = {r.pair: r.pair_count for r in bpe_top_pairs(df, k=10).collect()}
+    assert out == {"ab": 5, "bc": 3}
+
+
+def test_bpe_single_char_words_contribute_nothing(spark):
+    df = _docs(spark, [(1, "a b c a b")])
+    assert bpe_top_pairs(df, k=10).collect() == []
+
+
+def test_bpe_topk_tiebreak_is_total(spark):
+    df = _docs(spark, [(1, "xy zw xy zw")])
+    out = [(r.pair, r.pair_count) for r in bpe_top_pairs(df, k=1).collect()]
+    # Equal counts: lexicographically smaller pair wins the cut.
+    assert out == [("xy", 2)]

@@ -338,7 +338,7 @@ def test_multimodal_feature_stats_deterministic(spark, sf_dir):
         key=lambda r: r["format"],
     )
     assert a == b
-    assert {r["format"] for r in a} == {"png", "jpeg", "gif", "bmp", "wav"}
+    assert {r["format"] for r in a} == {"png", "jpeg", "gif", "bmp", "wav", "mp4"}
     for r in a:
         if r["format"] == "wav":
             assert r["sum_duration_ms"] > 0 and r["sum_width"] == 0
