@@ -1,8 +1,8 @@
 """Bounded accuracy checks for the rows-only catalog entries.
 
-Nine catalog queries have no DuckDB oracle BY NATURE (approximate
-sketches, engine-specific hashes, iterative selection; SimHash
-graduated to a portable md5 oracle in round 6). Each one still has
+Ten catalog queries have no DuckDB oracle BY NATURE (approximate
+sketches, engine-specific hashes or clustering, iterative selection;
+SimHash graduated to a portable md5 oracle in round 6). Each one still has
 a quantitative contract — recall vs an exact twin, one-sided sketch
 error, rank-accuracy of a quantile sketch — asserted by pytest. This
 module packages those same contracts as sweep-runnable hooks so
@@ -279,6 +279,48 @@ def check_approx_quantiles(spark, sf_dir):
     return not bad, f"groups={len(lo_hi)} out_of_rank_bound={bad or 0}"
 
 
+def check_semantic_dedup(spark, sf_dir):
+    """Planted exact duplicates (20 copied vectors at shifted ids) must
+    ALL be pruned — identical vectors land in the same KMeans cell and
+    cosine 1.0 always clears the threshold, so planted-dup recall is a
+    hard 1.0 bound, not a tolerance. Ambient cell-recall (what fraction
+    of corpus-wide >= 0.4 pairs the cells capture) is reported as
+    detail; SemDeDup gives no bound there by design."""
+    from .operators.dedup import embedding_near_dup, semantic_dedup
+
+    t = load_testdata(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    out = semantic_dedup(
+        emb.unionByName(planted), n_cells=16, threshold=0.4
+    ).persist()
+    rows = {r["vec_id"]: r for r in out.collect()}
+    # Each planted copy must share a component with its original, and
+    # exactly one of the two can remain canonical.
+    missed = []
+    for i in range(20):
+        a, b = rows[i], rows[i + 1_000_000]
+        if a["component"] != b["component"] or (
+            a["is_canonical"] and b["is_canonical"]
+        ):
+            missed.append(i)
+    # Ambient recall over the unplanted corpus (report only).
+    brute = [
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup(emb, threshold=0.4).collect()
+    ]
+    cells = {v: r["cell"] for v, r in rows.items()}
+    same = sum(1 for a, b in brute if cells[a] == cells[b])
+    out.unpersist()
+    detail = (
+        f"planted_missed={missed or 0} ambient_pairs={len(brute)} "
+        f"cell_captured={same}"
+    )
+    return not missed, detail
+
+
 ACCURACY_CHECKS: dict[str, Check] = {
     "agg_approx_distinct": check_agg_approx_distinct,
     "ann_cosine_lsh": check_ann_lsh,
@@ -289,4 +331,5 @@ ACCURACY_CHECKS: dict[str, Check] = {
     "agg_hll_mergeable": check_hll_mergeable,
     "ann_mmr_diversified": check_ann_mmr,
     "profile_approx_quantiles": check_approx_quantiles,
+    "dedup_semantic_prune": check_semantic_dedup,
 }

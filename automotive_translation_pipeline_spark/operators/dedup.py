@@ -824,3 +824,105 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning
+    over an embedding column — KMeans clusters bound the pairwise
+    work, exact cosine pairs above ``threshold`` form dedup clusters
+    WITHIN each cell, and one representative survives per cluster.
+
+    Representative election follows the paper: keep the member LEAST
+    similar to its KMeans centroid (the most "interesting" example,
+    preserving diversity at the cluster edge), ties broken by id.
+
+    Scale shape: the quantizer is the same coarse KMeans as the IVF
+    index (train on a sample at real scale); pairwise cosine runs only
+    inside a cell (corpus/n_cells fan-in, quadratic in CELL size, not
+    corpus size — pick n_cells so cells fit the pairwise budget);
+    components and election run over the pair-touched subset only.
+    Like SemDeDup itself, cross-cell near-dups are invisible by
+    design — that recall loss is measured by the sweep's accuracy
+    hook rather than assumed.
+
+    Returns (id, cell, component, centroid_cos, is_canonical) for
+    every input vector; ``is_canonical=False`` rows are the prune set.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("__feat"),
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__feat").fit(vecs)
+    cents = model.clusterCenters()
+    cent_df = emb.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "__cell int, __centroid array<double>",
+    )
+    assigned = (
+        model.transform(vecs)
+        .select(id_col, vec_col, F.col("prediction").alias("__cell"))
+        .persist()
+    )
+    # Cosine of each vector to its own centroid (broadcast dim table).
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("__centroid"),
+            lambda x, y: x.cast("double") * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_v = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    norm_c = F.sqrt(
+        F.aggregate(
+            F.col("__centroid"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    scored = assigned.join(F.broadcast(cent_df), "__cell").select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__cell"),
+        (dot / (norm_v * norm_c)).alias("centroid_cos"),
+        (-(dot / (norm_v * norm_c))).alias("__neg_ccos"),
+    )
+    pairs = embedding_near_dup(
+        assigned, id_col=id_col, vec_col=vec_col,
+        threshold=threshold, block_col="__cell",
+    )
+    out = canonical_survivors(
+        scored.select(id_col, "__cell", "centroid_cos", "__neg_ccos"),
+        pairs.select("id_a", "id_b"),
+        id_col=id_col,
+        prefer_col="__neg_ccos",
+    )
+    result = out.join(
+        scored.select(id_col, "__cell", "centroid_cos"), id_col
+    ).select(
+        id_col,
+        F.col("__cell").alias("cell"),
+        "component",
+        "centroid_cos",
+        "is_canonical",
+    )
+    assigned.unpersist()
+    return result

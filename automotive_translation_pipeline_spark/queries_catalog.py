@@ -7372,3 +7372,34 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_big"),
     )
+
+
+@register(
+    "dedup_semantic_prune",
+    None,  # rows-only: KMeans cell assignment is engine-specific;
+    # bounded-verified by accuracy.check_semantic_dedup (planted exact
+    # duplicates MUST be pruned — recall 1.0 — plus ambient-pair
+    # cell-recall reported) and unit tests.
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table
+    (operators/dedup.py:semantic_dedup): KMeans cells bound the
+    pairwise cosine work, within-cell pairs >= 0.4 collapse to
+    components, and the member least similar to its centroid survives
+    per component (diversity-preserving election). 0.4 matches
+    dedup_embedding_pairs — the testdata plants no true semantic dups,
+    so the catalog threshold is set where the operator has non-trivial
+    work to do."""
+    from .operators.dedup import semantic_dedup
+
+    t = load_testdata(spark, sf_dir)
+    out = semantic_dedup(
+        t["embeddings"], n_cells=16, threshold=0.4
+    )
+    return out.select(
+        "vec_id",
+        "cell",
+        "component",
+        F.round("centroid_cos", 4).alias("centroid_cos"),
+        "is_canonical",
+    )

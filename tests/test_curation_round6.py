@@ -159,3 +159,82 @@ def test_bpe_topk_tiebreak_is_total(spark):
     out = [(r.pair, r.pair_count) for r in bpe_top_pairs(df, k=1).collect()]
     # Equal counts: lexicographically smaller pair wins the cut.
     assert out == [("xy", 2)]
+
+
+# --- SemDeDup ------------------------------------------------------------
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_semantic_dedup_planted_copy_collapses(spark):
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    base = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [1.0, 0.0, 0.0, 0.0]),  # exact copy of 1
+    ]
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            _emb(spark, base), n_cells=2, threshold=0.95
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["component"] == out[4]["component"]
+    # Exactly one of the identical pair survives; equal centroid
+    # cosines tie-break to the smaller id.
+    assert out[1]["is_canonical"] and not out[4]["is_canonical"]
+    # Unrelated vectors are their own singleton components.
+    assert out[2]["is_canonical"] and out[3]["is_canonical"]
+    assert out[2]["component"] != out[3]["component"]
+
+
+def test_semantic_dedup_keeps_least_central_member(spark):
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    # Two near-identical vectors plus a decoy cluster. The survivor
+    # must be the member with the LOWER cosine to the cell centroid
+    # (SemDeDup keeps the edge example, not the central one).
+    rows = [
+        (1, [1.0, 0.02, 0.0, 0.0]),
+        (2, [1.0, 0.30, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [-1.0, 0.1, 0.0, 0.0]),
+    ]
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            _emb(spark, rows), n_cells=2, threshold=0.9
+        ).collect()
+    }
+    pair = sorted(
+        [out[1], out[2]], key=lambda r: r["centroid_cos"]
+    )
+    assert out[1]["component"] == out[2]["component"]
+    assert pair[0]["is_canonical"] and not pair[1]["is_canonical"]
+
+
+def test_semantic_dedup_deterministic(spark):
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    rows = [(i, [float((i * 7 + j) % 5), float(j), 1.0, 0.0]) for i in range(30) for j in [0]]
+    df = _emb(spark, rows)
+    a = sorted(
+        (r["vec_id"], r["component"], r["is_canonical"])
+        for r in semantic_dedup(df, n_cells=4, threshold=0.99).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["component"], r["is_canonical"])
+        for r in semantic_dedup(df, n_cells=4, threshold=0.99).collect()
+    )
+    assert a == b
