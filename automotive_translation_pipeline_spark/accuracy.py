@@ -285,11 +285,18 @@ def check_semantic_dedup(spark, sf_dir):
     cosine 1.0 always clears the threshold, so planted-dup recall is a
     hard 1.0 bound, not a tolerance. Ambient cell-recall (what fraction
     of corpus-wide >= 0.4 pairs the cells capture) is reported as
-    detail; SemDeDup gives no bound there by design."""
+    detail; SemDeDup gives no bound there by design.
+
+    The corpus is bounded to vec_id < 2000 on both sides — the same
+    scale-aware bound as the dedup_embedding_pairs oracle (a no-op at
+    sf <= 0.1): the ambient comparison is inherently all-pairs, and an
+    unbounded hook at sf1 is 200M list-lambda dot products."""
     from .operators.dedup import embedding_near_dup, semantic_dedup
 
     t = load_testdata(spark, sf_dir)
-    emb = t["embeddings"].select("vec_id", "embedding")
+    emb = t["embeddings"].filter(F.col("vec_id") < 2000).select(
+        "vec_id", "embedding"
+    )
     planted = emb.filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )

@@ -7403,3 +7403,40 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("centroid_cos", 4).alias("centroid_cos"),
         "is_canonical",
     )
+
+
+@register(
+    "stream_attribution_windows",
+    """
+    WITH j AS (
+        SELECT p.ts AS purchase_ts, round(p.value, 2) AS purchase_value
+        FROM events p JOIN events v
+          ON v.user_id = p.user_id
+         AND v.ts <= p.ts
+         AND v.ts >= p.ts - INTERVAL 30 MINUTE
+        WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    )
+    SELECT time_bucket(INTERVAL 60 MINUTE, purchase_ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_attributions,
+           CAST(sum(CAST(floor(purchase_value * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS attributed_cents
+    FROM j GROUP BY 1
+    """,
+)
+def stream_attribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful operators (streaming/jobs.py:
+    attribution_window_counts) on the batch path: the watermarked
+    stream-stream attribution join feeds a tumbling 60-minute window
+    rollup in ONE query — Spark 4's multi-stateful-operator support,
+    live-verified by test_chained_stateful_join_then_window_agg (two
+    state stores in a single checkpoint). Value sums are exact integer
+    cents so the rollup is order- and engine-independent."""
+    from .streaming.jobs import attribution_window_counts
+
+    ev = load_testdata(spark, sf_dir)["events"]
+    return attribution_window_counts(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon_minutes=30,
+        window_minutes=60,
+    ).withColumn("n_attributions", F.col("n_attributions").cast("long"))

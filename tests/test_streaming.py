@@ -763,3 +763,63 @@ def test_stream_stream_left_outer_emits_null_side(spark, tmp_path):
     got = {r.purchase_id: r.view_id for r in spark.read.parquet(out).collect()}
     assert got.get("p1") == "v1"          # matched pair joined
     assert "p2" in got and got["p2"] is None  # unmatched emitted w/ NULL
+
+
+def test_chained_stateful_join_then_window_agg(spark, tmp_path):
+    """Spark 4 multi-stateful-operator query, live: a watermarked
+    stream-stream interval join FEEDS a tumbling event-time window
+    aggregation in the SAME streaming query — two state stores, one
+    checkpoint, watermark propagated through the join. Pre-3.5 this
+    required an intermediate sink."""
+    from automotive_translation_pipeline_spark.streaming.jobs import (
+        attribution_window_counts,
+    )
+
+    vdir, pdir = tmp_path / "views", tmp_path / "purchases"
+    vdir.mkdir(), pdir.mkdir()
+    views = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 7, "event_type": "view", "value": 0.0},
+        {"event_id": 2, "ts": "2024-01-01T10:20:00", "user_id": 7, "event_type": "view", "value": 0.0},
+        {"event_id": 4, "ts": "2024-01-01T11:40:00", "user_id": 9, "event_type": "view", "value": 0.0},
+        # Far-ahead view: the GLOBAL watermark is the min over both
+        # inputs, so BOTH streams need a late event for the join's
+        # output watermark to pass the hour-10/11 windows.
+        {"event_id": 5, "ts": "2024-01-02T12:00:00", "user_id": 999, "event_type": "view", "value": 0.0},
+    ]
+    purchases = [
+        # 10:30 purchase: 2 views in horizon -> 2 attributions, hour 10
+        {"event_id": 10, "ts": "2024-01-01T10:30:00", "user_id": 7, "event_type": "purchase", "value": 42.25},
+        # 11:50 purchase: 1 view in horizon -> 1 attribution, hour 11
+        {"event_id": 11, "ts": "2024-01-01T11:50:00", "user_id": 9, "event_type": "purchase", "value": 10.00},
+        # Late-hour event far ahead so the watermark passes hours 10-11
+        # and the window operator can EMIT them in append mode.
+        {"event_id": 12, "ts": "2024-01-02T12:00:00", "user_id": 1, "event_type": "purchase", "value": 1.0},
+    ]
+    (vdir / "v.json").write_text("\n".join(json.dumps(r) for r in views))
+    (pdir / "p.json").write_text("\n".join(json.dumps(r) for r in purchases))
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    vs = spark.readStream.schema(schema).json(str(vdir))
+    ps = spark.readStream.schema(schema).json(str(pdir))
+    name = f"chained_{int(time.time())}"
+    q = (
+        attribution_window_counts(vs, ps, horizon_minutes=30, window_minutes=60)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    # Two stateful operators must be active in the one query.
+    q.processAllAvailable()
+    progress = q.lastProgress
+    q.stop()
+    assert progress is not None and len(progress["stateOperators"]) == 2, (
+        progress and progress["stateOperators"]
+    )
+    got = {
+        str(r["window_start"]): (r["n_attributions"], r["attributed_cents"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert got.get("2024-01-01 10:00:00") == (2, 8450)  # 2 x 42.25
+    assert got.get("2024-01-01 11:00:00") == (1, 1000)
