@@ -103,6 +103,14 @@ HEADLINE = [
     "events_user_top_type",
     "dedup_rate_by_source",
     "lineitem_delay_quantiles",
+    # round 6: curation closure + Spark 4 surfaces
+    "dedup_remove_dup_segments",
+    "sample_temperature_mixture",
+    "text_quality_classifier",
+    "text_bpe_top_pairs",
+    "variant_props_rollup",
+    "stream_attribution_windows",
+    "dedup_semantic_prune",
 ]
 
 
