@@ -830,9 +830,11 @@ def semantic_dedup(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     threshold: float = 0.95,
     seed: int = 42,
+    target_cell_size: int = 500,
+    fit_cap: int = 20_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning
     over an embedding column — KMeans clusters bound the pairwise
@@ -843,11 +845,18 @@ def semantic_dedup(
     similar to its KMeans centroid (the most "interesting" example,
     preserving diversity at the cluster edge), ties broken by id.
 
-    Scale shape: the quantizer is the same coarse KMeans as the IVF
-    index (train on a sample at real scale); pairwise cosine runs only
-    inside a cell (corpus/n_cells fan-in, quadratic in CELL size, not
-    corpus size — pick n_cells so cells fit the pairwise budget);
-    components and election run over the pair-touched subset only.
+    Scale shape: within-cell pairwise cosine is quadratic in CELL
+    size, so total pair work is ``n x cell_size`` — linear in the
+    corpus ONLY if cells stay constant-sized. ``n_cells=None`` derives
+    that automatically (``ceil(n / target_cell_size)``; the one count
+    action is cheap here — this operator already runs KMeans fit
+    actions, laziness is spent). A FIXED n_cells grows cells with the
+    corpus and goes quadratic — fine for a known size, wrong as a
+    scaling default. The quantizer fits on a deterministic md5-hash
+    sample capped at ``fit_cap`` vectors (KMeans cost per iteration is
+    fit rows x cells; centroids converge on a sample — the same trade
+    as the IVF index), then assigns the FULL corpus in one pass.
+    Components and election run over the pair-touched subset only.
     Like SemDeDup itself, cross-cell near-dups are invisible by
     design — that recall loss is measured by the sweep's accuracy
     hook rather than assumed.
@@ -858,6 +867,8 @@ def semantic_dedup(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    from .sampling import hash_sample
+
     vecs = emb.select(
         F.col(id_col),
         F.col(vec_col),
@@ -865,7 +876,11 @@ def semantic_dedup(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("__feat"),
     )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="__feat").fit(vecs)
+    n = vecs.count()
+    if n_cells is None:
+        n_cells = max(4, -(-n // target_cell_size))  # ceil division
+    fit_set = vecs if n <= fit_cap else hash_sample(vecs, id_col, fit_cap / n)
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__feat").fit(fit_set)
     cents = model.clusterCenters()
     cent_df = emb.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],

@@ -7386,7 +7386,9 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py:semantic_dedup): KMeans cells bound the
     pairwise cosine work, within-cell pairs >= 0.4 collapse to
     components, and the member least similar to its centroid survives
-    per component (diversity-preserving election). 0.4 matches
+    per component (diversity-preserving election). n_cells=None keeps
+    cell size ~constant as the corpus grows (pair work stays linear;
+    a fixed cell count goes quadratic at sf3+). 0.4 matches
     dedup_embedding_pairs — the testdata plants no true semantic dups,
     so the catalog threshold is set where the operator has non-trivial
     work to do."""
@@ -7394,7 +7396,7 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_testdata(spark, sf_dir)
     out = semantic_dedup(
-        t["embeddings"], n_cells=16, threshold=0.4
+        t["embeddings"], n_cells=None, threshold=0.4
     )
     return out.select(
         "vec_id",
