@@ -238,3 +238,34 @@ def test_semantic_dedup_deterministic(spark):
         for r in semantic_dedup(df, n_cells=4, threshold=0.99).collect()
     )
     assert a == b
+
+
+def test_cell_pairs_arrow_parity_with_column_form(spark):
+    """The GEMM kernel returns the same pair set and (to 1e-9) the
+    same cosines as the column-expression embedding_near_dup on the
+    same blocks."""
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        _cell_pairs_arrow,
+        embedding_near_dup,
+    )
+    from automotive_translation_pipeline_spark.sources import load_testdata
+
+    emb = load_testdata(spark, "/root/testdata/sf0.001")["embeddings"]
+    blocked = emb.withColumn("__cell", (F.col("vec_id") % 4).cast("int"))
+    col_form = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup(
+            blocked, threshold=0.4, block_col="__cell"
+        ).collect()
+    }
+    arrow_form = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in _cell_pairs_arrow(
+            blocked.select("vec_id", "embedding", "__cell"),
+            "vec_id", "embedding", 0.4,
+        ).collect()
+    }
+    assert set(arrow_form) == set(col_form)
+    for k, v in arrow_form.items():
+        # column form rounds to 4 digits on output
+        assert abs(v - col_form[k]) < 5e-5
