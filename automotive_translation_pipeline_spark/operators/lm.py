@@ -376,3 +376,98 @@ def char_stats_arrow(
         "n_distinct_chars",
         F.round(F.col("__h"), ndigits).alias("char_entropy"),
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> "DataFrame":
+    """Iterative BPE tokenizer training (Sennrich et al. 2016), the
+    full loop: start from the char-split word-frequency vocabulary;
+    each round counts adjacent symbol pairs weighted by word frequency,
+    merges the single most frequent pair (ties: lexicographic) across
+    the whole vocabulary, and repeats on the merged symbols. Returns
+    the learned merge table (merge_rank, left, right, pair_count) —
+    ``bpe_top_pairs`` is exactly round 1's candidate list.
+
+    Iterative-algorithm shape (same discipline as PageRank): the corpus
+    collapses ONCE to the (symbols, freq) vocabulary; every round runs
+    over the vocabulary only, the argmax merge is a 1-row driver fetch
+    (the decision is inherently sequential), and the rewritten vocab is
+    localCheckpoint-fenced so lineage stays flat across rounds. The
+    merge rewrite is a left-to-right greedy fold over each word's
+    symbol array — non-overlapping, and a token created by this
+    round's merge never re-merges within the round (l+r is strictly
+    longer than l, so the fold's last-element test cannot re-fire).
+
+    Symbols must stay word-characters-only (true for the normalized
+    corpus); enforced so merge tokens remain unambiguous.
+    """
+    words = df.select(
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+            "word"
+        )
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .filter(F.col("word").rlike("^\\w+$"))
+        .select(
+            # Spark's split keeps a trailing "" (the (?!^) lookahead
+            # also matches at end-of-string under Java's limit=-1);
+            # drop empties so no phantom symbol enters the pair counts.
+            F.filter(
+                F.split(F.col("word"), "(?!^)"), lambda x: x != ""
+            ).alias("symbols"),
+            F.col("wf"),
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            vocab.filter(F.size("symbols") >= 2)
+            .select(
+                "wf",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("symbols") - 1)
+                ).alias("__i"),
+                "symbols",
+            )
+            .select(
+                F.element_at("symbols", F.col("__i")).alias("left"),
+                F.element_at("symbols", F.col("__i") + 1).alias("right"),
+                "wf",
+            )
+            .groupBy("left", "right")
+            .agg(F.sum("wf").alias("pair_count"))
+        )
+        top = pairs.orderBy(
+            F.desc("pair_count"), F.asc("left"), F.asc("right")
+        ).first()
+        if top is None:
+            break
+        lft, rgt = top["left"], top["right"]
+        merges.append((rank, lft, rgt, int(top["pair_count"])))
+        merged_lit = F.lit(lft + rgt)
+        l_lit, r_lit = F.lit(lft), F.lit(rgt)
+        folded = F.aggregate(
+            F.col("symbols"),
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == l_lit)
+                & (x == r_lit),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(merged_lit),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = vocab.select(
+            folded.alias("symbols"), "wf"
+        ).localCheckpoint()
+    return df.sparkSession.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count long"
+    )

@@ -7442,3 +7442,70 @@ def stream_attribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         horizon_minutes=30,
         window_minutes=60,
     ).withColumn("n_attributions", F.col("n_attributions").cast("long"))
+
+
+# Chained-CTE replica of the BPE training loop: each level recounts
+# adjacent symbol pairs, takes the (count DESC, pair ASC) argmax, and
+# applies the merge to the space-joined symbol strings. The regex
+# '\b<l> <r>\b' with a global replace scans left-to-right
+# non-overlapping and resumes AFTER each replacement — exactly the
+# greedy fold semantics of operators/lm.py:bpe_train_merges (symbols
+# are \w+ only, so \b boundaries are unambiguous). MATERIALIZED: the
+# argmax CTEs are referenced repeatedly (q15 lesson — although counts
+# are exact integers here, re-evaluation is pure waste).
+_DUCK_BPE_LEVEL = """
+    p{n} AS MATERIALIZED (
+        SELECT s[CAST(i AS INT)] AS lft, s[CAST(i AS INT) + 1] AS rgt,
+               sum(wf) AS cnt
+        FROM (
+            SELECT string_split(sym, ' ') AS s, wf,
+                   unnest(range(1, len(string_split(sym, ' ')))) AS i
+            FROM v{m}
+        ) t GROUP BY 1, 2
+    ), t{n} AS MATERIALIZED (
+        SELECT * FROM p{n} ORDER BY cnt DESC, lft, rgt LIMIT 1
+    ), v{n} AS MATERIALIZED (
+        SELECT regexp_replace(sym,
+                   '\\b' || (SELECT lft FROM t{n}) || ' ' ||
+                   (SELECT rgt FROM t{n}) || '\\b',
+                   (SELECT lft || rgt FROM t{n}), 'g') AS sym, wf
+        FROM v{m}
+    )"""
+
+
+@register(
+    "text_bpe_train_merges",
+    f"""
+    WITH d AS (
+        SELECT {_DUCK_NORM.format(c="text")} AS nt FROM documents
+    ), w AS (
+        SELECT unnest(string_split(nt, ' ')) AS word FROM d
+    ), v0 AS MATERIALIZED (
+        SELECT array_to_string(list_transform(
+                   range(1, length(word) + 1),
+                   i -> substr(word, CAST(i AS INT), 1)), ' ') AS sym,
+               count(*) AS wf
+        FROM w WHERE regexp_matches(word, '^\\w+$') GROUP BY word
+    ),{_DUCK_BPE_LEVEL.format(n=1, m=0)},{_DUCK_BPE_LEVEL.format(n=2, m=1)},{_DUCK_BPE_LEVEL.format(n=3, m=2)}
+    SELECT 1 AS merge_rank, lft AS "left", rgt AS "right",
+           CAST(cnt AS BIGINT) AS pair_count FROM t1
+    UNION ALL
+    SELECT 2, lft, rgt, CAST(cnt AS BIGINT) FROM t2
+    UNION ALL
+    SELECT 3, lft, rgt, CAST(cnt AS BIGINT) FROM t3
+    """,
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL BPE training loop, 3 merge rounds (operators/lm.py:
+    bpe_train_merges): per round, count adjacent symbol pairs over the
+    (symbols, word-frequency) vocabulary, merge the argmax pair
+    vocabulary-wide, repeat on the merged symbols. The oracle replays
+    all three rounds as chained CTE levels whose regex merge has the
+    identical greedy left-to-right semantics as the engine's fold —
+    the iterative driver-fetch loop (PageRank discipline:
+    localCheckpoint per round, vocabulary-sized work only) is checked
+    end-to-end, not just its first iteration (text_bpe_top_pairs)."""
+    from .operators.lm import bpe_train_merges
+
+    t = load_testdata(spark, sf_dir)
+    return bpe_train_merges(t["documents"], text_col="text", n_merges=3)

@@ -14,6 +14,7 @@ from automotive_translation_pipeline_spark.operators.chunking import (
 )
 from automotive_translation_pipeline_spark.operators.lm import (
     bpe_top_pairs,
+    bpe_train_merges,
     hashed_linear_score,
 )
 from automotive_translation_pipeline_spark.operators.sampling import (
@@ -269,3 +270,42 @@ def test_cell_pairs_arrow_parity_with_column_form(spark):
     for k, v in arrow_form.items():
         # column form rounds to 4 digits on output
         assert abs(v - col_form[k]) < 5e-5
+
+
+# --- BPE training loop ----------------------------------------------------
+
+
+def test_bpe_train_first_round_matches_top_pairs(spark):
+    df = _docs(spark, [(1, "hello hello help yes yes yes")])
+    top = bpe_top_pairs(df, k=1).collect()[0]
+    merges = bpe_train_merges(df, n_merges=1).collect()
+    assert len(merges) == 1
+    m = merges[0]
+    assert (m["left"] + m["right"], m["pair_count"]) == (
+        top["pair"], top["pair_count"],
+    )
+
+
+def test_bpe_train_merges_compound_across_rounds(spark):
+    # "aaab" x3: round 1 merges (a,a) -> [aa, a, b]; round 2's top pair
+    # among {aa a, a b} ties at 3 -> lexicographic picks (a, b);
+    # round 3 merges (aa, ab).
+    df = _docs(spark, [(1, "aaab aaab aaab")])
+    merges = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train_merges(df, n_merges=3).collect()
+    ]
+    assert merges == [(1, "a", "a", 6), (2, "a", "b", 3), (3, "aa", "ab", 3)]
+
+
+def test_bpe_train_greedy_nonoverlapping_within_word(spark):
+    # "aaaa": pairs (a,a) count 3 per word, but the MERGE is greedy
+    # left-to-right non-overlapping: aaaa -> [aa, aa], never [a,aa,a].
+    df = _docs(spark, [(1, "aaaa aaaa")])
+    merges = bpe_train_merges(df, n_merges=2).collect()
+    assert (merges[0]["left"], merges[0]["right"]) == ("a", "a")
+    # Round 2 must see [aa, aa] (pair (aa,aa) count 2), not overlap
+    # artifacts.
+    assert (merges[1]["left"], merges[1]["right"], merges[1]["pair_count"]) == (
+        "aa", "aa", 2,
+    )
