@@ -111,6 +111,7 @@ HEADLINE = [
     "variant_props_rollup",
     "stream_attribution_windows",
     "dedup_semantic_prune",
+    "text_bpe_train_merges",
 ]
 
 
