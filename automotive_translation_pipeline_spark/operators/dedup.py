@@ -874,7 +874,7 @@ def semantic_dedup(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int | None = 16,
+    n_cells: int | None = None,
     threshold: float = 0.95,
     seed: int = 42,
     target_cell_size: int = 500,
@@ -891,8 +891,8 @@ def semantic_dedup(
 
     Scale shape: within-cell pairwise cosine is quadratic in CELL
     size, so total pair work is ``n x cell_size`` — linear in the
-    corpus ONLY if cells stay constant-sized. ``n_cells=None`` derives
-    that automatically (``ceil(n / target_cell_size)``; the one count
+    corpus ONLY if cells stay constant-sized. The default
+    ``n_cells=None`` derives that automatically (``ceil(n / target_cell_size)``; the one count
     action is cheap here — this operator already runs KMeans fit
     actions, laziness is spent). A FIXED n_cells grows cells with the
     corpus and goes quadratic — fine for a known size, wrong as a
@@ -923,6 +923,10 @@ def semantic_dedup(
     n = vecs.count()
     if n_cells is None:
         n_cells = max(4, -(-n // target_cell_size))  # ceil division
+    # KMeans needs k <= fit rows: beyond target_cell_size * fit_cap / 2
+    # vectors the cap binds and cells grow past target — raise fit_cap
+    # if constant cell size matters at that scale.
+    n_cells = min(n_cells, max(4, min(n, fit_cap) // 2))
     fit_set = vecs if n <= fit_cap else hash_sample(vecs, id_col, fit_cap / n)
     model = KMeans(k=n_cells, seed=seed, featuresCol="__feat").fit(fit_set)
     cents = model.clusterCenters()
@@ -957,13 +961,15 @@ def semantic_dedup(
             F.col("__centroid"), F.lit(0.0), lambda acc, x: acc + x * x
         )
     )
+    # One interpreted ArrayAggregate tree, not two: CodegenFallback
+    # expressions get no common-subexpression elimination, so the
+    # negated election key derives from the scored column.
     scored = assigned.join(F.broadcast(cent_df), "__cell").select(
         F.col(id_col),
         F.col(vec_col),
         F.col("__cell"),
         (dot / (norm_v * norm_c)).alias("centroid_cos"),
-        (-(dot / (norm_v * norm_c))).alias("__neg_ccos"),
-    )
+    ).withColumn("__neg_ccos", -F.col("centroid_cos"))
     pairs = _cell_pairs_arrow(
         assigned.select(id_col, vec_col, "__cell"),
         id_col=id_col, vec_col=vec_col, threshold=threshold,
@@ -983,5 +989,10 @@ def semantic_dedup(
         "centroid_cos",
         "is_canonical",
     )
+    # Materialize BEFORE dropping the assignment cache: the returned
+    # plan references `assigned` in two branches, and unpersisting a
+    # still-lazy result would recompute the KMeans assignment (and the
+    # interpreted centroid cosines) on every downstream action.
+    result = result.localCheckpoint()
     assigned.unpersist()
     return result

@@ -269,7 +269,13 @@ def bpe_top_pairs(
             "word"
         )
     )
-    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("__wf"))
+    # Same \w+ vocabulary as bpe_train_merges, so this IS its round-1
+    # candidate list on any corpus, not just punctuation-free ones.
+    vocab = (
+        words.filter(F.col("word").rlike("^\\w+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("__wf"))
+    )
     # sequence(1, 0) would DESCEND in Spark — guard short words first.
     pairs = (
         vocab.filter(F.length("word") >= 2)

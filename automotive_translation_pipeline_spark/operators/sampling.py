@@ -186,14 +186,10 @@ def temperature_mixture_sample(
     rate — same rows every run, every engine, any partitioning. The
     rate table broadcasts; the corpus side is a pure filter."""
     rates = temperature_mix_rates(df, group_col, target_fraction)
-    return (
-        df.join(F.broadcast(rates.select(group_col, "rate")), group_col)
-        .filter(
-            hash_bucket(F.col(key_col), buckets)
-            < F.floor(F.lit(float(buckets)) * F.col("rate")).cast("bigint")
-        )
-        .drop("rate")
-    )
+    joined = df.join(F.broadcast(rates.select(group_col, "rate")), group_col)
+    return weighted_hash_sample(
+        joined, key_col, F.col("rate"), buckets
+    ).drop("rate")
 
 
 def split_of(

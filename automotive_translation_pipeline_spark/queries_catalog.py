@@ -88,6 +88,11 @@ _CHANGED_THIS_ROUND = frozenset({
     "dedup_simhash_buckets",    # promoted rows-only -> full DuckDB oracle
     "ann_cosine_pq",            # 32-code codebook + scale-aware re-rank
     "multimodal_feature_stats", # MP4 (ISO BMFF) joins the container mix
+    # round 6 self-review fixes (post-snapshot; the semantic_dedup
+    # clamp/CSE/checkpoint and bpe_train fixes are operator-internal
+    # with unchanged results — no entry drift, so not declared):
+    "text_bpe_top_pairs",       # \w+ vocab filter == train loop's round 1
+    "sample_temperature_mixture",  # composes temperature_mixture_sample
 })
 
 
@@ -7234,19 +7239,15 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact) + integer-quantized normalizer keep the rates bit-identical
     cross-engine; the corpus is scanned once and never shuffled."""
     from .operators.sampling import (
-        hash_bucket,
         temperature_mix_rates,
+        temperature_mixture_sample,
     )
 
     t = load_testdata(spark, sf_dir)
     docs = t["documents"]
     rates = temperature_mix_rates(docs, "source", target_fraction=0.5)
     kept = (
-        docs.join(F.broadcast(rates.select("source", "rate")), "source")
-        .filter(
-            hash_bucket(F.col("doc_id"), 10_000)
-            < F.floor(F.lit(10_000.0) * F.col("rate")).cast("bigint")
-        )
+        temperature_mixture_sample(docs, "source", "doc_id", 0.5)
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
@@ -7302,7 +7303,8 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), w AS (
         SELECT unnest(string_split(nt, ' ')) AS word FROM d
     ), v AS (
-        SELECT word, count(*) AS wf FROM w GROUP BY word
+        SELECT word, count(*) AS wf FROM w
+        WHERE regexp_matches(word, '^\\w+$') GROUP BY word
     ), p0 AS (
         SELECT word, wf, unnest(range(1, length(word))) AS i
         FROM v WHERE length(word) >= 2
