@@ -415,11 +415,25 @@ def bpe_train_merges(
             "word"
         )
     )
+    _, merges = _bpe_loop(words, n_merges)
+    return df.sparkSession.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count long"
+    )
+
+
+def _bpe_loop(
+    words: DataFrame, n_merges: int
+) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
+    """The BPE training loop body: returns the FINAL (word, symbols,
+    wf) vocabulary after ``n_merges`` rounds plus the merge list. The
+    word column rides along untouched so callers can map corpus words
+    to their learned segmentation (``bpe_tokenize_stats``)."""
     vocab = (
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("wf"))
         .filter(F.col("word").rlike("^\\w+$"))
         .select(
+            "word",
             # Spark's split keeps a trailing "" (the (?!^) lookahead
             # also matches at end-of-string under Java's limit=-1);
             # drop empties so no phantom symbol enters the pair counts.
@@ -472,8 +486,53 @@ def bpe_train_merges(
             ).otherwise(F.concat(acc, F.array(x))),
         )
         vocab = vocab.select(
-            folded.alias("symbols"), "wf"
+            "word", folded.alias("symbols"), "wf"
         ).localCheckpoint()
-    return df.sparkSession.createDataFrame(
-        merges, "merge_rank int, left string, right string, pair_count long"
+    return vocab, merges
+
+
+def bpe_tokenize_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Apply the learned BPE segmentation back to the corpus: train
+    ``n_merges`` merges corpus-wide (``_bpe_loop``), then report the
+    compression the tokenizer achieves per ``group_col`` — word
+    occurrences, total BPE tokens, and tokens-per-word (micro-quantized
+    integer so the ratio is engine-exact). The apply step is a join
+    against the (word -> final symbols) vocabulary, not a re-fold:
+    tokenizing is vocabulary-lookup-shaped at any corpus size (the
+    vocab is orders of magnitude smaller than the corpus; Spark/AQE
+    picks broadcast when it fits).
+
+    Words outside the trained ``\\w+`` vocabulary are excluded on both
+    sides (identically in the oracle)."""
+    words = df.select(
+        F.col(group_col),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+            "word"
+        ),
+    ).filter(F.col("word").rlike("^\\w+$"))
+    vocab, _ = _bpe_loop(words.select("word"), n_merges)
+    counts = words.groupBy(group_col, "word").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    joined = counts.join(
+        vocab.select("word", F.size("symbols").alias("__n_tok")), "word"
+    )
+    return joined.groupBy(group_col).agg(
+        F.sum("__n").alias("n_words"),
+        F.sum(F.col("__n") * F.col("__n_tok")).alias("n_tokens"),
+        F.floor(
+            (
+                F.sum(F.col("__n") * F.col("__n_tok")).cast("double")
+                / F.sum("__n")
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("tokens_per_word_micro"),
     )

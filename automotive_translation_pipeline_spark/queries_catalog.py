@@ -7511,3 +7511,63 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_testdata(spark, sf_dir)
     return bpe_train_merges(t["documents"], text_col="text", n_merges=3)
+
+
+# The tokenize-apply twin reuses the merge-decision levels; the final
+# segmentation applies the three learned merges to the ORIGINAL
+# char-split symbols as nested regexp_replace — sequential application
+# is exactly the loop's per-round rewrite.
+_DUCK_BPE_APPLY = """
+    regexp_replace(regexp_replace(regexp_replace(sym,
+        '\\b' || (SELECT lft FROM t1) || ' ' || (SELECT rgt FROM t1) || '\\b',
+        (SELECT lft || rgt FROM t1), 'g'),
+        '\\b' || (SELECT lft FROM t2) || ' ' || (SELECT rgt FROM t2) || '\\b',
+        (SELECT lft || rgt FROM t2), 'g'),
+        '\\b' || (SELECT lft FROM t3) || ' ' || (SELECT rgt FROM t3) || '\\b',
+        (SELECT lft || rgt FROM t3), 'g')"""
+
+
+@register(
+    "text_bpe_tokenize_stats",
+    f"""
+    WITH d AS (
+        SELECT lang, {_DUCK_NORM.format(c="text")} AS nt FROM documents
+    ), w0 AS (
+        SELECT lang, unnest(string_split(nt, ' ')) AS word FROM d
+    ), w AS (
+        SELECT lang, word FROM w0 WHERE regexp_matches(word, '^\\w+$')
+    ), v0 AS MATERIALIZED (
+        SELECT word,
+               array_to_string(list_transform(
+                   range(1, length(word) + 1),
+                   i -> substr(word, CAST(i AS INT), 1)), ' ') AS sym,
+               count(*) AS wf
+        FROM w GROUP BY word
+    ),{_DUCK_BPE_LEVEL.format(n=1, m=0)},{_DUCK_BPE_LEVEL.format(n=2, m=1)},{_DUCK_BPE_LEVEL.format(n=3, m=2)}, fin AS (
+        SELECT word,
+               len(string_split({_DUCK_BPE_APPLY}, ' ')) AS n_tok
+        FROM v0
+    ), c AS (
+        SELECT lang, word, count(*) AS n FROM w GROUP BY 1, 2
+    )
+    SELECT lang, CAST(sum(n) AS BIGINT) AS n_words,
+           CAST(sum(n * n_tok) AS BIGINT) AS n_tokens,
+           CAST(floor((CAST(sum(n * n_tok) AS DOUBLE) / sum(n))
+                      * 1000000 + 0.5) AS BIGINT) AS tokens_per_word_micro
+    FROM c JOIN fin USING (word) GROUP BY lang
+    """,
+)
+def text_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE back to the corpus (operators/lm.py:
+    bpe_tokenize_stats): per language, word occurrences vs total BPE
+    tokens under the 3-merge corpus-wide tokenizer — the compression
+    report that closes the train -> tokenize loop. The apply step is a
+    vocabulary JOIN (word -> learned segmentation), never a corpus
+    re-fold; the oracle applies the same three merges as nested greedy
+    regex replaces to the original char symbols."""
+    from .operators.lm import bpe_tokenize_stats
+
+    t = load_testdata(spark, sf_dir)
+    return bpe_tokenize_stats(
+        t["documents"], text_col="text", group_col="lang", n_merges=3
+    )

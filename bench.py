@@ -112,6 +112,7 @@ HEADLINE = [
     "stream_attribution_windows",
     "dedup_semantic_prune",
     "text_bpe_train_merges",
+    "text_bpe_tokenize_stats",
 ]
 
 

@@ -309,3 +309,26 @@ def test_bpe_train_greedy_nonoverlapping_within_word(spark):
     assert (merges[1]["left"], merges[1]["right"], merges[1]["pair_count"]) == (
         "aa", "aa", 2,
     )
+
+
+def test_bpe_tokenize_stats_applies_learned_merges(spark):
+    # "aaab" x3 under 3 merges collapses to ONE token per word
+    # ((a,a) -> (a,b) -> (aa,ab), see the compound-rounds test);
+    # "cd" x2 gets its own (c,d) merge only if it wins a round — with
+    # n_merges=3 all three rounds go to the aaab chain or cd; verify
+    # the per-group totals line up with the learned segmentation.
+    from automotive_translation_pipeline_spark.operators.lm import (
+        bpe_tokenize_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("en", "aaab aaab aaab"), ("de", "aaab cd")],
+        "lang string, text string",
+    )
+    out = {r.lang: r for r in bpe_tokenize_stats(df, n_merges=3).collect()}
+    # Corpus-wide training: aaab appears 4x -> merges (a,a)x8, then
+    # (a,b)x4, then (aa,ab)x4; cd never wins a round so stays [c, d].
+    assert out["en"].n_words == 3 and out["en"].n_tokens == 3
+    assert out["en"].tokens_per_word_micro == 1_000_000
+    assert out["de"].n_words == 2 and out["de"].n_tokens == 1 + 2
+    assert out["de"].tokens_per_word_micro == 1_500_000
