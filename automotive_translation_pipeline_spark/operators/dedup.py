@@ -996,3 +996,82 @@ def semantic_dedup(
     result = result.localCheckpoint()
     assigned.unpersist()
     return result
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring detection, the distributed stand-in
+    for the suffix-array pass of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"): any word span that
+    appears ``min_count``-plus times corpus-wide (including repeats
+    inside one document) is duplicated text, and overlapping duplicated
+    windows merge into MAXIMAL spans per document.
+
+    Mechanics: every k-word window gets an md5 fingerprint; a window
+    is duplicated iff its fingerprint's corpus count >= ``min_count``
+    (a window count over the fingerprint, same single-pass trick as
+    ``lm.unigram_surprisal`` — the corpus explodes exactly once);
+    within a document, duplicated window STARTS sorted ascending merge
+    by gaps-and-islands (a new span starts when the next start exceeds
+    the previous start by more than k, i.e. the windows no longer
+    overlap or touch).
+
+    Scale shape: two shuffles total — one on the 128-bit fingerprint
+    (window count), one on the document id (island merge); both key
+    sets are corpus-window-sized rows of three narrow columns, never
+    raw text. No suffix array, no sort of the corpus: at 100 TB this
+    is a pair of hash exchanges.
+
+    Output, one row per document that contains at least one duplicated
+    span (documents shorter than k words or with no duplicated window
+    drop out — identically in the SQL oracle): ``(id, n_words,
+    n_spans, dup_words, max_span)`` where ``dup_words`` is the total
+    word count covered by merged spans and ``max_span`` the longest
+    single span.
+    """
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col), words.alias("__w"), F.size(words).alias("n_words")
+    ).filter(F.col("n_words") >= k)
+    pos = base.select(
+        id_col,
+        "n_words",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_words") - F.lit(k - 1))
+        ).alias("__i"),
+        "__w",
+    ).select(
+        id_col,
+        "n_words",
+        "__i",
+        F.md5(
+            F.concat_ws(" ", F.slice("__w", F.col("__i"), F.lit(k))).cast(
+                "binary"
+            )
+        ).alias("__fp"),
+    )
+    with_cnt = pos.withColumn(
+        "__cnt", F.count(F.lit(1)).over(Window.partitionBy("__fp"))
+    )
+    dup = with_cnt.filter(F.col("__cnt") >= min_count)
+    w_doc = Window.partitionBy(id_col).orderBy("__i")
+    islands = dup.withColumn(
+        "__new",
+        F.when(
+            F.col("__i") - F.lag("__i").over(w_doc) > k, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn("__island", F.sum("__new").over(w_doc))
+    spans = islands.groupBy(id_col, "n_words", "__island").agg(
+        F.min("__i").alias("__s"),
+        (F.max("__i") + F.lit(k - 1)).alias("__e"),
+    )
+    return spans.groupBy(id_col, "n_words").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("__e") - F.col("__s") + F.lit(1)).alias("dup_words"),
+        F.max(F.col("__e") - F.col("__s") + F.lit(1)).alias("max_span"),
+    )

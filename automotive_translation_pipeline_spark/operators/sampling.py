@@ -218,3 +218,94 @@ def stratified_fixed_k(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by how much more likely its hashed n-gram
+    features are under the TARGET distribution (rows where
+    ``target_pred`` holds — e.g. a trusted high-quality subset) than
+    under the RAW corpus distribution. ``log_weight > 0`` means
+    "looks like target"; feeding the weight through
+    ``weighted_hash_sample`` completes the paper's resampling step.
+
+    Features are the paper's hashed unigrams + bigrams: each feature
+    maps to one of ``n_buckets`` buckets via the engine-portable md5
+    bucket (``hash_bucket``), and both distributions are
+    add-``alpha``-smoothed over the bucket space, so buckets the
+    target never saw stay finite.
+
+    Scale shape: the corpus explodes to features exactly once and
+    collapses map-side to (doc, bucket, n); the bucket table is
+    ``n_buckets`` rows — a broadcast — and the two global totals
+    reduce from it, so the only corpus-sized shuffles are the (doc,
+    bucket) collapse and the final per-doc sum. Raw text is never
+    shuffled.
+
+    Output: ``(id, n_feats, log_weight)`` — one row per document,
+    ``log_weight`` rounded to ``ndigits`` (same float-portability
+    discipline as ``lm.unigram_surprisal``).
+    """
+    from ..functions.text import normalized_text
+
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    n = F.size(words)
+    feats = F.concat(
+        words,
+        F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(words, 1, n - 1),
+                F.slice(words, 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        target_pred.alias("__tgt"),
+        F.explode(feats).alias("__feat"),
+    ).select(
+        id_col,
+        "__tgt",
+        hash_bucket(F.col("__feat"), n_buckets).alias("__bkt"),
+    )
+    per_doc_bkt = exploded.groupBy(id_col, "__tgt", "__bkt").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    bkt = per_doc_bkt.groupBy("__bkt").agg(
+        F.sum("__n").alias("__raw_n"),
+        F.sum(F.when(F.col("__tgt"), F.col("__n")).otherwise(F.lit(0))).alias(
+            "__tgt_n"
+        ),
+    )
+    totals = bkt.agg(
+        F.sum("__raw_n").alias("__t_raw"), F.sum("__tgt_n").alias("__t_tgt")
+    )
+    a, b = float(alpha), float(alpha * n_buckets)
+    ratio = bkt.crossJoin(F.broadcast(totals)).select(
+        "__bkt",
+        (
+            F.log((F.col("__tgt_n") + a) / (F.col("__t_tgt") + b))
+            - F.log((F.col("__raw_n") + a) / (F.col("__t_raw") + b))
+        ).alias("__lr"),
+    )
+    return (
+        per_doc_bkt.join(F.broadcast(ratio), "__bkt")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n").alias("n_feats"),
+            F.round(F.sum(F.col("__n") * F.col("__lr")), ndigits).alias(
+                "log_weight"
+            ),
+        )
+    )

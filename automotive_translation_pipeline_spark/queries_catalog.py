@@ -7571,3 +7571,110 @@ def text_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_tokenize_stats(
         t["documents"], text_col="text", group_col="lang", n_merges=3
     )
+
+
+@register(
+    "dedup_duplicate_spans",
+    """
+    WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ), w AS (
+        SELECT doc_id, string_split(nt, ' ') AS words FROM d
+    ), pos AS (
+        SELECT doc_id, len(words) AS n_words, CAST(i AS BIGINT) AS i,
+               md5(array_to_string(words[i:i+7], ' ')) AS fp
+        FROM w, LATERAL unnest(range(1, len(words) - 6)) AS t(i)
+        WHERE len(words) >= 8
+    ), cnt AS (
+        SELECT *, count(*) OVER (PARTITION BY fp) AS c FROM pos
+    ), dup AS (
+        SELECT doc_id, n_words, i,
+               CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM cnt WHERE c >= 2
+    ), isl AS (
+        SELECT doc_id, n_words, i,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+        FROM dup
+    ), sp AS (
+        SELECT doc_id, n_words, island,
+               min(i) AS s, max(i) + 7 AS e
+        FROM isl GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, n_words,
+           count(*) AS n_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS dup_words,
+           CAST(max(e - s + 1) AS BIGINT) AS max_span
+    FROM sp GROUP BY 1, 2
+    """,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (operators/dedup.py:
+    duplicate_spans) — the distributed stand-in for the Lee et al.
+    2022 suffix-array dedup pass: every 8-word window with corpus
+    count >= 2 is duplicated text; overlapping/touching windows merge
+    gaps-and-islands into maximal per-document spans. Two shuffles
+    (fingerprint window count + per-doc island merge); raw text never
+    shuffles. Oracle replays the identical md5 window fingerprints and
+    island merge in SQL."""
+    from .operators.dedup import duplicate_spans
+
+    t = load_testdata(spark, sf_dir)
+    return duplicate_spans(t["documents"], k=8)
+
+
+@register(
+    "sample_dsir_weights",
+    """
+    WITH d AS (
+        SELECT doc_id, lang = 'en' AS tgt,
+               string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+               ) AS words
+        FROM documents
+    ), f AS (
+        SELECT doc_id, tgt, unnest(words) AS feat FROM d
+        UNION ALL
+        SELECT doc_id, tgt, words[i] || ' ' || words[i + 1] AS feat
+        FROM d, LATERAL unnest(range(1, len(words))) AS t(i)
+        WHERE len(words) >= 2
+    ), pb AS (
+        SELECT doc_id, tgt,
+               CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT) % 1024 AS bkt,
+               count(*) AS n
+        FROM f GROUP BY 1, 2, 3
+    ), s AS (
+        SELECT bkt, sum(n) AS raw_n,
+               coalesce(sum(n) FILTER (tgt), 0) AS tgt_n
+        FROM pb GROUP BY 1
+    ), tot AS (
+        SELECT sum(raw_n) AS t_raw, sum(tgt_n) AS t_tgt FROM s
+    ), lr AS (
+        SELECT bkt,
+               ln((tgt_n + 1.0) / (t_tgt + 1024.0))
+             - ln((raw_n + 1.0) / (t_raw + 1024.0)) AS lr
+        FROM s, tot
+    )
+    SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+           round(sum(n * lr), 4) AS log_weight
+    FROM pb JOIN lr USING (bkt) GROUP BY 1
+    """,
+)
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/sampling.py:
+    dsir_importance_weights; Xie et al. 2023): per-document log ratio
+    of hashed unigram+bigram feature likelihood under the target
+    distribution (lang='en' documents) vs the raw corpus, add-1
+    smoothed over 1024 md5 buckets. Positive = looks like target;
+    compose with weighted_hash_sample for the paper's resampling step.
+    One corpus explode, map-side collapse to (doc, bucket, n), bucket
+    table broadcasts back."""
+    from pyspark.sql import functions as F
+
+    from .operators.sampling import dsir_importance_weights
+
+    t = load_testdata(spark, sf_dir)
+    return dsir_importance_weights(
+        t["documents"], F.col("lang") == "en", n_buckets=1024
+    )

@@ -113,6 +113,8 @@ HEADLINE = [
     "dedup_semantic_prune",
     "text_bpe_train_merges",
     "text_bpe_tokenize_stats",
+    "dedup_duplicate_spans",
+    "sample_dsir_weights",
 ]
 
 

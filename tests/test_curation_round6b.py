@@ -1,0 +1,123 @@
+"""Round-6 additions: exact duplicated-span detection (Lee et al.
+2022 style) and DSIR importance weights (Xie et al. 2023)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from automotive_translation_pipeline_spark.operators.dedup import (
+    duplicate_spans,
+)
+from automotive_translation_pipeline_spark.operators.sampling import (
+    dsir_importance_weights,
+)
+
+
+def _docs(spark, rows, schema="doc_id bigint, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+# --- duplicate_spans ------------------------------------------------------
+
+
+def test_duplicate_spans_cross_doc_shared_window(spark):
+    # Docs 1 and 2 share one exact 8-word run ("w1..w8"); doc 3 is
+    # unrelated. The shared run is one maximal span in each doc.
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    df = _docs(
+        spark,
+        [
+            (1, shared + " tail1 tail2 tail3 tail4 tail5 tail6 tail7 tail8"),
+            (2, "head1 head2 head3 head4 head5 head6 head7 head8 " + shared),
+            (3, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+        ],
+    )
+    out = {r.doc_id: r for r in duplicate_spans(df, k=8).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_spans == 1 and out[1].dup_words == 8
+    assert out[2].n_spans == 1 and out[2].dup_words == 8
+    assert out[1].max_span == 8
+
+
+def test_duplicate_spans_overlapping_windows_merge(spark):
+    # Docs share a 10-word run -> three overlapping duplicated 8-word
+    # windows per doc, which must merge into ONE 10-word span.
+    run = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    df = _docs(
+        spark,
+        [
+            (1, run + " t1 t2 t3 t4 t5 t6 t7 t8"),
+            (2, "h1 h2 h3 h4 h5 h6 h7 h8 " + run),
+        ],
+    )
+    out = {r.doc_id: r for r in duplicate_spans(df, k=8).collect()}
+    assert out[1].n_spans == 1 and out[1].dup_words == 10
+    assert out[2].n_spans == 1 and out[2].dup_words == 10
+
+
+def test_duplicate_spans_within_doc_repeat_counts(spark):
+    # A doc that repeats its own 8-word block twice is duplicated text
+    # even with no other document involved; the two non-touching
+    # copies stay separate spans.
+    blk = "b1 b2 b3 b4 b5 b6 b7 b8"
+    df = _docs(
+        spark,
+        [(1, blk + " m1 m2 m3 m4 m5 m6 m7 m8 m9 " + blk)],
+    )
+    out = duplicate_spans(df, k=8).collect()
+    assert len(out) == 1
+    assert out[0].n_spans == 2 and out[0].dup_words == 16
+    assert out[0].max_span == 8
+
+
+def test_duplicate_spans_short_docs_drop_out(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "a b c")])
+    assert duplicate_spans(df, k=8).collect() == []
+
+
+# --- dsir_importance_weights ----------------------------------------------
+
+
+def test_dsir_target_like_docs_score_positive(spark):
+    # Target = docs 1-2 ("english-ish" vocabulary); doc 3 shares it,
+    # doc 4 is disjoint vocabulary. Doc 3 must outscore doc 4.
+    df = spark.createDataFrame(
+        [
+            (1, "en", "the cat sat on the mat"),
+            (2, "en", "the dog sat on the rug"),
+            (3, "xx", "the cat sat on the rug"),
+            (4, "xx", "zork blag frum blag zork quux"),
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dsir_importance_weights(
+            df, F.col("lang") == "en"
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[3].log_weight > out[4].log_weight
+    assert out[4].log_weight < 0
+
+
+def test_dsir_feature_count_is_unigrams_plus_bigrams(spark):
+    # 4 words -> 4 unigrams + 3 bigrams = 7 features.
+    df = spark.createDataFrame(
+        [(1, True, "a b c d")], "doc_id bigint, tgt boolean, text string"
+    )
+    out = dsir_importance_weights(df, F.col("tgt")).collect()
+    assert out[0].n_feats == 7
+
+
+def test_dsir_single_word_doc_has_one_feature(spark):
+    df = spark.createDataFrame(
+        [(1, True, "hello"), (2, False, "hello world")],
+        "doc_id bigint, tgt boolean, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dsir_importance_weights(df, F.col("tgt")).collect()
+    }
+    assert out[1].n_feats == 1
+    assert out[2].n_feats == 3
