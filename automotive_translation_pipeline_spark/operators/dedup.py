@@ -1075,3 +1075,98 @@ def duplicate_spans(
         F.sum(F.col("__e") - F.col("__s") + F.lit(1)).alias("dup_words"),
         F.max(F.col("__e") - F.col("__s") + F.lit(1)).alias("max_span"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """The ACTIVE form of ``duplicate_spans`` — the full Lee et al.
+    2022 dedup step: every duplicated k-word window occurrence beyond
+    the corpus-canonical FIRST one (lowest ``(doc id, position)`` per
+    fingerprint — deterministic on every engine) is redundant text;
+    redundant windows merge into maximal spans per document and the
+    covered words are cut, keeping exactly one copy of each duplicated
+    run corpus-wide.
+
+    Returns one row per input document (a corpus transformation, not
+    a report): ``(id, n_words, kept_words, removed_words, kept_md5)``
+    with ``kept_md5`` the md5 of the reconstructed text, so results
+    stay narrow at any scale while still value-checking the exact
+    surviving words.
+
+    Scale shape: same two narrow shuffles as ``duplicate_spans``
+    (fingerprint window, per-doc islands) plus one per-doc join of the
+    span list back to the word arrays; span lists are tiny relative
+    to documents. The row_number that picks the canonical occurrence
+    rides the same fingerprint partitioning as the count.
+    """
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col), words.alias("__w"), F.size(words).alias("n_words")
+    )
+    pos = (
+        base.filter(F.col("n_words") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_words") - F.lit(k - 1))
+            ).alias("__i"),
+            "__w",
+        )
+        .select(
+            id_col,
+            "__i",
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice("__w", F.col("__i"), F.lit(k))
+                ).cast("binary")
+            ).alias("__fp"),
+        )
+    )
+    w_fp = Window.partitionBy("__fp")
+    redundant = (
+        pos.withColumn("__cnt", F.count(F.lit(1)).over(w_fp))
+        .withColumn(
+            "__rk",
+            F.row_number().over(w_fp.orderBy(id_col, "__i")),
+        )
+        .filter((F.col("__cnt") >= min_count) & (F.col("__rk") > 1))
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("__i")
+    spans = (
+        redundant.withColumn(
+            "__new",
+            F.when(
+                F.col("__i") - F.lag("__i").over(w_doc) > k, F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__island", F.sum("__new").over(w_doc))
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("__i").alias("s"),
+            (F.max("__i") + F.lit(k - 1)).alias("e"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("__spans"))
+    )
+    joined = base.join(spans, id_col, "left")
+    kept = F.when(F.col("__spans").isNull(), F.col("__w")).otherwise(
+        F.filter(
+            F.col("__w"),
+            lambda w, i: ~F.exists(
+                F.col("__spans"),
+                lambda sp: (sp["s"] <= i + 1) & (i + 1 <= sp["e"]),
+            ),
+        )
+    )
+    return joined.select(
+        id_col,
+        "n_words",
+        F.size(kept).alias("kept_words"),
+        (F.col("n_words") - F.size(kept)).alias("removed_words"),
+        F.md5(F.concat_ws(" ", kept).cast("binary")).alias("kept_md5"),
+    )

@@ -7678,3 +7678,67 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weights(
         t["documents"], F.col("lang") == "en", n_buckets=1024
     )
+
+
+@register(
+    "dedup_remove_duplicate_spans",
+    """
+    WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ), w AS (
+        SELECT doc_id, string_split(nt, ' ') AS words FROM d
+    ), pos AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+               md5(array_to_string(words[i:i+7], ' ')) AS fp
+        FROM w, LATERAL unnest(range(1, len(words) - 6)) AS t(i)
+        WHERE len(words) >= 8
+    ), red AS (
+        SELECT doc_id, i FROM (
+            SELECT doc_id, i,
+                   count(*) OVER (PARTITION BY fp) AS c,
+                   row_number() OVER (PARTITION BY fp ORDER BY doc_id, i) AS rk
+            FROM pos
+        ) WHERE c >= 2 AND rk > 1
+    ), brk AS (
+        SELECT doc_id, i,
+               CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM red
+    ), isl AS (
+        SELECT doc_id, i,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+        FROM brk
+    ), sp AS (
+        SELECT doc_id, island, min(i) AS s, max(i) + 7 AS e
+        FROM isl GROUP BY 1, 2
+    ), sl AS (
+        SELECT doc_id, list({'s': s, 'e': e}) AS spans FROM sp GROUP BY 1
+    ), fin AS (
+        SELECT w.doc_id, len(words) AS n_words,
+               CASE WHEN spans IS NULL THEN words
+                    ELSE list_filter(words, (x, i) ->
+                        len(list_filter(spans,
+                            s2 -> s2.s <= i AND i <= s2.e)) = 0)
+               END AS kept
+        FROM w LEFT JOIN sl ON w.doc_id = sl.doc_id
+    )
+    SELECT doc_id, CAST(n_words AS INT) AS n_words,
+           CAST(len(kept) AS INT) AS kept_words,
+           CAST(n_words - len(kept) AS INT) AS removed_words,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+    FROM fin
+    """,
+)
+def dedup_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active Lee et al. 2022 span dedup (operators/dedup.py:
+    remove_duplicate_spans): cut every duplicated 8-word run beyond its
+    corpus-canonical first occurrence (lowest (doc_id, position) per
+    fingerprint) and value-check the exact surviving words per doc via
+    kept_md5 — one row per document, narrow at any scale. Oracle
+    replays fingerprints, canonical pick, island merge, and the index
+    filter in SQL."""
+    from .operators.dedup import remove_duplicate_spans
+
+    t = load_testdata(spark, sf_dir)
+    return remove_duplicate_spans(t["documents"], k=8)

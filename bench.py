@@ -115,6 +115,7 @@ HEADLINE = [
     "text_bpe_tokenize_stats",
     "dedup_duplicate_spans",
     "sample_dsir_weights",
+    "dedup_remove_duplicate_spans",
 ]
 
 

@@ -121,3 +121,56 @@ def test_dsir_single_word_doc_has_one_feature(spark):
     }
     assert out[1].n_feats == 1
     assert out[2].n_feats == 3
+
+
+# --- remove_duplicate_spans -------------------------------------------------
+
+
+def test_remove_spans_canonical_first_occurrence_survives(spark):
+    # Lowest (doc_id, position) per fingerprint is canonical: doc 1
+    # keeps the shared run, doc 2 loses exactly those 8 words.
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    df = _docs(
+        spark,
+        [
+            (1, shared + " t1 t2 t3 t4 t5 t6 t7 t8"),
+            (2, "h1 h2 h3 h4 h5 h6 h7 h8 " + shared),
+        ],
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, k=8).collect()}
+    assert out[1].removed_words == 0 and out[1].kept_words == 16
+    assert out[2].removed_words == 8 and out[2].kept_words == 8
+
+
+def test_remove_spans_fully_duplicated_doc_empties(spark):
+    # Doc 2 is an exact copy of doc 1: every window is redundant, the
+    # whole doc is cut, and kept_md5 is md5 of the empty string on
+    # both engines (the DuckDB oracle needs the coalesce for this).
+    import hashlib
+
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    text = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    df = _docs(spark, [(1, text), (2, text)])
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, k=8).collect()}
+    assert out[1].kept_words == 10 and out[1].removed_words == 0
+    assert out[2].kept_words == 0 and out[2].removed_words == 10
+    assert out[2].kept_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_remove_spans_within_doc_repeat_keeps_first(spark):
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    blk = "b1 b2 b3 b4 b5 b6 b7 b8"
+    df = _docs(spark, [(1, blk + " mid1 mid2 mid3 mid4 mid5 mid6 mid7 mid8 mid9 " + blk)])
+    out = remove_duplicate_spans(df, k=8).collect()[0]
+    assert out.n_words == 25
+    assert out.removed_words == 8 and out.kept_words == 17
