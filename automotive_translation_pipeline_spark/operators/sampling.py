@@ -279,8 +279,16 @@ def dsir_importance_weights(
         "__tgt",
         hash_bucket(F.col("__feat"), n_buckets).alias("__bkt"),
     )
-    per_doc_bkt = exploded.groupBy(id_col, "__tgt", "__bkt").agg(
-        F.count(F.lit(1)).alias("__n")
+    # The collapsed (doc, bucket, n) table feeds THREE consumers (the
+    # bucket stats, the totals, and the final per-doc sum); without a
+    # persist each one replays the corpus scan + explode — three full
+    # passes at 100 TB. Persist the collapse (doc-scaled, <=
+    # n_buckets rows per doc, never raw text) and every consumer
+    # reads it.
+    per_doc_bkt = (
+        exploded.groupBy(id_col, "__tgt", "__bkt")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .persist()
     )
     bkt = per_doc_bkt.groupBy("__bkt").agg(
         F.sum("__n").alias("__raw_n"),
