@@ -1170,3 +1170,82 @@ def remove_duplicate_spans(
         (F.col("n_words") - F.size(kept)).alias("removed_words"),
         F.md5(F.concat_ws(" ", kept).cast("binary")).alias("kept_md5"),
     )
+
+
+def winnow_fingerprint_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 3,
+    max_df: int = 50,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm): hash every k-word gram, slide a
+    w-position window over the hash sequence, and SELECT the window
+    minimum — guaranteeing any shared run of at least w+k-1 words
+    leaves at least one common selected fingerprint while keeping only
+    ~2/(w+1) of all grams. Documents sharing >= ``min_shared``
+    selected fingerprints are reported as candidate pairs with the
+    shared count.
+
+    Portability/selection details: ties select EVERY position holding
+    the window minimum (the per-doc fingerprint set dedups them — set
+    semantics make the tiebreak irrelevant, identically in SQL); the
+    first w-1 partial windows also select their running minimum (a
+    harmless superset, same on both engines). Fingerprints appearing
+    in more than ``max_df`` documents are dropped before pairing —
+    boilerplate grams carry no discriminative signal and their groups
+    are the quadratic-pair risk at scale (same reasoning as the
+    hot-shingle cap in ``ngram_jaccard_pairs``).
+
+    Scale shape: the corpus explodes to (doc, pos, hash) once; the
+    window min is a per-doc sort of narrow rows; the pair join runs on
+    the winnowed ~2/(w+1) subset with frequency-capped groups, so the
+    pair stream is bounded by ``max_df`` per fingerprint. Raw text
+    never shuffles.
+    """
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col), words.alias("__w"), F.size(words).alias("__n")
+    ).filter(F.col("__n") >= k)
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(1), F.col("__n") - F.lit(k - 1))
+        ).alias("__i"),
+        "__w",
+    ).select(
+        id_col,
+        "__i",
+        F.md5(
+            F.concat_ws(" ", F.slice("__w", F.col("__i"), F.lit(k))).cast(
+                "binary"
+            )
+        ).alias("__h"),
+    )
+    wsel = (
+        Window.partitionBy(id_col)
+        .orderBy("__i")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    fps = (
+        grams.withColumn("__min", F.min("__h").over(wsel))
+        .filter(F.col("__h") == F.col("__min"))
+        .select(id_col, "__h")
+        .distinct()
+    )
+    df_count = fps.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    kept = fps.join(
+        df_count.filter(F.col("__df") <= max_df).select("__h"), "__h"
+    )
+    a = kept.select(F.col(id_col).alias("id_a"), "__h")
+    b = kept.select(F.col(id_col).alias("id_b"), "__h")
+    return (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -7742,3 +7742,49 @@ def dedup_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_testdata(spark, sf_dir)
     return remove_duplicate_spans(t["documents"], k=8)
+
+
+@register(
+    "dedup_winnow_pairs",
+    """
+    WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ), w AS (
+        SELECT doc_id, string_split(nt, ' ') AS words FROM d
+        WHERE len(string_split(nt, ' ')) >= 3
+    ), g AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+               md5(array_to_string(words[i:i+2], ' ')) AS h
+        FROM w, LATERAL unnest(range(1, len(words) - 1)) AS t(i)
+    ), sel AS (
+        SELECT DISTINCT doc_id, h FROM (
+            SELECT doc_id, i, h,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                       AS mn
+            FROM g
+        ) WHERE h = mn
+    ), keep AS (
+        SELECT doc_id, h FROM sel
+        QUALIFY count(*) OVER (PARTITION BY h) <= 50
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS shared_fps
+    FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/dedup.py:
+    winnow_fingerprint_pairs; Schleimer et al. 2003 / MOSS): 3-word
+    gram hashes, window-4 minimum selection (~2/(w+1) kept), document
+    pairs sharing >= 3 selected fingerprints after a 50-doc frequency
+    cap. Guarantees detection of any shared run >= w+k-1 = 6 words.
+    Oracle replays the identical window-min selection with QUALIFY."""
+    from .operators.dedup import winnow_fingerprint_pairs
+
+    t = load_testdata(spark, sf_dir)
+    return winnow_fingerprint_pairs(
+        t["documents"], k=3, w=4, min_shared=3, max_df=50
+    )

@@ -116,6 +116,7 @@ HEADLINE = [
     "dedup_duplicate_spans",
     "sample_dsir_weights",
     "dedup_remove_duplicate_spans",
+    "dedup_winnow_pairs",
 ]
 
 

@@ -174,3 +174,65 @@ def test_remove_spans_within_doc_repeat_keeps_first(spark):
     out = remove_duplicate_spans(df, k=8).collect()[0]
     assert out.n_words == 25
     assert out.removed_words == 8 and out.kept_words == 17
+
+
+# --- winnow_fingerprint_pairs -----------------------------------------------
+
+
+def test_winnow_guarantee_shared_run_detected(spark):
+    # The winnowing guarantee: any shared run of >= w+k-1 = 6 words
+    # leaves at least one common selected fingerprint.
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        winnow_fingerprint_pairs,
+    )
+
+    run = "s1 s2 s3 s4 s5 s6"
+    df = _docs(
+        spark,
+        [
+            (1, "p1 p2 p3 " + run + " q1 q2"),
+            (2, "z1 z2 " + run + " y1 y2 y3"),
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+        ],
+    )
+    out = winnow_fingerprint_pairs(
+        df, k=3, w=4, min_shared=1, max_df=50
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_selects_subset_of_grams(spark):
+    # Window-min selection keeps far fewer fingerprints than grams
+    # exist; identical docs still match on the full selected set.
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        winnow_fingerprint_pairs,
+    )
+
+    text = " ".join(f"t{i}" for i in range(40))
+    df = _docs(spark, [(1, text), (2, text)])
+    out = winnow_fingerprint_pairs(
+        df, k=3, w=4, min_shared=1, max_df=50
+    ).collect()
+    assert len(out) == 1
+    (r,) = out
+    # 38 grams exist; winnowing keeps roughly 2/(w+1) of them.
+    assert 2 <= r.shared_fps < 20
+
+
+def test_winnow_frequency_cap_drops_boilerplate(spark):
+    # A gram present in every doc exceeds max_df and cannot pair.
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        winnow_fingerprint_pairs,
+    )
+
+    boiler = "same same same"
+    df = _docs(
+        spark,
+        [(i, f"u{i}a u{i}b {boiler} u{i}c" ) for i in range(1, 6)],
+    )
+    out = winnow_fingerprint_pairs(
+        df, k=3, w=4, min_shared=1, max_df=2
+    ).collect()
+    assert out == []
