@@ -69,10 +69,24 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: docs sharing any band bucket become
     candidate pairs (id_a < id_b). The self-join is on the band bucket —
     cost scales with bucket occupancy, not n².
+
+    ``max_bucket`` (optional) is the standard LSH stop-bucket cap:
+    buckets holding more than this many documents are dropped BEFORE
+    the self-join, bounding the join's intermediate at
+    O(max_bucket²) per bucket regardless of corpus geometry. Without
+    it, a low-selectivity banding (few rows per band) on a
+    small-vocabulary corpus grows hot buckets linearly with n and the
+    join intermediate quadratically — measured at sf30 (1.5M docs),
+    the 8x2 banding's self-join spilled past 60 GB of local disk.
+    A pair is lost only if EVERY band it collides in is over-cap —
+    over-cap buckets are near-universal boilerplate collisions, the
+    weakest similarity evidence. Callers that need the cap must
+    mirror it in any SQL oracle (QUALIFY on the bucket count).
 
     Formulated as explode → per-row hashes → groupBy-min: each shingle
     is materialized and hashed exactly once. (The array-valued
@@ -133,6 +147,16 @@ def minhash_lsh_candidates(
     # bounded materialization ≈ the index-build step; measured sf1:
     # 11.8 → 10.4 s cold and ~10 → 5.8 s warm for the candidate query.
     banded = banded.localCheckpoint()
+    if max_bucket is not None:
+        # One extra exchange of the tiny banded table (bands rows per
+        # doc); the filter runs on the checkpointed data, so the
+        # signature chain does not replay.
+        occ = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__occ", F.count(F.lit(1)).over(occ))
+            .filter(F.col("__occ") <= max_bucket)
+            .drop("__occ")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -224,6 +248,7 @@ def ngram_jaccard_pairs(
     exhaustive: bool = False,
     num_hashes: int = 16,
     bands: int = 8,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs >= threshold, LSH-blocked.
 
@@ -241,6 +266,13 @@ def ngram_jaccard_pairs(
     is missed with probability (1 - s^r)^b; at the default
     (16 hashes, 8 bands x 2 rows) that is ~3e-4 at s = 0.8 and ~1e-6
     at s = 0.9 — every SURVIVING pair carries its exact Jaccard.
+    The 2-row bands that buy this recall have weak buckets, so the
+    blocker runs with the ``max_bucket`` stop-bucket cap (see
+    ``minhash_lsh_candidates``): without it the banded self-join's
+    intermediate grew quadratically on the fixed-vocabulary corpus and
+    exhausted local disk at sf30; with it the join is bounded at
+    O(max_bucket²) per bucket at any scale. A pair is dropped only if
+    every one of its 8 colliding bands is over-cap boilerplate.
     Pass ``exhaustive=True`` for the guaranteed-complete shingle-join
     form below (corpus-geometry-bound; see its docstring).
     """
@@ -251,6 +283,7 @@ def ngram_jaccard_pairs(
         cand = minhash_lsh_candidates(
             df, text_col=text_col, id_col=id_col,
             num_hashes=num_hashes, bands=bands, k=k,
+            max_bucket=max_bucket,
         ).localCheckpoint()
         ids = (
             cand.select(F.col("id_a").alias(id_col))

@@ -1259,11 +1259,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_min(list_transform(shingles, s -> md5(i || ':' || s)))
                ) AS sig
         FROM sh
-    ), banded AS (
+    ), banded0 AS (
         SELECT doc_id, b.band,
                array_to_string(list_slice(sig, b.band * 2 + 1, b.band * 2 + 2),
                                '|') AS bucket
         FROM sig, (SELECT unnest(range(0, 8)) AS band) b
+    ), banded AS (
+        -- stop-bucket cap (mirrors max_bucket=1000 in the operator)
+        SELECT doc_id, band, bucket FROM banded0
+        QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000
     ), pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM banded a JOIN banded b
@@ -1285,11 +1289,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard near-dup pairs >= 0.8, LSH-blocked: MinHash(16)
     banding (8 bands x 2 rows; miss ~3e-4 at J=0.8) generates the
-    candidate stream, exact distinct-shingle Jaccard verifies each
+    candidate stream through the max_bucket=1000 stop-bucket cap
+    (2-row buckets are weak — uncapped, the banded self-join exhausted
+    local disk at sf30), exact distinct-shingle Jaccard verifies each
     candidate — the scale-safe composition (the exhaustive shingle-join
     twin is ``ngram_jaccard_pairs(exhaustive=True)``, measured
     super-linear at sf3). The oracle replays the identical md5 banding
-    and exact verification, so parity is hash-exact."""
+    INCLUDING the cap (QUALIFY), so parity is hash-exact."""
     from .operators.dedup import ngram_jaccard_pairs
 
     t = load_testdata(spark, sf_dir)

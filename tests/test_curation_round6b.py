@@ -236,3 +236,37 @@ def test_winnow_frequency_cap_drops_boilerplate(spark):
         df, k=3, w=4, min_shared=1, max_df=2
     ).collect()
     assert out == []
+
+
+# --- LSH stop-bucket cap ----------------------------------------------------
+
+
+def test_lsh_stop_bucket_cap_drops_overfull_buckets(spark):
+    # Five identical docs: every band bucket holds all 5. With
+    # max_bucket=4 every bucket is over-cap, so NO candidate pairs
+    # survive; with the cap off, all C(5,2)=10 pairs emerge.
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    text = "a b c d e f g h i j"
+    df = _docs(spark, [(i, text) for i in range(1, 6)])
+    capped = minhash_lsh_candidates(df, max_bucket=4).collect()
+    assert capped == []
+    uncapped = minhash_lsh_candidates(df, max_bucket=None).collect()
+    assert len(uncapped) == 10
+
+
+def test_lsh_cap_keeps_pairs_with_an_undercap_band(spark):
+    # Two exact duplicates among otherwise-distinct docs: their
+    # buckets hold only the pair, far under any reasonable cap.
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    dup = "x1 x2 x3 x4 x5 x6 x7 x8"
+    rows = [(1, dup), (2, dup)] + [
+        (i, f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(3, 8)
+    ]
+    out = minhash_lsh_candidates(_docs(spark, rows), max_bucket=2).collect()
+    assert {(r.id_a, r.id_b) for r in out} >= {(1, 2)}
