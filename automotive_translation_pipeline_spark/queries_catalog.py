@@ -7794,3 +7794,89 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprint_pairs(
         t["documents"], k=3, w=4, min_shared=3, max_df=50
     )
+
+
+@register(
+    "text_doc_signals",
+    f"""
+    SELECT doc_id, lang, source,
+           length(trim(text)) AS n_chars,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+           CAST({_DUCK_BPE.format(c="text")} AS BIGINT) AS n_tokens,
+           round((least(1.0, len(regexp_split_to_array(trim(text), '\\s+')) / 50.0)
+                + greatest(0.0, 1.0 - (length(regexp_replace(trim(text),
+                      '[^!-/:-@\\[-`{{-~]', '', 'g')) * 1.0
+                      / greatest(length(trim(text)), 1)) * 4)
+                + least(1.0, len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                      w -> lower(w) IN ('the','and','of','to','a','in','is',
+                                        'it','that','for')))
+                      / greatest(len(regexp_split_to_array(trim(text), '\\s+'))
+                                 * 0.05, 1.0))) / 3, 4) AS quality,
+           CASE
+               WHEN best = 0 THEN 'und'
+               WHEN s_en = best THEN 'en'
+               WHEN s_de = best THEN 'de'
+               WHEN s_es = best THEN 'es'
+               WHEN s_fr = best THEN 'fr'
+               ELSE 'und' END AS lang_pred,
+           (len(words) BETWEEN 5 AND 1000)
+               AND (length(regexp_replace(txt, '\\s+', '', 'g')) * 1.0
+                    / len(words) BETWEEN 3 AND 10)
+               AND (length(regexp_replace(txt, '[a-z0-9\\s]', '', 'g')) * 1.0
+                    / greatest(length(txt), 1) < 0.1)
+               AND (len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+                    * 1.0 / len(words) >= 0.8) AS gopher_ok,
+           md5({_DUCK_NORM.format(c="text")}) AS fingerprint
+    FROM (
+        SELECT *, greatest(s_en, s_de, s_es, s_fr) AS best
+        FROM (
+            SELECT doc_id, lang, source, text, txt, words,
+                   len(list_filter(words, w -> w IN ('the','and','of','to','a',
+                       'in','is','it','that','for'))) AS s_en,
+                   len(list_filter(words, w -> w IN ('der','die','das','und',
+                       'ist','nicht','ein','mit','auf','von'))) AS s_de,
+                   len(list_filter(words, w -> w IN ('el','la','de','que','y',
+                       'en','un','por','con','una'))) AS s_es,
+                   len(list_filter(words, w -> w IN ('le','la','de','et','les',
+                       'des','est','un','une','dans'))) AS s_fr
+            FROM (SELECT doc_id, lang, source, text,
+                         lower(trim(text)) AS txt,
+                         regexp_split_to_array(lower(trim(text)), '\\s+')
+                             AS words
+                  FROM documents)))
+    """,
+)
+def text_doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Dolma-style per-document signals export: every cheap
+    quality/identity signal the curation pipeline consumes — sizes,
+    token estimate, quality score, language ID, Gopher gate,
+    content fingerprint — computed as ONE scan-side projection with
+    ZERO shuffles (no explode, no aggregate; the repetition signals
+    that need an explode live in `text_repetition_ratio`). At 100 TB
+    this is the signals table written next to the corpus that every
+    downstream filter/mixer reads instead of re-touching raw text.
+    Composes the already-oracled functions (quality_score, lang_id,
+    gopher_pass, bpe_token_count, doc_fingerprint) and their proven
+    SQL twins into one row per document."""
+    from .functions.text import (
+        bpe_token_count,
+        doc_fingerprint,
+        gopher_pass,
+        lang_id,
+        quality_score,
+    )
+
+    t = load_testdata(spark, sf_dir)
+    c = F.col("text")
+    return t["documents"].select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length(F.trim(c)).alias("n_chars"),
+        F.size(F.split(F.trim(c), r"\s+")).alias("n_words"),
+        bpe_token_count(c).cast("bigint").alias("n_tokens"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        gopher_pass(c).alias("gopher_ok"),
+        doc_fingerprint(c).alias("fingerprint"),
+    )

@@ -117,6 +117,7 @@ HEADLINE = [
     "sample_dsir_weights",
     "dedup_remove_duplicate_spans",
     "dedup_winnow_pairs",
+    "text_doc_signals",
 ]
 
 

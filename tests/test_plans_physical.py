@@ -445,3 +445,12 @@ def test_remove_spans_narrow_span_side_join(spark, sf_dir):
     exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert exchanges and all("text" not in l for l in exchanges)
     assert text_scans  # text is read at scan, not synthesized downstream
+
+
+def test_doc_signals_single_scan_zero_shuffle(spark, sf_dir):
+    """The signals bundle must stay a pure scan-side projection: one
+    FileScan, no Exchange of any kind, no join, no aggregate."""
+    plan = _physical(spark, "text_doc_signals", sf_dir)
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "HashAggregate" not in plan
