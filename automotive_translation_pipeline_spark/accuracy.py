@@ -328,6 +328,39 @@ def check_semantic_dedup(spark, sf_dir):
     return not missed, detail
 
 
+def check_pca_recon(spark, sf_dir):
+    """PCA contract (pytest twin: test_curation_round6b.py): projection
+    MSE is monotone non-increasing in k, full-rank reconstruction is
+    exact to float tolerance, and variance_explained is a fraction."""
+    from .operators.embeddings import pca_reconstruction_report
+    from .sources import load_testdata
+
+    emb = load_testdata(spark, sf_dir)["embeddings"]
+
+    def weighted_mse(k):
+        rows = pca_reconstruction_report(emb, k=k).collect()
+        n = sum(r["n_vecs"] for r in rows)
+        return (
+            sum(r["mean_recon_mse"] * r["n_vecs"] for r in rows) / n,
+            rows[0]["variance_explained"],
+        )
+
+    m8, e8 = weighted_mse(8)
+    m32, e32 = weighted_mse(32)
+    d = len(emb.select("embedding").first()[0])
+    mfull, efull = weighted_mse(d)
+    ok = (
+        m32 <= m8
+        and mfull < 1e-9
+        and 0.0 < e8 <= e32 <= efull <= 1.0 + 1e-9
+    )
+    detail = (
+        f"mse8={m8:.6f} mse32={m32:.6f} mse_full={mfull:.2e} "
+        f"expl8={e8} expl32={e32}"
+    )
+    return ok, detail
+
+
 ACCURACY_CHECKS: dict[str, Check] = {
     "agg_approx_distinct": check_agg_approx_distinct,
     "ann_cosine_lsh": check_ann_lsh,
@@ -339,4 +372,5 @@ ACCURACY_CHECKS: dict[str, Check] = {
     "ann_mmr_diversified": check_ann_mmr,
     "profile_approx_quantiles": check_approx_quantiles,
     "dedup_semantic_prune": check_semantic_dedup,
+    "embedding_pca_recon": check_pca_recon,
 }

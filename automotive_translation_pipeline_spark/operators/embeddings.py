@@ -153,3 +153,117 @@ def cosine_topk_int8(
         .select("query_id", "vec_id",
                 F.round("cosine", ndigits).alias("cosine_r"))
     )
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+):
+    """Fit a k-component PCA on the embedding column — the standard
+    dimensionality-reduction step in front of IVF/PQ retrieval (OPQ's
+    first move) and the 4x-and-beyond storage lever past int8.
+
+    Distributed part: ONE pass computing the d x d scatter — each
+    Arrow batch contributes its numpy GEMM partial (X^T X, column sum,
+    count) via ``mapInPandas``, and the d²-sized partials reduce to a
+    single row set; the corpus is never collected and never shuffled
+    (the reduce moves executors x d² floats, not rows). Driver part:
+    eigendecomposition of the 64x64 covariance — O(d³) on d=64 is
+    microseconds and has no distributed formulation worth its
+    complexity.
+
+    Returns ``(mean, components, explained)``: numpy (d,), (k, d)
+    orthonormal rows (deterministic up to sign for a fixed corpus;
+    every consumer below is sign-invariant), and the fraction of total
+    variance captured per component.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d_probe = len(df.select(vec_col).first()[0])
+
+    def partials(frames):
+        for pdf in frames:
+            x = np.stack(pdf["v"].to_numpy()).astype("float64")
+            g = x.T @ x
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(x))],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [g.reshape(-1).tolist()],
+                }
+            )
+
+    parts = (
+        df.select(F.col(vec_col).alias("v"))
+        .mapInPandas(
+            partials, schema="n double, s array<double>, g array<double>"
+        )
+        .collect()
+    )
+    n = sum(p["n"] for p in parts)
+    import numpy as np  # noqa: F811
+
+    s = np.sum([np.array(p["s"]) for p in parts], axis=0)
+    g = np.sum([np.array(p["g"]) for p in parts], axis=0).reshape(
+        d_probe, d_probe
+    )
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    total = float(evals.sum()) or 1.0
+    return mean, evecs[:, :k].T, (evals[:k] / total)
+
+
+def pca_reconstruction_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    k: int = 16,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Project every vector onto the fitted k components and report,
+    per ``group_col``: vector count, mean reconstruction MSE, and the
+    total variance-explained fraction of the fit (same scalar on every
+    row — the fit is corpus-wide). The projection is a broadcast
+    matmul: the (k, d) component matrix rides the UDF closure and each
+    Arrow batch reconstructs with two numpy GEMMs — no shuffle until
+    the tiny per-group aggregate.
+    """
+    import numpy as np
+    import pandas as pd
+
+    mean, comps, explained = pca_fit(df, vec_col=vec_col, k=k)
+    expl = float(explained.sum())
+
+    def recon_mse(frames):
+        for pdf in frames:
+            x = np.stack(pdf["v"].to_numpy()).astype("float64")
+            c = (x - mean) @ comps.T
+            xr = c @ comps + mean
+            yield pd.DataFrame(
+                {
+                    "g": pdf["g"],
+                    "mse": ((x - xr) ** 2).mean(axis=1),
+                }
+            )
+
+    scored = df.select(
+        F.col(group_col).alias("g"), F.col(vec_col).alias("v")
+    ).mapInPandas(recon_mse, schema="g int, mse double")
+    return (
+        scored.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("mse"), ndigits).alias("mean_recon_mse"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_vecs",
+            "mean_recon_mse",
+            F.round(F.lit(expl), ndigits).alias("variance_explained"),
+        )
+    )

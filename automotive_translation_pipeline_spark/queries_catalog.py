@@ -7880,3 +7880,23 @@ def text_doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_pass(c).alias("gopher_ok"),
         doc_fingerprint(c).alias("fingerprint"),
     )
+
+
+@register("embedding_pca_recon", None)
+def embedding_pca_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction for the embedding column
+    (operators/embeddings.py:pca_fit / pca_reconstruction_report) —
+    the standard step in front of IVF/PQ (OPQ's first move) and the
+    storage lever past int8. One distributed pass builds the d x d
+    scatter from per-Arrow-batch numpy GEMM partials (corpus never
+    collected, never shuffled); the 64x64 eigendecomposition runs on
+    the driver; projection is a broadcast matmul. Rows-only by nature
+    (eigenvectors are not SQL-expressible) — the in-sweep accuracy
+    hook (accuracy.py:check_pca_recon) bounds it: MSE monotone in k,
+    full-rank reconstruction exact, variance fractions ordered."""
+    from .operators.embeddings import pca_reconstruction_report
+
+    t = load_testdata(spark, sf_dir)
+    return pca_reconstruction_report(
+        t["embeddings"], vec_col="embedding", group_col="label", k=16
+    )

@@ -118,6 +118,7 @@ HEADLINE = [
     "dedup_remove_duplicate_spans",
     "dedup_winnow_pairs",
     "text_doc_signals",
+    "embedding_pca_recon",
 ]
 
 

@@ -270,3 +270,51 @@ def test_lsh_cap_keeps_pairs_with_an_undercap_band(spark):
     ]
     out = minhash_lsh_candidates(_docs(spark, rows), max_bucket=2).collect()
     assert {(r.id_a, r.id_b) for r in out} >= {(1, 2)}
+
+
+# --- PCA --------------------------------------------------------------------
+
+
+def test_pca_components_orthonormal_and_monotone(spark):
+    import numpy as np
+
+    from automotive_translation_pipeline_spark.operators.embeddings import (
+        pca_fit,
+        pca_reconstruction_report,
+    )
+    from automotive_translation_pipeline_spark.sources import load_testdata
+
+    emb = load_testdata(spark, "/root/testdata/sf0.001")["embeddings"]
+    mean, comps, expl = pca_fit(emb, k=16)
+    assert comps.shape == (16, 64)
+    assert np.allclose(comps @ comps.T, np.eye(16), atol=1e-8)
+    assert 0.0 < float(expl.sum()) <= 1.0 + 1e-9
+
+    def mse(k):
+        rows = pca_reconstruction_report(emb, k=k).collect()
+        n = sum(r.n_vecs for r in rows)
+        return sum(r.mean_recon_mse * r.n_vecs for r in rows) / n
+
+    m8, m32, m64 = mse(8), mse(32), mse(64)
+    assert m32 < m8            # more components, less error
+    assert m64 < 1e-9          # full rank reconstructs exactly
+
+
+def test_pca_scatter_matches_numpy(spark):
+    # The distributed GEMM-partial scatter must equal the plain numpy
+    # covariance computed on the collected corpus.
+    import numpy as np
+
+    from automotive_translation_pipeline_spark.operators.embeddings import (
+        pca_fit,
+    )
+    from automotive_translation_pipeline_spark.sources import load_testdata
+
+    emb = load_testdata(spark, "/root/testdata/sf0.001")["embeddings"]
+    mean, comps, expl = pca_fit(emb, k=64)
+    x = np.stack([r.embedding for r in emb.collect()]).astype("float64")
+    assert np.allclose(mean, x.mean(axis=0), atol=1e-10)
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    total = evals.sum()
+    assert np.allclose(expl, evals / total, atol=1e-8)
