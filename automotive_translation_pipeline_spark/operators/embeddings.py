@@ -177,6 +177,10 @@ def pca_fit(
     orthonormal rows (deterministic up to sign for a fixed corpus;
     every consumer below is sign-invariant), and the fraction of total
     variance captured per component.
+
+    NOTE: fitting is EAGER by contract (a ``first()`` to probe the
+    dimension and the partial-reduce collect) — this is a model-fit
+    API like ``semantic_dedup``'s quantizer, not a lazy plan builder.
     """
     import numpy as np
     import pandas as pd
@@ -203,8 +207,6 @@ def pca_fit(
         .collect()
     )
     n = sum(p["n"] for p in parts)
-    import numpy as np  # noqa: F811
-
     s = np.sum([np.array(p["s"]) for p in parts], axis=0)
     g = np.sum([np.array(p["g"]) for p in parts], axis=0).reshape(
         d_probe, d_probe
