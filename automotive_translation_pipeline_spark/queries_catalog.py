@@ -7900,3 +7900,86 @@ def embedding_pca_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_reconstruction_report(
         t["embeddings"], vec_col="embedding", group_col="label", k=16
     )
+
+
+@register(
+    "basket_brand_lift",
+    """
+    WITH bl AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), tot AS (
+        SELECT count(DISTINCT l_orderkey) AS n_orders FROM bl
+    ), sup AS (
+        SELECT p_brand, count(*) AS n FROM bl GROUP BY 1
+    ), pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               count(*) AS n_pairs
+        FROM bl a JOIN bl b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, n_pairs,
+           round(n_pairs * n_orders * 1.0 / (sa.n * sb.n), 4) AS lift
+    FROM pairs
+    JOIN sup sa ON sa.p_brand = brand_a
+    JOIN sup sb ON sb.p_brand = brand_b
+    CROSS JOIN tot
+    WHERE n_pairs >= 10
+    """,
+)
+def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over order baskets: for every brand
+    pair co-occurring in >= 10 orders, the co-occurrence count and
+    lift = P(a,b) / (P(a) P(b)). The scale contrast to the dedup pair
+    streams: this self-join is keyed on the ORDER (baskets are <= 13
+    lines by data contract), so pair work is C(basket,2) per order —
+    strictly linear in orders at any corpus size — and the brand
+    dimension broadcasts (25 rows). One distinct, one bounded
+    self-join, two tiny broadcast enrichments."""
+    t = load_testdata(spark, sf_dir)
+    bl = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        # Four consumers (total, supports, both self-join sides):
+        # persist the distinct basket table or the lineitem join
+        # replays per consumer — same lesson as dsir's collapse.
+        .persist()
+    )
+    tot = bl.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    sup = bl.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    a = bl.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = bl.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") >= 10)
+    )
+    return (
+        pairs.join(
+            F.broadcast(sup.select(F.col("p_brand").alias("brand_a"),
+                                   F.col("n").alias("__na"))), "brand_a"
+        )
+        .join(
+            F.broadcast(sup.select(F.col("p_brand").alias("brand_b"),
+                                   F.col("n").alias("__nb"))), "brand_b"
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_pairs",
+            F.round(
+                F.col("n_pairs") * F.col("n_orders") * 1.0
+                / (F.col("__na") * F.col("__nb")),
+                4,
+            ).alias("lift"),
+        )
+    )

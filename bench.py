@@ -119,6 +119,7 @@ HEADLINE = [
     "dedup_winnow_pairs",
     "text_doc_signals",
     "embedding_pca_recon",
+    "basket_brand_lift",
 ]
 
 
