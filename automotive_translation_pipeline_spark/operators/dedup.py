@@ -1268,6 +1268,10 @@ def winnow_fingerprint_pairs(
         .filter(F.col("__h") == F.col("__min"))
         .select(id_col, "__h")
         .distinct()
+        # The winnowed set feeds the frequency count AND the pair
+        # join; persist it or the gram explode + window-min replays
+        # per consumer (same multi-consumer rule as dsir / basket).
+        .persist()
     )
     df_count = fps.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
     kept = fps.join(
