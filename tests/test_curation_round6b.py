@@ -318,3 +318,43 @@ def test_pca_scatter_matches_numpy(spark):
     evals = np.linalg.eigvalsh(cov)[::-1]
     total = evals.sum()
     assert np.allclose(expl, evals / total, atol=1e-8)
+
+
+# --- span-family invariants on randomized corpora ---------------------------
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [7, 21, 99])
+def test_span_detect_remove_invariants(spark, seed):
+    """On any corpus: (1) removal conserves words (kept + removed ==
+    total), (2) a doc can only lose words if the detector found
+    duplicated text in it, (3) detector spans are bounded by the doc."""
+    import random
+
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab -> real dups
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for i in range(1, 26)
+    ]
+    df = _docs(spark, rows)
+    det = {r.doc_id: r for r in duplicate_spans(df, k=4).collect()}
+    rem = {r.doc_id: r for r in remove_duplicate_spans(df, k=4).collect()}
+    assert set(rem) == {i for i, _ in rows}  # removal covers every doc
+    for i, text in rows:
+        r = rem[i]
+        assert r.kept_words + r.removed_words == r.n_words
+        assert r.kept_words >= 0 and r.removed_words >= 0
+        if r.removed_words > 0:
+            assert i in det  # only detected docs lose text
+    for i, d in det.items():
+        assert 1 <= d.n_spans
+        assert d.max_span <= d.dup_words <= d.n_words
+        assert d.n_words >= 4
