@@ -959,8 +959,13 @@ def semantic_dedup(
     # KMeans needs k <= fit rows: beyond target_cell_size * fit_cap / 2
     # vectors the cap binds and cells grow past target — raise fit_cap
     # if constant cell size matters at that scale.
-    n_cells = min(n_cells, max(4, min(n, fit_cap) // 2))
     fit_set = vecs if n <= fit_cap else hash_sample(vecs, id_col, fit_cap / n)
+    # Clamp against the ACTUAL fit-sample row count, not the expected
+    # fit_cap/2: a hash sample that under-delivers on a skewed id
+    # distribution would otherwise hand KMeans k > rows. The fit is
+    # eager anyway, so the count adds one scan of the sampled side.
+    n_fit = n if n <= fit_cap else fit_set.count()
+    n_cells = min(n_cells, max(4, n_fit // 2), max(1, n_fit))
     model = KMeans(k=n_cells, seed=seed, featuresCol="__feat").fit(fit_set)
     cents = model.clusterCenters()
     cent_df = emb.sparkSession.createDataFrame(
@@ -1238,6 +1243,14 @@ def winnow_fingerprint_pairs(
     the winnowed ~2/(w+1) subset with frequency-capped groups, so the
     pair stream is bounded by ``max_df`` per fingerprint. Raw text
     never shuffles.
+
+    Cache lifetime: the selected-fingerprint set is ``persist()``-ed
+    because two consumers (the frequency count and the pair join) would
+    otherwise each replay the gram explode + window-min. Per the repo's
+    multi-consumer convention the cache belongs to the returned plan's
+    lifetime — callers running many operators in one long session own
+    cleanup (``spark.catalog.clearCache()`` between suites, as bench.py
+    does between fresh sessions).
     """
     words = F.split(normalized_text(F.col(text_col)), " ")
     base = df.select(

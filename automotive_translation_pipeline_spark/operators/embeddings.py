@@ -185,7 +185,12 @@ def pca_fit(
     import numpy as np
     import pandas as pd
 
-    d_probe = len(df.select(vec_col).first()[0])
+    probe = df.select(vec_col).first()
+    if probe is None or probe[0] is None:
+        raise ValueError(
+            f"pca_fit: input DataFrame has no non-null '{vec_col}' rows"
+        )
+    d_probe = len(probe[0])
 
     def partials(frames):
         for pdf in frames:
@@ -253,9 +258,13 @@ def pca_reconstruction_report(
                 }
             )
 
+    # The group field keeps its source type (string lang keys, int64
+    # ids, ...) — hardcoding int here would Arrow-cast-fail any
+    # non-int32 group_col despite the generic API.
+    g_type = df.schema[group_col].dataType.simpleString()
     scored = df.select(
         F.col(group_col).alias("g"), F.col(vec_col).alias("v")
-    ).mapInPandas(recon_mse, schema="g int, mse double")
+    ).mapInPandas(recon_mse, schema=f"g {g_type}, mse double")
     return (
         scored.groupBy("g")
         .agg(
