@@ -1,8 +1,9 @@
 """Bounded accuracy checks for the rows-only catalog entries.
 
-Ten catalog queries have no DuckDB oracle BY NATURE (approximate
+Nine catalog queries have no DuckDB oracle BY NATURE (approximate
 sketches, engine-specific hashes or clustering, iterative selection;
-SimHash graduated to a portable md5 oracle in round 6). Each one still has
+SimHash graduated to a portable md5 oracle in round 6, the HLL and GK
+bound checks to in-query bounded-error oracles in round 7). Each one still has
 a quantitative contract — recall vs an exact twin, one-sided sketch
 error, rank-accuracy of a quantile sketch — asserted by pytest. This
 module packages those same contracts as sweep-runnable hooks so
@@ -50,17 +51,11 @@ def _bruteforce_top10(spark, sf_dir):
     ).collect()
 
 
-def check_agg_approx_distinct(spark, sf_dir):
-    """|HLL estimate - exact| <= max(2, 10% exact) — the
-    test_approx_count_distinct_accuracy bound (rsd 5% + slack)."""
-    t = load_testdata(spark, sf_dir)
-    exact = t["events"].select("user_id").distinct().count()
-    approx = t["events"].agg(
-        F.approx_count_distinct("user_id").alias("a")
-    ).first()["a"]
-    ok = abs(approx - exact) <= max(2, exact * 0.10)
-    return ok, f"exact={exact} approx={approx}"
-
+# (agg_approx_distinct and profile_approx_quantiles graduated to
+# bounded-error DuckDB oracles in round 7 — the query itself now emits
+# the exact value plus the bound verdict, so a sketch-contract
+# violation hash-FAILs in the sweep; their table-vs-hook checks
+# retired with them.)
 
 # (dedup_simhash_buckets graduated to a full DuckDB oracle in round 6
 # — portable md5-based 60-bit simhash — so its table==scalar hook
@@ -251,34 +246,6 @@ def check_hll_mergeable(spark, sf_dir):
     return worst <= 0.03, f"worst_rel_err={worst:.4f} (<=0.03)"
 
 
-def check_approx_quantiles(spark, sf_dir):
-    """Each GK-sketch percentile lands between the exact quantiles at
-    q +/- 0.001 (10x the sketch's 1/accuracy=1e-4 rank guarantee — a
-    hard bound, not a tolerance)."""
-    t = load_testdata(spark, sf_dir)
-    qs = [0.5, 0.95, 0.99]
-    lo_hi = (
-        t["lineitem"]
-        .groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx("l_extendedprice", qs, 10000).alias("ap"),
-            F.expr(
-                "percentile(l_extendedprice, array(0.499, 0.949, 0.989))"
-            ).alias("lo"),
-            F.expr(
-                "percentile(l_extendedprice, array(0.501, 0.951, 0.991))"
-            ).alias("hi"),
-        )
-        .collect()
-    )
-    bad = []
-    for r in lo_hi:
-        for i in range(len(qs)):
-            if not (r["lo"][i] <= r["ap"][i] <= r["hi"][i]):
-                bad.append((r["l_returnflag"], qs[i]))
-    return not bad, f"groups={len(lo_hi)} out_of_rank_bound={bad or 0}"
-
-
 def check_semantic_dedup(spark, sf_dir):
     """Planted exact duplicates (20 copied vectors at shifted ids) must
     ALL be pruned — identical vectors land in the same KMeans cell and
@@ -362,7 +329,6 @@ def check_pca_recon(spark, sf_dir):
 
 
 ACCURACY_CHECKS: dict[str, Check] = {
-    "agg_approx_distinct": check_agg_approx_distinct,
     "ann_cosine_lsh": check_ann_lsh,
     "ann_cosine_ivf": check_ann_ivf,
     "ann_cosine_pq": check_ann_pq,
@@ -370,7 +336,6 @@ ACCURACY_CHECKS: dict[str, Check] = {
     "heavy_hitters_cms": check_heavy_hitters_cms,
     "agg_hll_mergeable": check_hll_mergeable,
     "ann_mmr_diversified": check_ann_mmr,
-    "profile_approx_quantiles": check_approx_quantiles,
     "dedup_semantic_prune": check_semantic_dedup,
     "embedding_pca_recon": check_pca_recon,
 }

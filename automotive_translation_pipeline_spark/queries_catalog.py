@@ -75,24 +75,13 @@ def register(name: str, sql: str | None):
 # by touching the entry (e.g. a docstring note), which flips its
 # fingerprint and forces the declaration here.
 _CHANGED_THIS_ROUND = frozenset({
-    # carried from round 5 — changed then, not yet driver-sampled since
-    # (the r05 artifact has no row for them; self-heal retires each the
-    # moment a CORRECTNESS artifact hash-greens the new version):
-    "embedding_int8_quantize",  # quantize: sign*floor(abs+0.5), not round()
-    "ann_cosine_int8",          # same tie-portable quantization in oracle
-    "sql_recursive_bfs_hops",   # seeds = lowest-id EDGE nodes (non-vacuous)
-    "text_char_entropy",        # Arrow histogram kernel (O(n) per doc)
-    "profile_equidepth_histogram",  # integer-cents sum (sf3 float drift)
-    # round 6 edits:
-    "dedup_ngram_jaccard",      # LSH-block candidates + exact verify
-    "dedup_simhash_buckets",    # promoted rows-only -> full DuckDB oracle
-    "ann_cosine_pq",            # 32-code codebook + scale-aware re-rank
-    "multimodal_feature_stats", # MP4 (ISO BMFF) joins the container mix
-    # round 6 self-review fixes (post-snapshot; the semantic_dedup
-    # clamp/CSE/checkpoint and bpe_train fixes are operator-internal
-    # with unchanged results — no entry drift, so not declared):
-    "text_bpe_top_pairs",       # \w+ vocab filter == train loop's round 1
-    "sample_temperature_mixture",  # composes temperature_mixture_sample
+    # (round-6 carries all pruned: every declared entry was hash-greened
+    # — or, for ann_cosine_pq, rows-observed with its accuracy hook
+    # passing — in the driver's CORRECTNESS_r06.json against the
+    # round-6 code, so their snapshot fingerprints refresh this round.)
+    # round 7 edits:
+    "agg_approx_distinct",      # promoted rows-only -> bounded-error oracle
+    "profile_approx_quantiles", # promoted rows-only -> bounded-error oracle
 })
 
 
@@ -1753,13 +1742,44 @@ def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", None)
+@register(
+    "agg_approx_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approx distinct — sketch results are engine-specific, so this
-    is declared rows-only; accuracy is asserted in unit tests."""
+    """HLL approx distinct, promoted from rows-only to a BOUNDED-ERROR
+    oracle (round-6 verdict #4): the sketch estimate itself is
+    engine-specific, but its error CONTRACT is not — per group the
+    query emits the exact distinct count (a genuine value check
+    against DuckDB) plus `within_bound` = |HLL - exact| <= max(2,
+    10% * exact), i.e. 2x the 5% rsd the sketch is configured for
+    (the same bound the former pytest-only hook enforced). Spark's
+    HLL++ is deterministic for a fixed dataset, so a bound violation
+    is a hard hash-FAIL, not flake. Both counts ride ONE partial-
+    aggregable pass; at 100 TB drop the exact column and keep the
+    sketch — it is the mergeable one."""
     t = load_testdata(spark, sf_dir)
-    return t["events"].agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("__hll"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("__hll") - F.col("exact_users"))
+                <= F.greatest(F.lit(2), F.col("exact_users") * 0.10)
+            ).alias("within_bound"),
+        )
     )
 
 
@@ -5199,32 +5219,57 @@ def ann_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("profile_approx_quantiles", None)
+@register(
+    "profile_approx_quantiles",
+    """
+    SELECT l_returnflag, count(*) AS n_rows,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def profile_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped approximate quantiles via Spark's native
-    percentile_approx (Greenwald-Khanna sketch) — the mergeable,
-    single-pass companion to the exact `profile_quantiles` oracle entry
-    (rows-only: sketch results are engine-specific; accuracy vs the
-    exact percentiles is pytest-bounded). At 100 TB the GK sketch is
-    the only viable shape: map-side partial sketches merge in one
-    exchange, memory bounded by 1/accuracy, no global sort."""
+    percentile_approx (Greenwald-Khanna sketch), promoted from
+    rows-only to a BOUNDED-ERROR oracle (round-6 verdict #4): the
+    sketch values are engine-specific, but the GK rank guarantee is a
+    hard contract — with accuracy=10000 the returned value's rank is
+    within n/10000 of the target, so it must land between the EXACT
+    interpolated quantiles at q +/- 0.001 (10x the guarantee, the same
+    rank-window predicate the former pytest-only hook enforced). The
+    query emits that verdict per group plus the row count (a genuine
+    value check); GK is deterministic for a fixed dataset, so a bound
+    violation is a hard hash-FAIL, not flake. Both sketch and exact
+    bounds ride ONE aggregation pass (the exact percentile's per-group
+    sort is the verification cost — production callers use the sketch
+    alone, which merges map-side with no sort)."""
     t = load_testdata(spark, sf_dir)
-    return (
+    qs = [0.5, 0.95, 0.99]
+    lo = [q - 0.001 for q in qs]
+    hi = [q + 0.001 for q in qs]
+    agged = (
         t["lineitem"]
         .groupBy("l_returnflag")
         .agg(
-            F.percentile_approx(
-                "l_extendedprice", [0.5, 0.95, 0.99], 10000
-            ).alias("approx_p"),
+            F.percentile_approx("l_extendedprice", qs, 10000).alias("ap"),
+            F.expr(
+                f"percentile(l_extendedprice, array({','.join(map(str, lo))}))"
+            ).alias("lo"),
+            F.expr(
+                f"percentile(l_extendedprice, array({','.join(map(str, hi))}))"
+            ).alias("hi"),
             F.count("*").alias("n_rows"),
         )
-        .select(
-            "l_returnflag",
-            F.round(F.element_at("approx_p", 1), 2).alias("p50"),
-            F.round(F.element_at("approx_p", 2), 2).alias("p95"),
-            F.round(F.element_at("approx_p", 3), 2).alias("p99"),
-            "n_rows",
-        )
+    )
+    def _ok(i: int):
+        v = F.element_at("ap", i)
+        return (F.element_at("lo", i) <= v) & (v <= F.element_at("hi", i))
+    return agged.select(
+        "l_returnflag",
+        "n_rows",
+        _ok(1).alias("p50_ok"),
+        _ok(2).alias("p95_ok"),
+        _ok(3).alias("p99_ok"),
     )
 
 

