@@ -61,8 +61,11 @@ def _doc_vocab(n_doc: int) -> tuple[np.ndarray, np.ndarray]:
     the operators (round-6 verdict #1). Here V doubles per ~4x docs —
     V = 31 * sqrt(n_doc / 500) — anchored so the sf0.01-equivalent
     corpus (500 docs) keeps exactly the driver's 31 words, and word
-    frequencies follow a Zipf rank law (s = 1.05) with the original
-    head words as the top ranks.
+    frequencies follow a Zipf-Mandelbrot rank law (p ~ 1/(r+2.7)^1.05,
+    the standard English fit — a pure Zipf over a small vocabulary
+    puts ~20% of all tokens on rank 1; with the q=2.7 shift the head
+    lands at the ~7% a real "the" carries) with the original head
+    words as the top ranks.
     """
     v = max(len(VOCAB), int(round(len(VOCAB) * (n_doc / 500.0) ** 0.5)))
     words, seen, i = list(VOCAB), set(VOCAB), 0
@@ -73,7 +76,7 @@ def _doc_vocab(n_doc: int) -> tuple[np.ndarray, np.ndarray]:
             seen.add(w)
             words.append(w)
     ranks = np.arange(1, v + 1, dtype="float64")
-    p = ranks ** -1.05
+    p = (ranks + 2.7) ** -1.05
     p /= p.sum()
     return np.array(words), p
 LANGS = ["en", "fr", "es", "de", "zh"]
