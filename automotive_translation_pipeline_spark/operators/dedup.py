@@ -1142,9 +1142,56 @@ def remove_duplicate_spans(
     to documents. The row_number that picks the canonical occurrence
     rides the same fingerprint partitioning as the count.
     """
+    joined, kept = _span_kept_words(df, text_col, id_col, k, min_count)
+    return joined.select(
+        id_col,
+        "n_words",
+        F.size(kept).alias("kept_words"),
+        (F.col("n_words") - F.size(kept)).alias("removed_words"),
+        F.md5(F.concat_ws(" ", kept).cast("binary")).alias("kept_md5"),
+    )
+
+
+def remove_duplicate_spans_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """``remove_duplicate_spans`` that RETURNS the cleaned text — the
+    composable form the curation pipeline chains into downstream
+    stages (decontamination shingles, DSIR features, packing costs all
+    consume the post-cut words). Output: every input column except
+    ``text_col``, plus ``out_col`` (surviving words re-joined, already
+    normalized) and ``kept_words`` (its token count). Same plan as the
+    report form; the only difference is which projection rides the
+    final join."""
+    joined, kept = _span_kept_words(df, text_col, id_col, k, min_count)
+    carry = [c for c in df.columns if c not in (text_col, id_col)]
+    return joined.select(
+        id_col,
+        *carry,
+        F.concat_ws(" ", kept).alias(out_col),
+        F.size(kept).alias("kept_words"),
+    )
+
+
+def _span_kept_words(
+    df: DataFrame, text_col: str, id_col: str, k: int, min_count: int
+):
+    """Shared Lee-et-al span-cut plan: returns ``(joined, kept)`` —
+    the word-array frame (every non-text input column carried through)
+    left-joined to its merged redundant-span list, and the surviving-
+    words array expression to project from it."""
     words = F.split(normalized_text(F.col(text_col)), " ")
+    carry = [c for c in df.columns if c not in (text_col, id_col)]
     base = df.select(
-        F.col(id_col), words.alias("__w"), F.size(words).alias("n_words")
+        F.col(id_col),
+        *carry,
+        words.alias("__w"),
+        F.size(words).alias("n_words"),
     )
     pos = (
         base.filter(F.col("n_words") >= k)
@@ -1201,13 +1248,7 @@ def remove_duplicate_spans(
             ),
         )
     )
-    return joined.select(
-        id_col,
-        "n_words",
-        F.size(kept).alias("kept_words"),
-        (F.col("n_words") - F.size(kept)).alias("removed_words"),
-        F.md5(F.concat_ws(" ", kept).cast("binary")).alias("kept_md5"),
-    )
+    return joined, kept
 
 
 def winnow_fingerprint_pairs(

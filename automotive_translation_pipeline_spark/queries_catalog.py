@@ -4962,6 +4962,246 @@ def curation_pipeline_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_full_pipeline",
+    f"""
+    WITH gate AS (
+        SELECT doc_id, lang, source,
+               {_DUCK_NORM.format(c="text")} AS nt
+        FROM (
+            SELECT doc_id, lang, source, text,
+                   len(words) AS wc,
+                   length(regexp_replace(txt, '\\s+', '', 'g')) AS nonspace,
+                   length(regexp_replace(txt, '[a-z0-9\\s]', '', 'g'))
+                       AS symbols,
+                   len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+                       AS alpha_words
+            FROM (SELECT doc_id, lang, source, text,
+                         lower(trim(text)) AS txt,
+                         regexp_split_to_array(lower(trim(text)), '\\s+')
+                             AS words
+                  FROM documents))
+        WHERE (wc BETWEEN 5 AND 1000)
+          AND (nonspace * 1.0 / wc BETWEEN 3 AND 10)
+          AND (symbols * 1.0 / greatest(length(trim(text)), 1) < 0.1)
+          AND (alpha_words * 1.0 / wc >= 0.8)),
+    ded AS (
+        SELECT doc_id, lang, source, nt
+        FROM (SELECT *, row_number() OVER (PARTITION BY md5(nt)
+                                           ORDER BY doc_id) AS rn
+              FROM gate)
+        WHERE rn = 1),
+    w AS (SELECT doc_id, lang, source, string_split(nt, ' ') AS words
+          FROM ded),
+    pos AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+               md5(array_to_string(words[i:i+7], ' ')) AS fp
+        FROM w, LATERAL unnest(range(1, len(words) - 6)) AS t(i)
+        WHERE len(words) >= 8),
+    red AS (
+        SELECT doc_id, i FROM (
+            SELECT doc_id, i,
+                   count(*) OVER (PARTITION BY fp) AS c,
+                   row_number() OVER (PARTITION BY fp ORDER BY doc_id, i)
+                       AS rk
+            FROM pos
+        ) WHERE c >= 2 AND rk > 1),
+    brk AS (
+        SELECT doc_id, i,
+               CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM red),
+    isl AS (
+        SELECT doc_id, i,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+        FROM brk),
+    sp AS (SELECT doc_id, island, min(i) AS s, max(i) + 7 AS e
+           FROM isl GROUP BY 1, 2),
+    sl AS (SELECT doc_id, list({{'s': s, 'e': e}}) AS spans
+           FROM sp GROUP BY 1),
+    ct AS (
+        SELECT doc_id, lang, source, kept, len(kept) AS n_tokens,
+               CASE WHEN {_DUCK_BUCKET.format(k="doc_id")} < 1000
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM (
+            SELECT w.doc_id, lang, source,
+                   CASE WHEN spans IS NULL THEN words
+                        ELSE list_filter(words, (x, i) ->
+                            len(list_filter(spans,
+                                s2 -> s2.s <= i AND i <= s2.e)) = 0)
+                   END AS kept
+            FROM w LEFT JOIN sl ON w.doc_id = sl.doc_id)
+        WHERE len(kept) >= 5),
+    ev AS (
+        SELECT DISTINCT unnest(shingles) AS s FROM (
+            SELECT list_distinct(list_transform(range(1, len(kept) - 1),
+                       i -> array_to_string(list_slice(kept, i, i + 2), ' ')))
+                   AS shingles
+            FROM ct WHERE split = 'eval' AND len(kept) >= 3)),
+    trs AS (
+        SELECT doc_id, unnest(shingles) AS s FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(kept) - 1),
+                       i -> array_to_string(list_slice(kept, i, i + 2), ' ')))
+                   AS shingles
+            FROM ct WHERE split = 'train' AND len(kept) >= 3)),
+    contam AS (
+        SELECT doc_id FROM (
+            SELECT trs.doc_id, count(*) AS n
+            FROM trs JOIN ev USING (s) GROUP BY 1
+        ) WHERE n >= 3),
+    surv AS (
+        SELECT * FROM ct
+        WHERE split = 'train'
+          AND doc_id NOT IN (SELECT doc_id FROM contam)),
+    dd AS (SELECT doc_id, lang = 'en' AS tgt, kept AS words FROM surv),
+    f AS (
+        SELECT doc_id, tgt, unnest(words) AS feat FROM dd
+        UNION ALL
+        SELECT doc_id, tgt, words[i] || ' ' || words[i + 1] AS feat
+        FROM dd, LATERAL unnest(range(1, len(words))) AS t(i)
+        WHERE len(words) >= 2),
+    pb AS (
+        SELECT doc_id, tgt,
+               CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT) % 1024 AS bkt,
+               count(*) AS n
+        FROM f GROUP BY 1, 2, 3),
+    s2 AS (
+        SELECT bkt, sum(n) AS raw_n,
+               coalesce(sum(n) FILTER (tgt), 0) AS tgt_n
+        FROM pb GROUP BY 1),
+    tot AS (SELECT sum(raw_n) AS t_raw, sum(tgt_n) AS t_tgt FROM s2),
+    lr AS (
+        SELECT bkt,
+               ln((tgt_n + 1.0) / (t_tgt + 1024.0))
+             - ln((raw_n + 1.0) / (t_raw + 1024.0)) AS lr
+        FROM s2, tot),
+    dw AS (SELECT doc_id, round(sum(n * lr), 4) AS lw
+           FROM pb JOIN lr USING (bkt) GROUP BY 1),
+    c2 AS (SELECT source, count(*) AS n_total FROM surv GROUP BY source),
+    s3 AS (SELECT source, n_total,
+                  CAST(floor(sqrt(n_total) * 1000 + 0.5) AS BIGINT) AS sq
+           FROM c2),
+    t3 AS (SELECT sum(n_total) AS nn, sum(sq) AS ss FROM s3),
+    r3 AS (SELECT source,
+                  least(1.0, 0.5 * (CAST(nn AS DOUBLE) * sq)
+                                 / (CAST(ss AS DOUBLE) * n_total)) AS rate
+           FROM s3, t3),
+    samp AS (
+        SELECT surv.doc_id, surv.lang, surv.n_tokens
+        FROM surv JOIN r3 USING (source)
+        WHERE {_DUCK_BUCKET.format(k="doc_id")}
+              < CAST(floor(10000 * rate) AS BIGINT)),
+    asg AS (
+        SELECT lang, doc_id, n_tokens,
+               floor((sum(n_tokens * 10) OVER (PARTITION BY lang
+                          ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - 1)
+                     / 5120) AS seq
+        FROM samp)
+    SELECT lang, count(*) AS n_docs,
+           count(DISTINCT seq) AS n_seqs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CAST(round(coalesce(lw, 0) * 10000, 0) AS BIGINT))
+                AS BIGINT) AS dsir_logw_q4
+    FROM asg LEFT JOIN dw USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def curation_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end training-data curation flagship (round-6 verdict
+    #2): every published-method stage chained as one lazy plan — the
+    query a 100 TB pretraining-corpus owner actually runs:
+
+    1. Gopher quality gate (`gopher_pass` — scan-side projection);
+    2. exact dedup (md5 fingerprint, smallest doc_id survives);
+    3. ACTIVE span dedup (Lee et al. 2022 `remove_duplicate_spans_text`
+       — duplicated 8-word runs cut, cleaned text flows on);
+    4. post-cut length re-gate (>= 5 surviving words — span-cut can
+       hollow a doc out);
+    5. md5-keyed train/eval split + benchmark decontamination
+       (train docs sharing >= 3 3-shingles with eval are dropped;
+       eval shingle set broadcast);
+    6. DSIR importance weights over the survivors (Xie et al. 2023,
+       target = lang='en');
+    7. alpha=0.5 temperature mixture over sources (~50% kept);
+    8. token-budget packing into 512-token sequences sharded by lang.
+
+    Output: per-lang doc/sequence/token totals plus the summed DSIR
+    log-weight quantized at 1e-4 (integer sum — engine-exact where a
+    float sum is order-dependent). The two mid-pipeline persists are
+    the multi-consumer rule: `clean` feeds train/eval/anti-join,
+    `surv` feeds DSIR + mixture rates + the sample filter.
+
+    Scale shape: raw text stops moving after stage 3 (span dedup
+    shuffles md5 fingerprints, never documents); decontamination and
+    mixture are broadcast joins; DSIR's explode collapses map-side;
+    packing shuffles one narrow (lang, doc_id, n_tokens) row per doc.
+    Cross-operator replay is what this entry exists to catch — the
+    solo benches can't see it."""
+    from .operators.dedup import decontaminate, remove_duplicate_spans_text
+    from .operators.packing import assign_batches_cumsum
+    from .operators.sampling import (
+        dsir_importance_weights,
+        split_of,
+        temperature_mixture_sample,
+    )
+    from .functions.text import doc_fingerprint, gopher_pass
+
+    t = load_testdata(spark, sf_dir)
+    gated = (
+        t["documents"]
+        .filter(gopher_pass(F.col("text")))
+        .select(
+            "doc_id", "lang", "source", "text",
+            doc_fingerprint(F.col("text")).alias("__fp"),
+        )
+    )
+    wfp = Window.partitionBy("__fp").orderBy("doc_id")
+    ded = (
+        gated.withColumn("__rn", F.row_number().over(wfp))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
+    clean = (
+        remove_duplicate_spans_text(ded, k=8)
+        .filter(F.col("kept_words") >= 5)
+        .withColumn("split", split_of(F.col("doc_id")))
+        .persist()
+    )
+    train = clean.filter(F.col("split") == "train")
+    evald = clean.filter(F.col("split") == "eval")
+    contam = decontaminate(
+        train, evald, text_col="clean_text", min_overlap=3
+    )
+    surv = train.join(contam.select("doc_id"), "doc_id", "left_anti").persist()
+    dsir = dsir_importance_weights(
+        surv, F.col("lang") == "en", text_col="clean_text"
+    )
+    sampled = temperature_mixture_sample(surv, "source", "doc_id", 0.5)
+    packed = assign_batches_cumsum(
+        sampled,
+        order_col="doc_id",
+        cost_col="kept_words",
+        limit=512,
+        shard_col="lang",
+        batch_col="seq_id",
+    )
+    return (
+        packed.join(dsir.select("doc_id", "log_weight"), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("seq_id").alias("n_seqs"),
+            F.sum("kept_words").cast("long").alias("total_tokens"),
+            F.sum(
+                F.round(
+                    F.coalesce(F.col("log_weight"), F.lit(0.0)) * 10000, 0
+                ).cast("long")
+            ).alias("dsir_logw_q4"),
+        )
+    )
+
+
+@register(
     "ann_cosine_arrow",
     _DUCK_EMB_CTE
     + """

@@ -65,6 +65,7 @@ HEADLINE = [
     "text_chunk_windows",
     "dedup_segment_overlap",
     "curation_pack_chunks",
+    "curation_full_pipeline",
     "text_unigram_surprisal",
     "embedding_label_outliers",
     "text_split_drift",

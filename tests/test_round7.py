@@ -58,3 +58,64 @@ def test_semantic_dedup_tiny_corpus_clamps_cells(spark):
     emb = load_testdata(spark, SF)["embeddings"].filter(F.col("vec_id") < 6)
     out = semantic_dedup(emb, n_cells=64, threshold=0.999)
     assert out.count() <= 6
+
+
+# --- curation_full_pipeline (round-7 flagship) ------------------------------
+
+
+def test_remove_duplicate_spans_text_matches_report_form(spark):
+    # The text form and the report form ride the same internal plan:
+    # token counts must agree doc-for-doc, and md5(clean_text) must
+    # equal the report's kept_md5 (the value contract).
+    from pyspark.sql import functions as F
+
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+        remove_duplicate_spans_text,
+    )
+
+    docs = load_testdata(spark, SF)["documents"]
+    report = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(docs, k=8).collect()
+    }
+    texted = remove_duplicate_spans_text(docs, k=8).select(
+        "doc_id", "lang", "kept_words",
+        F.md5(F.col("clean_text").cast("binary")).alias("m"),
+    ).collect()
+    assert len(texted) == len(report)
+    for r in texted:
+        assert r["kept_words"] == report[r["doc_id"]]["kept_words"]
+        assert r["m"] == report[r["doc_id"]]["kept_md5"]
+        assert r["lang"] is not None  # carry columns survive
+
+
+def test_curation_full_pipeline_plan_contract(spark, sf_dir):
+    """The flagship chain's physical plan only ever SHUFFLES narrow
+    keys — fingerprints, ids, buckets, shard/source labels — never
+    text; the one sort-merge join is the doc-scaled packed-vs-DSIR
+    rejoin (both sides corpus-sized, so SMJ is the correct choice);
+    every dimension-sized side broadcasts; the only nested-loop joins
+    are broadcast one-row totals."""
+    import re
+
+    from automotive_translation_pipeline_spark import queries_catalog as qc
+
+    df = qc.queries()["curation_full_pipeline"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    norm = re.sub(r"#\d+L?", "", plan)
+    shuffle_keys = set(
+        re.findall(r"Exchange hashpartitioning\(([^,)]+)", norm)
+    )
+    assert shuffle_keys == {
+        "__bkt", "__fp", "__s", "doc_id", "lang", "source"
+    }, shuffle_keys
+    smj_keys = set(re.findall(r"SortMergeJoin \[(\w+)", norm))
+    assert smj_keys <= {"doc_id"}, smj_keys
+    assert "BroadcastHashJoin" in norm
+    assert "CartesianProduct" not in norm
+    # nested-loop appearances must all be broadcast cross joins of
+    # one-row aggregates (the rates/totals tables)
+    for line in norm.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight, Cross" in line, line
