@@ -85,20 +85,28 @@ _CHANGED_THIS_ROUND = frozenset({
 })
 
 
-def _driver_history() -> tuple[set[str], set[str]]:
-    """(ever-sampled, green) query names across all driver rounds.
+def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
+    """(ever-sampled, green, last-sampled-round) across driver rounds.
 
     A row counts as green if its value hash matched, or if it is a
     rows-only query (err == "no_oracle") that the driver has already
-    observed — re-sampling either adds no signal."""
+    observed — re-sampling either adds no signal. The last-sampled
+    round number feeds freshness rotation (round-6 verdict #8): among
+    equally-green entries the ones the driver verified longest ago
+    sort first, so the driver's own artifacts re-cover the full
+    catalog within a few rounds instead of pinning the same prefix."""
     import json
+    import re
     from pathlib import Path
 
     seen: set[str] = set()
     green: set[str] = set()
+    last_round: dict[str, int] = {}
     root = Path(__file__).resolve().parent.parent
     artifacts = sorted(root.glob("CORRECTNESS_r*.json"))
     for path in artifacts:
+        m = re.search(r"r(\d+)", path.name)
+        rnum = int(m.group(1)) if m else 0
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
@@ -107,11 +115,12 @@ def _driver_history() -> tuple[set[str], set[str]]:
             continue
         for name, row in rows.items():
             seen.add(name)
+            last_round[name] = max(last_round.get(name, 0), rnum)
             if not isinstance(row, dict):
                 continue
             if row.get("hash_match") is True or row.get("err") == "no_oracle":
                 green.add(name)
-    return seen, green
+    return seen, green, last_round
 
 
 def _drifted_names() -> set[str]:
@@ -146,22 +155,24 @@ def _drifted_names() -> set[str]:
 
 
 def _ordered_names() -> list[str]:
-    seen, green = _driver_history()
+    seen, green, last_round = _driver_history()
     drifted = _drifted_names()
 
-    def rank(name: str) -> int:
+    def rank(name: str) -> tuple[int, int]:
         # Changed-and-unverified first: declared this round AND the
         # live fingerprint still differs from the last verified
         # snapshot (version-aware — a driver green of the OLD version
         # cannot clear priority for the new one; the round-end refresh
         # is what retires drift once the new version verifies).
         if name in _CHANGED_THIS_ROUND and name in drifted:
-            return 0
+            return (0, 0)
         if name not in seen:
-            return 1
+            return (1, 0)
         if name not in green:
-            return 2
-        return 3
+            return (2, 0)
+        # Greens rotate: least-recently-sampled first, so the driver's
+        # prefix re-covers the whole catalog within a few rounds.
+        return (3, last_round.get(name, 0))
 
     # sorted() is stable: registration order is preserved within a rank.
     return sorted(_REGISTRY, key=rank)
