@@ -128,6 +128,33 @@ def sf_tag(sf_dir: str) -> str:
     return sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
 
+def cpu_calibration() -> float:
+    """Seconds for a fixed single-thread CPU workload — the box-speed
+    probe that travels with every artifact. Round 7 found the host
+    ~1.8x slower than on the day the baseline was recorded (hypervisor
+    steal invisible to loadavg; a round-6-code control run reproduced
+    the 'regressions' exactly, proving environment, not code). The
+    regression guard scales its threshold by calib_now / calib_base
+    when the box is SLOWER (never when faster — a fast box must not
+    mask a real slowdown)."""
+    import numpy as np
+
+    best = float("inf")
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((1024, 1024))
+    for _ in range(3):
+        t0 = time.time()
+        s = 0
+        for i in range(8_000_000):
+            s += i * i
+        b = a
+        for _ in range(6):
+            b = b @ a
+            b /= np.abs(b).max()
+        best = min(best, time.time() - t0)
+    return round(best, 4)
+
+
 def _committed_baseline(sf: str) -> dict | None:
     """The committed per-query reference for this SF, used for the
     regression guard: BENCH_BASELINE_sf<sf>.json if present (tighter
@@ -199,6 +226,14 @@ def main() -> None:
     N_RUNS_HEAVY = 5
     baseline = _committed_baseline(sf_tag(SF_DIR))
     base_q = (baseline or {}).get("queries", {})
+    calib = cpu_calibration()
+    base_calib = (baseline or {}).get("calib_cpu_s")
+    # Scale the regression threshold when the box is measurably slower
+    # than it was at baseline time; cap at 3x so a broken probe can't
+    # waive the guard entirely.
+    calib_scale = (
+        min(3.0, max(1.0, calib / base_calib)) if base_calib else 1.0
+    )
     heavy = set(
         sorted(base_q, key=lambda k: -base_q[k])[:10]
     ) | {"pipeline_rows"}
@@ -225,7 +260,7 @@ def main() -> None:
             per_query_iqr[name] = round(
                 times[(3 * len(times)) // 4] - times[len(times) // 4], 3
             )
-        if name in base_q and times[0] > 1.5 * base_q[name]:
+        if name in base_q and times[0] > 1.5 * base_q[name] * calib_scale:
             regressions[name] = [times[0], base_q[name]]
 
     # Engine-side throughput of the flagship (the BASELINE.md comparable:
@@ -257,6 +292,8 @@ def main() -> None:
         "runs_per_query": N_RUNS,
         "runs_per_query_heavy": N_RUNS_HEAVY,
         "cpus": CPUS,
+        "calib_cpu_s": calib,
+        "calib_scale_vs_baseline": round(calib_scale, 3),
     }
     # Scale evidence: compact pointers to the committed sf1/sf3 runs
     # (same suite + harness, data from tools/gen_testdata.py — see
