@@ -62,31 +62,19 @@ def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
     )
 
 
-def minhash_lsh_candidates(
+def lsh_banded_table(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
-    max_bucket: int | None = None,
 ) -> DataFrame:
-    """MinHash + LSH banding: docs sharing any band bucket become
-    candidate pairs (id_a < id_b). The self-join is on the band bucket —
-    cost scales with bucket occupancy, not n².
-
-    ``max_bucket`` (optional) is the standard LSH stop-bucket cap:
-    buckets holding more than this many documents are dropped BEFORE
-    the self-join, bounding the join's intermediate at
-    O(max_bucket²) per bucket regardless of corpus geometry. Without
-    it, a low-selectivity banding (few rows per band) on a
-    small-vocabulary corpus grows hot buckets linearly with n and the
-    join intermediate quadratically — measured at sf30 (1.5M docs),
-    the 8x2 banding's self-join spilled past 60 GB of local disk.
-    A pair is lost only if EVERY band it collides in is over-cap —
-    over-cap buckets are near-universal boilerplate collisions, the
-    weakest similarity evidence. Callers that need the cap must
-    mirror it in any SQL oracle (QUALIFY on the bucket count).
+    """(id, band, bucket) LSH banding table — the shared index shape
+    behind ``minhash_lsh_candidates`` (self-join) and
+    ``minhash_lsh_probe`` (incremental batch-vs-index join). At scale
+    this IS the persistable dedup index: write it partitioned by band
+    and new batches probe it without re-hashing the corpus.
 
     Formulated as explode → per-row hashes → groupBy-min: each shingle
     is materialized and hashed exactly once. (The array-valued
@@ -119,7 +107,7 @@ def minhash_lsh_candidates(
     sig = hashed.groupBy(id_col).agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(
@@ -139,6 +127,35 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash + LSH banding: docs sharing any band bucket become
+    candidate pairs (id_a < id_b). The self-join is on the band bucket —
+    cost scales with bucket occupancy, not n².
+
+    ``max_bucket`` (optional) is the standard LSH stop-bucket cap:
+    buckets holding more than this many documents are dropped BEFORE
+    the self-join, bounding the join's intermediate at
+    O(max_bucket²) per bucket regardless of corpus geometry. Without
+    it, a low-selectivity banding (few rows per band) on a
+    small-vocabulary corpus grows hot buckets linearly with n and the
+    join intermediate quadratically — measured at sf30 (1.5M docs),
+    the 8x2 banding's self-join spilled past 60 GB of local disk.
+    A pair is lost only if EVERY band it collides in is over-cap —
+    over-cap buckets are near-universal boilerplate collisions, the
+    weakest similarity evidence. Callers that need the cap must
+    mirror it in any SQL oracle (QUALIFY on the bucket count).
+    """
+    banded = lsh_banded_table(df, text_col, id_col, num_hashes, bands, k)
     # Eager checkpoint before the self-join: banded is TINY (bands
     # rows per doc) but sits on top of the whole scan→shingle→md5→min
     # chain, and the self-join's two sides otherwise each recompute it
@@ -170,6 +187,68 @@ def minhash_lsh_candidates(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
         )
+        .distinct()
+    )
+
+
+def minhash_lsh_probe(
+    index_df: DataFrame,
+    batch_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    broadcast_batch: bool = True,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental dedup probe: near-dup candidates between a NEW batch
+    and an already-indexed corpus — the daily-increment shape of a
+    production pipeline, where re-running the O(corpus²-ish) self-join
+    on every crawl drop is unaffordable.
+
+    The corpus side reduces to its ``lsh_banded_table`` (at 100 TB
+    this is a persisted artifact, written once, partitioned by band —
+    pass it pre-computed via ``index_df`` having columns (id, band,
+    bucket) and it is used as-is). The batch side is banded fresh and,
+    being increment-sized, broadcast by default — the corpus-side
+    table is then probed WITHOUT a shuffle: the only corpus-sized work
+    is the banded-table scan. Output: (new_id, index_id) distinct
+    candidate pairs, verify with exact Jaccard downstream exactly like
+    the self-join path.
+
+    ``max_bucket`` mirrors the stop-bucket cap on the INDEX side (hot
+    boilerplate buckets would otherwise multiply every probe row).
+    """
+    cols = set(index_df.columns)
+    if {"band", "bucket", id_col} <= cols:
+        idx = index_df  # pre-built index, used as-is
+    else:
+        idx = lsh_banded_table(
+            index_df, text_col, id_col, num_hashes, bands, k
+        )
+    if max_bucket is not None:
+        occ = Window.partitionBy("band", "bucket")
+        idx = (
+            idx.withColumn("__occ", F.count(F.lit(1)).over(occ))
+            .filter(F.col("__occ") <= max_bucket)
+            .drop("__occ")
+        )
+    probe = lsh_banded_table(batch_df, text_col, id_col, num_hashes, bands, k)
+    if broadcast_batch:
+        probe = F.broadcast(probe)
+    return (
+        probe.alias("n")
+        .join(
+            idx.alias("i"),
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.bucket") == F.col("i.bucket")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"i.{id_col}").alias("index_id"),
+        )
+        .filter(F.col("new_id") != F.col("index_id"))
         .distinct()
     )
 

@@ -1134,6 +1134,59 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_incremental_lsh",
+    _DUCK_SHINGLE_CTE
+    + """
+    , sig AS (
+        SELECT doc_id,
+               list_transform(range(0, 16), i ->
+                   list_min(list_transform(shingles, s -> md5(i || ':' || s)))
+               ) AS sig
+        FROM sh
+    ), banded AS (
+        SELECT doc_id, b.band,
+               array_to_string(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4),
+                               '|') AS bucket,
+               (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 10) = 0 AS is_new
+        FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    )
+    SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+    FROM banded n JOIN banded i
+      ON n.band = i.band AND n.bucket = i.bucket
+     AND n.is_new AND NOT i.is_new
+    """,
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a ~10% md5-bucket slice of documents plays the
+    daily crawl increment, the remaining 90% the already-indexed corpus;
+    candidates are NEW×INDEX only (operators/dedup.py:minhash_lsh_probe).
+    The production contract this checks: the corpus side reduces to its
+    banded (id, band, bucket) table — persistable once, probed forever —
+    and the increment side broadcasts, so a new batch never shuffles the
+    corpus. Signatures are per-doc deterministic, so the oracle computes
+    one banding over all docs and splits at the join — identical
+    semantics to the operator's two-sided form."""
+    from .operators.dedup import minhash_lsh_probe
+
+    t = load_testdata(spark, sf_dir)
+    docs = t["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10
+    )
+    return minhash_lsh_probe(
+        docs.filter(bucket != 0),
+        docs.filter(bucket == 0),
+        text_col="text",
+        id_col="doc_id",
+        num_hashes=16,
+        bands=4,
+        k=3,
+    )
+
+
 # Portable md5 bucket: Spark conv(substring(md5,1,8),16,10) == DuckDB
 # CAST('0x'||substr(md5,1,8) AS BIGINT); both lowercase-hex, mod 10000.
 _DUCK_BUCKET = "(CAST('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 8) AS BIGINT) % 10000)"
@@ -5760,6 +5813,88 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_testdata(spark, sf_dir)
     return unigram_surprisal(t["documents"], text_col="text", id_col="doc_id")
+
+
+@register(
+    "text_perplexity_buckets",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_DUCK_NORM.format(c="text")} AS nt FROM documents
+    ), w AS (
+        SELECT doc_id, unnest(string_split(nt, ' ')) AS word FROM d
+    ), pairs AS (
+        SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2
+    ), wf AS (
+        SELECT doc_id, word, n,
+               CAST(sum(n) OVER (PARTITION BY word) AS DOUBLE) AS wc,
+               CAST(sum(n) OVER () AS DOUBLE) AS total
+        FROM pairs
+    ), s AS (
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS n_words,
+               round(sum(n * -ln(wc / total)) / sum(n), 4) AS avg_surprisal
+        FROM wf GROUP BY doc_id
+    ), rk AS (
+        SELECT s.doc_id, s.n_words, s.avg_surprisal, doc.lang,
+               row_number() OVER (PARTITION BY doc.lang
+                                  ORDER BY s.avg_surprisal, s.doc_id) AS r,
+               count(*) OVER (PARTITION BY doc.lang) AS nl
+        FROM s JOIN documents doc USING (doc_id)
+    )
+    SELECT lang,
+           CASE WHEN r * 3 <= nl THEN 'head'
+                WHEN r * 3 <= 2 * nl THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(CAST(floor(avg_surprisal * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) AS surprisal_e4
+    FROM rk GROUP BY 1, 2
+    """,
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per-language
+    terciles of the LM quality score — head = lowest surprisal (closest
+    to the LM), tail = noisiest; downstream mixes sample head-heavy.
+    Stand-in LM is the corpus unigram distribution
+    (operators/lm.py:unigram_surprisal); a trained KenLM drops into the
+    same plan as a per-doc score column. Bucketing is an exact per-lang
+    rank (row_number over (avg_surprisal, doc_id) — deterministic on
+    ties) against integer tercile bounds; the per-lang sort is one
+    shuffle on lang + sort, the exact/approx pair discipline applies at
+    100 TB (swap to approx-quantile thresholds broadcast back — same
+    output contract, no global sort). Per-doc surprisal is quantized to
+    integer 1e-4 units before summing so the rollup is exact BIGINT
+    arithmetic cross-engine."""
+    from .operators.lm import unigram_surprisal
+
+    t = load_testdata(spark, sf_dir)
+    docs = t["documents"]
+    s = unigram_surprisal(docs, text_col="text", id_col="doc_id")
+    j = s.join(docs.select("doc_id", "lang"), "doc_id")
+    wl = Window.partitionBy("lang")
+    rk = j.withColumn(
+        "r",
+        F.row_number().over(wl.orderBy("avg_surprisal", "doc_id")),
+    ).withColumn("nl", F.count(F.lit(1)).over(wl))
+    bucket = (
+        F.when(F.col("r") * 3 <= F.col("nl"), F.lit("head"))
+        .when(F.col("r") * 3 <= 2 * F.col("nl"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        rk.withColumn("ppl_bucket", bucket)
+        .groupBy("lang", "ppl_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.sum(
+                F.floor(F.col("avg_surprisal") * 10000 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).cast("bigint").alias("surprisal_e4"),
+        )
+    )
 
 
 @register(

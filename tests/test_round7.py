@@ -119,3 +119,91 @@ def test_curation_full_pipeline_plan_contract(spark, sf_dir):
     for line in norm.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "BuildRight, Cross" in line, line
+
+
+def test_minhash_lsh_probe_matches_self_join_cross_pairs(spark):
+    """Probe pairs (new x index) == the full self-join's pairs
+    restricted to cross-side ones — the incremental path loses
+    nothing the batch-vs-corpus contract promises."""
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_lsh_probe,
+    )
+
+    docs = load_testdata(spark, SF)["documents"]
+    is_new = F.col("doc_id") % 7 == 0
+    probe = minhash_lsh_probe(
+        docs.filter(~is_new), docs.filter(is_new), num_hashes=8, bands=4
+    )
+    got = {(r.new_id, r.index_id) for r in probe.collect()}
+    full = minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    want = {
+        (a, b) if a % 7 == 0 else (b, a)
+        for a, b in ((r.id_a, r.id_b) for r in full.collect())
+        if (a % 7 == 0) != (b % 7 == 0)
+    }
+    assert got == want
+    assert len(want) > 0  # non-vacuous: planted dups cross the split
+
+
+def test_minhash_lsh_probe_accepts_prebuilt_index(spark):
+    """Passing the persisted (id, band, bucket) banded table as the
+    index side short-circuits corpus re-hashing and yields identical
+    pairs — the write-once / probe-forever index contract."""
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        lsh_banded_table,
+        minhash_lsh_probe,
+    )
+
+    docs = load_testdata(spark, SF)["documents"]
+    is_new = F.col("doc_id") % 7 == 0
+    idx_docs, new_docs = docs.filter(~is_new), docs.filter(is_new)
+    prebuilt = lsh_banded_table(idx_docs, num_hashes=8, bands=4)
+    via_prebuilt = {
+        (r.new_id, r.index_id)
+        for r in minhash_lsh_probe(prebuilt, new_docs,
+                                   num_hashes=8, bands=4).collect()
+    }
+    via_raw = {
+        (r.new_id, r.index_id)
+        for r in minhash_lsh_probe(idx_docs, new_docs,
+                                   num_hashes=8, bands=4).collect()
+    }
+    assert via_prebuilt == via_raw
+
+
+def test_minhash_lsh_probe_broadcasts_batch_side(spark):
+    """The increment side broadcasts: the corpus-side banded table is
+    probed without a shuffle (no Exchange feeding the join's index
+    side beyond the banding's own groupBy)."""
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        minhash_lsh_probe,
+    )
+
+    docs = load_testdata(spark, SF)["documents"]
+    is_new = F.col("doc_id") % 7 == 0
+    plan = (
+        minhash_lsh_probe(docs.filter(~is_new), docs.filter(is_new))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_perplexity_buckets_tercile_contract(spark):
+    """Per-lang bucket sizes differ by at most 1 doc (exact integer
+    terciles) and head mean surprisal <= tail mean surprisal."""
+    from automotive_translation_pipeline_spark import queries_catalog as qc
+
+    rows = qc.queries()["text_perplexity_buckets"](spark, SF).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.ppl_bucket] = r
+    for lang, buckets in by_lang.items():
+        sizes = [b.n_docs for b in buckets.values()]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        if {"head", "tail"} <= buckets.keys():
+            head = buckets["head"]
+            tail = buckets["tail"]
+            assert (head.surprisal_e4 / head.n_docs
+                    <= tail.surprisal_e4 / tail.n_docs), lang
