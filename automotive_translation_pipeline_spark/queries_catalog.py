@@ -21,6 +21,7 @@ from .functions.text import (
     bpe_token_count,
     doc_fingerprint,
     lang_id,
+    normalized_text,
     quality_score,
     script_of,
     token_count,
@@ -4416,6 +4417,87 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "top_word_share"
             ),
         )
+    )
+
+
+@register(
+    "text_gopher_repetition_ngrams",
+    f"""
+    WITH d AS (
+        SELECT doc_id, string_split({_DUCK_NORM.format(c="text")}, ' ')
+               AS words
+        FROM documents
+    ), g AS (
+        SELECT doc_id, n.n,
+               unnest(list_transform(
+                   range(1, len(words) - n.n + 2),
+                   i -> array_to_string(list_slice(words, i, i + n.n - 1),
+                                        ' '))) AS gram
+        FROM d, (SELECT unnest([2, 3, 4]) AS n) n
+        WHERE len(words) >= n.n
+    ), gc AS (
+        SELECT doc_id, n, gram, count(*) AS c,
+               CAST(length(gram) AS BIGINT) AS chars
+        FROM g GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, n,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(floor(
+               sum(CASE WHEN c > 1 THEN chars * c ELSE 0 END) * 10000.0
+               / sum(chars * c) + 0.5) AS BIGINT) AS dup_char_frac_e4
+    FROM gc GROUP BY 1, 2
+    """,
+)
+def text_gopher_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's duplicate n-gram filters (Rae et al. 2021, Table A1):
+    per document and n in (2, 3, 4), the fraction of characters inside
+    n-grams that occur more than once WITHIN the document — the looping
+    / stutter signal the distinct-word ratio misses. All three n sizes
+    ride ONE scan: the per-doc word array expands to a single (n, gram)
+    struct array and explodes once; the duplicate counting is a
+    (doc, n, gram) hash aggregate — keyed by doc, so group width is
+    bounded by document length, never corpus-sized — followed by a
+    per-(doc, n) rollup on the same doc_id lineage (AQE coalesces the
+    two exchanges). The fraction is exact integer char arithmetic
+    quantized to 1e-4 (floor(x·1e4+0.5) — the repo's cross-engine
+    rounding discipline)."""
+    t = load_testdata(spark, sf_dir)
+    words = F.split(normalized_text(F.col("text")), " ")
+
+    def grams(n: int):
+        # Guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not empty
+        # — short docs must produce an empty gram list explicitly.
+        idx = F.when(
+            F.size(words) >= n,
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.array_join(F.slice(words, i, n), " ").alias("gram"),
+            ),
+        )
+
+    exploded = t["documents"].select(
+        "doc_id",
+        F.explode(
+            F.flatten(F.array(grams(2), grams(3), grams(4)))
+        ).alias("g"),
+    ).select("doc_id", "g.n", "g.gram")
+    gc = exploded.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.length(F.first("gram")).cast("bigint").alias("chars"),
+    )
+    dup_chars = F.sum(
+        F.when(F.col("c") > 1, F.col("chars") * F.col("c")).otherwise(F.lit(0))
+    )
+    all_chars = F.sum(F.col("chars") * F.col("c"))
+    return gc.groupBy("doc_id", "n").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.floor(dup_chars * 10000.0 / all_chars + F.lit(0.5))
+        .cast("bigint")
+        .alias("dup_char_frac_e4"),
     )
 
 

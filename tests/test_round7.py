@@ -207,3 +207,38 @@ def test_perplexity_buckets_tercile_contract(spark):
             tail = buckets["tail"]
             assert (head.surprisal_e4 / head.n_docs
                     <= tail.surprisal_e4 / tail.n_docs), lang
+
+
+def test_gopher_repetition_ngrams_closed_form(spark, tmp_path):
+    """'a b a b': the 2-gram 'a b' repeats (2 of 3 instances, 6 of 9
+    chars -> 6667e-4); all 3- and 4-grams are unique -> 0. A 3-word doc
+    emits no 4-gram row."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from automotive_translation_pipeline_spark import queries_catalog as qc
+
+    d = str(tmp_path)
+    for f in __import__("os").listdir(SF):  # load_testdata opens every table
+        shutil.copy(f"{SF}/{f}", f"{d}/{f}")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["a b a b", "x y z"],
+        "lang": ["en", "en"],
+        "source": ["s", "s"],
+        "n_chars": pa.array([7, 5], pa.int64()),
+    }), f"{d}/documents.parquet")
+    rows = {
+        (r.doc_id, r.n): r
+        for r in qc.queries()["text_gopher_repetition_ngrams"](
+            spark, d
+        ).collect()
+    }
+    assert rows[(1, 2)].dup_char_frac_e4 == 6667  # 6/9 chars duplicated
+    assert rows[(1, 2)].n_grams == 3
+    assert rows[(1, 3)].dup_char_frac_e4 == 0
+    assert rows[(1, 4)].dup_char_frac_e4 == 0
+    assert rows[(2, 2)].dup_char_frac_e4 == 0
+    assert (2, 4) not in rows  # 3 words: no 4-grams, no phantom row
