@@ -154,8 +154,15 @@ def minhash_lsh_candidates(
     over-cap buckets are near-universal boilerplate collisions, the
     weakest similarity evidence. Callers that need the cap must
     mirror it in any SQL oracle (QUALIFY on the bucket count).
+
+    ``df`` may already BE a banded (id, band, bucket) table (e.g. the
+    persisted index from ``lsh_banded_table``) — detected by columns,
+    used as-is.
     """
-    banded = lsh_banded_table(df, text_col, id_col, num_hashes, bands, k)
+    if {"band", "bucket", id_col} <= set(df.columns):
+        banded = df
+    else:
+        banded = lsh_banded_table(df, text_col, id_col, num_hashes, bands, k)
     # Eager checkpoint before the self-join: banded is TINY (bands
     # rows per doc) but sits on top of the whole scan→shingle→md5→min
     # chain, and the self-join's two sides otherwise each recompute it
@@ -234,7 +241,12 @@ def minhash_lsh_probe(
             .filter(F.col("__occ") <= max_bucket)
             .drop("__occ")
         )
-    probe = lsh_banded_table(batch_df, text_col, id_col, num_hashes, bands, k)
+    if {"band", "bucket", id_col} <= set(batch_df.columns):
+        probe = batch_df  # already banded (e.g. shared with a self-join)
+    else:
+        probe = lsh_banded_table(
+            batch_df, text_col, id_col, num_hashes, bands, k
+        )
     if broadcast_batch:
         probe = F.broadcast(probe)
     return (

@@ -260,6 +260,74 @@ def streaming_dedup(
     )
 
 
+def streaming_incremental_dedup(
+    stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    max_bucket: int | None = None,
+):
+    """Streaming NEAR-dup detection: each micro-batch of documents is
+    MinHash-banded once, probed against the persisted LSH index (every
+    document seen so far), self-joined for within-batch pairs, and then
+    appended to the index — so after any prefix of batches the emitted
+    pair set equals what the batch self-join would have found on the
+    union of those batches (equivalence pinned by test).
+
+    This is the streaming face of ``operators.dedup.minhash_lsh_probe``:
+    per batch the corpus-sized work is ONE scan of the banded index
+    (bands rows per historical doc — narrow), never a re-hash of
+    historical text; the batch side broadcasts. State lives in the
+    index parquet, not the state store — restartable, inspectable, and
+    shared with the batch path (``lsh_banded_table`` written once
+    offline bootstraps the stream). At-least-once replay duplicates
+    pairs/index rows; downstream ``connected_components`` is
+    insensitive to duplicate edges, and exact consumers dedup at read
+    (pairs are DISTINCT within a batch already).
+
+    Returns the foreachBatch callable (attach via
+    ``stream.writeStream.foreachBatch(...)``).
+    """
+    from ..operators.dedup import (
+        lsh_banded_table,
+        minhash_lsh_candidates,
+        minhash_lsh_probe,
+    )
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        banded = lsh_banded_table(
+            batch_df, text_col, id_col, num_hashes, bands, k
+        ).localCheckpoint()  # one banding feeds probe + self-join + sink
+        within = minhash_lsh_candidates(
+            banded, id_col=id_col, max_bucket=max_bucket
+        ).select(
+            F.col("id_a").alias("new_id"), F.col("id_b").alias("index_id")
+        )
+        try:
+            idx = spark.read.parquet(index_dir)
+            has_index = True
+        except Exception:
+            has_index = False  # first batch: nothing indexed yet
+        if has_index:
+            cross = minhash_lsh_probe(
+                idx, banded, id_col=id_col, max_bucket=max_bucket
+            )
+            pairs = within.unionByName(cross)
+        else:
+            pairs = within
+        pairs.write.mode("append").parquet(pairs_dir)
+        banded.write.mode("append").parquet(index_dir)
+
+    return _process
+
+
 def _track_job(
     key: tuple,
     pdfs: Iterator[pd.DataFrame],

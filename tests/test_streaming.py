@@ -823,3 +823,56 @@ def test_chained_stateful_join_then_window_agg(spark, tmp_path):
     }
     assert got.get("2024-01-01 10:00:00") == (2, 8450)  # 2 x 42.25
     assert got.get("2024-01-01 11:00:00") == (1, 1000)
+
+
+def test_streaming_incremental_dedup_matches_batch_self_join(spark, tmp_path):
+    """Documents delivered across 3 micro-batches: the streamed
+    pair set (within-batch self-joins + probe-vs-index) equals the
+    batch MinHash/LSH self-join over the full corpus, and the banded
+    index holds every doc seen. The near-dup stream never re-hashes
+    history — each batch only scans the narrow banded index."""
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from automotive_translation_pipeline_spark.sources import load_testdata
+    from automotive_translation_pipeline_spark.streaming.jobs import (
+        streaming_incremental_dedup,
+    )
+
+    docs = (
+        load_testdata(spark, "/root/testdata/sf0.001")["documents"]
+        .select("doc_id", "text")
+    )
+    src = tmp_path / "docs_landing"
+    src.mkdir()
+    for i in range(3):  # 3 files -> 3 micro-batches (maxFilesPerTrigger=1)
+        docs.filter(F.col("doc_id") % 3 == i).toPandas().to_json(
+            src / f"b{i}.jsonl", orient="records", lines=True
+        )
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(f"{src}/*.jsonl")
+    index_dir = str(tmp_path / "lsh_index")
+    pairs_dir = str(tmp_path / "lsh_pairs")
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_incremental_dedup(stream, index_dir, pairs_dir)
+        )
+        .option("checkpointLocation", str(tmp_path / "inc_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = {
+        frozenset((r.new_id, r.index_id))
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    want = {
+        frozenset((r.id_a, r.id_b))
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    assert streamed == want
+    assert len(want) > 0  # planted dups make this non-vacuous
+    idx = spark.read.parquet(index_dir)
+    assert idx.select("doc_id").distinct().count() == docs.count()
