@@ -4452,52 +4452,17 @@ def text_gopher_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame
     """Gopher's duplicate n-gram filters (Rae et al. 2021, Table A1):
     per document and n in (2, 3, 4), the fraction of characters inside
     n-grams that occur more than once WITHIN the document — the looping
-    / stutter signal the distinct-word ratio misses. All three n sizes
-    ride ONE scan: the per-doc word array expands to a single (n, gram)
-    struct array and explodes once; the duplicate counting is a
-    (doc, n, gram) hash aggregate — keyed by doc, so group width is
-    bounded by document length, never corpus-sized — followed by a
-    per-(doc, n) rollup on the same doc_id lineage (AQE coalesces the
-    two exchanges). The fraction is exact integer char arithmetic
-    quantized to 1e-4 (floor(x·1e4+0.5) — the repo's cross-engine
-    rounding discipline)."""
+    / stutter signal the distinct-word ratio misses. Runs as the
+    zero-shuffle Arrow kernel (operators/lm.py:gopher_repetition_arrow
+    — one Counter pass per doc per n; the docstring there records the
+    two slower shapes this replaced, measured at sf10). The oracle is
+    the natural SQL form: explode (n, gram) rows, GROUP BY counts,
+    exact integer char arithmetic quantized to 1e-4."""
+    from .operators.lm import gopher_repetition_arrow
+
     t = load_testdata(spark, sf_dir)
-    words = F.split(normalized_text(F.col("text")), " ")
-
-    def grams(n: int):
-        # Guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not empty
-        # — short docs must produce an empty gram list explicitly.
-        idx = F.when(
-            F.size(words) >= n,
-            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
-        ).otherwise(F.array().cast("array<int>"))
-        return F.transform(
-            idx,
-            lambda i: F.struct(
-                F.lit(n).alias("n"),
-                F.array_join(F.slice(words, i, n), " ").alias("gram"),
-            ),
-        )
-
-    exploded = t["documents"].select(
-        "doc_id",
-        F.explode(
-            F.flatten(F.array(grams(2), grams(3), grams(4)))
-        ).alias("g"),
-    ).select("doc_id", "g.n", "g.gram")
-    gc = exploded.groupBy("doc_id", "n", "gram").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.length(F.first("gram")).cast("bigint").alias("chars"),
-    )
-    dup_chars = F.sum(
-        F.when(F.col("c") > 1, F.col("chars") * F.col("c")).otherwise(F.lit(0))
-    )
-    all_chars = F.sum(F.col("chars") * F.col("c"))
-    return gc.groupBy("doc_id", "n").agg(
-        F.sum("c").cast("bigint").alias("n_grams"),
-        F.floor(dup_chars * 10000.0 / all_chars + F.lit(0.5))
-        .cast("bigint")
-        .alias("dup_char_frac_e4"),
+    return gopher_repetition_arrow(
+        t["documents"], text_col="text", id_col="doc_id"
     )
 
 
