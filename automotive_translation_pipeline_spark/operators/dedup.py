@@ -337,7 +337,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     exhaustive: bool = False,
-    num_hashes: int = 16,
+    num_hashes: int = 32,
     bands: int = 8,
     max_bucket: int = 1000,
 ) -> DataFrame:
@@ -351,19 +351,24 @@ def ngram_jaccard_pairs(
     is two hash joins keyed on id over the candidate stream, so total
     cost is LSH-bounded — this is the composition the 100 TB mandate
     requires (the sf3 sweep measured the exhaustive shingle-join at
-    4.8x cost for 3x data; this form rides the linear-ish LSH path).
+    4.8x cost for 3x data; this form rides the linear LSH path).
 
-    Recall is the banding curve, not 1.0: a true pair at similarity s
-    is missed with probability (1 - s^r)^b; at the default
-    (16 hashes, 8 bands x 2 rows) that is ~3e-4 at s = 0.8 and ~1e-6
-    at s = 0.9 — every SURVIVING pair carries its exact Jaccard.
-    The 2-row bands that buy this recall have weak buckets, so the
-    blocker runs with the ``max_bucket`` stop-bucket cap (see
-    ``minhash_lsh_candidates``): without it the banded self-join's
-    intermediate grew quadratically on the fixed-vocabulary corpus and
-    exhausted local disk at sf30; with it the join is bounded at
-    O(max_bucket²) per bucket at any scale. A pair is dropped only if
-    every one of its 8 colliding bands is over-cap boilerplate.
+    Banding operating point — 32 hashes, 8 bands x 4 rows. Recall is
+    the banding curve, not 1.0: a true pair at similarity s is missed
+    with probability (1 - s^r)^b — here ~1.5e-2 at s = 0.8, ~2e-4 at
+    s = 0.9; every SURVIVING pair carries its exact Jaccard. The rows
+    r control FALSE-POSITIVE candidates: two random documents with
+    baseline Jaccard j collide in a band with probability ~j^r, and
+    the candidate intermediate is ~n² · b · j^r. The original
+    recall-tuned r=2 (8x2, miss 3e-4 at 0.8) has FP ~j² — measured
+    quadratic on the Zipf corpus, whose short i.i.d. documents carry
+    baseline pair Jaccard ~1e-2 (31 s at sf10 → 265 s at sf30, 8.5x
+    for 3x); r=4 drops FP to ~1e-8 and restores linear growth. This
+    is why production MinHash dedup runs many bands of r >= 4 (e.g.
+    RefinedWeb: 450 bands x 20 rows) rather than few high-recall
+    short bands. ``max_bucket`` (the stop-bucket cap, see
+    ``minhash_lsh_candidates``) stays as the backstop that bounds any
+    residual hot bucket at O(max_bucket²).
     Pass ``exhaustive=True`` for the guaranteed-complete shingle-join
     form below (corpus-geometry-bound; see its docstring).
     """

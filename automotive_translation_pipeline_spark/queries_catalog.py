@@ -83,6 +83,7 @@ _CHANGED_THIS_ROUND = frozenset({
     # round 7 edits:
     "agg_approx_distinct",      # promoted rows-only -> bounded-error oracle
     "profile_approx_quantiles", # promoted rows-only -> bounded-error oracle
+    "dedup_ngram_jaccard",      # blocker re-banded 8x2 -> 8x4 (FP ~J^4)
 })
 
 
@@ -1309,13 +1310,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     , sig AS (
         SELECT doc_id,
-               list_transform(range(0, 16), i ->
+               list_transform(range(0, 32), i ->
                    list_min(list_transform(shingles, s -> md5(i || ':' || s)))
                ) AS sig
         FROM sh
     ), banded0 AS (
         SELECT doc_id, b.band,
-               array_to_string(list_slice(sig, b.band * 2 + 1, b.band * 2 + 2),
+               array_to_string(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4),
                                '|') AS bucket
         FROM sig, (SELECT unnest(range(0, 8)) AS band) b
     ), banded AS (
@@ -1341,15 +1342,18 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram Jaccard near-dup pairs >= 0.8, LSH-blocked: MinHash(16)
-    banding (8 bands x 2 rows; miss ~3e-4 at J=0.8) generates the
-    candidate stream through the max_bucket=1000 stop-bucket cap
-    (2-row buckets are weak — uncapped, the banded self-join exhausted
-    local disk at sf30), exact distinct-shingle Jaccard verifies each
-    candidate — the scale-safe composition (the exhaustive shingle-join
-    twin is ``ngram_jaccard_pairs(exhaustive=True)``, measured
-    super-linear at sf3). The oracle replays the identical md5 banding
-    INCLUDING the cap (QUALIFY), so parity is hash-exact."""
+    """3-gram Jaccard near-dup pairs >= 0.8, LSH-blocked: MinHash(32)
+    banding (8 bands x 4 rows — the production operating point; miss
+    ~1.5e-2 at J=0.8, false-positive candidates ~baseline-J⁴ so the
+    intermediate stays linear even on corpora with percent-level
+    baseline similarity; the recall-tuned r=2 banding measured 8.5x
+    for 3x data on the Zipf corpus — see ngram_jaccard_pairs) through
+    the max_bucket=1000 stop-bucket backstop, then exact
+    distinct-shingle Jaccard verifies each candidate — the scale-safe
+    composition (the exhaustive shingle-join twin is
+    ``ngram_jaccard_pairs(exhaustive=True)``). The oracle replays the
+    identical md5 banding INCLUDING the cap (QUALIFY), so parity is
+    hash-exact."""
     from .operators.dedup import ngram_jaccard_pairs
 
     t = load_testdata(spark, sf_dir)
