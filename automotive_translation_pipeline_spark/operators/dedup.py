@@ -62,6 +62,25 @@ def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
     )
 
 
+_MERSENNE31 = 2_147_483_647  # 2^31 - 1, the affine family's modulus
+
+
+def affine_minhash_constants(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Multipliers/offsets for the ``affine`` min-wise family:
+    h_i(x) = (a_i * x + b_i) mod (2^31 - 1) over x = the first 60 md5
+    bits of the shingle reduced mod the same prime. The constants are
+    md5-derived 28-bit integers so both engines can embed the SAME
+    literals (the oracle SQL inlines them via this function)."""
+    import hashlib
+
+    def c(prefix: str, i: int) -> int:
+        return int(hashlib.md5(f"{prefix}:{i}".encode()).hexdigest()[:7], 16)
+
+    a = [c("a", i) + 1 for i in range(num_hashes)]
+    b = [c("b", i) for i in range(num_hashes)]
+    return a, b
+
+
 def lsh_banded_table(
     df: DataFrame,
     text_col: str = "text",
@@ -69,12 +88,37 @@ def lsh_banded_table(
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
+    hash_width: str = "affine",
 ) -> DataFrame:
     """(id, band, bucket) LSH banding table — the shared index shape
     behind ``minhash_lsh_candidates`` (self-join) and
     ``minhash_lsh_probe`` (incremental batch-vs-index join). At scale
     this IS the persistable dedup index: write it partitioned by band
     and new batches probe it without re-hashing the corpus.
+
+    ``hash_width`` picks the min-wise hash family — all three are
+    valid and engine-portable, but they yield DIFFERENT (equally
+    valid) candidates, so an oracle must replay the matching form:
+
+    * ``"hex"``: lexicographic min of the full md5 hex per seed —
+      the round-1..6 family (oracles now replay affine). Its
+      STRING min aggregates fall to SortAggregate (no fixed-width
+      buffer), which sorts the whole num_hashes-wide exploded stream:
+      ~1 KB/shingle instance at 32 hashes (~80 GB at sf30, exhausted
+      local disk). Fine at <= 16 hashes, wrong beyond.
+    * ``"i60"``: numeric min of the first 60 md5 bits as BIGINT —
+      fixed-width HashAggregate, ~260 B/instance, no sort. Costs one
+      conv() per seed per instance (measured ~1.5x the hex CPU at
+      sf10 — the sort it avoids is cheaper than 32 convs until the
+      sort spills).
+    * ``"affine"``: ONE md5+conv per shingle instance, then
+      h_i = (a_i * base + b_i) mod 2^31-1 derives every seed in
+      codegen-cheap integer ops (Carter-Wegman universal hashing —
+      the standard practical MinHash construction; constants from
+      ``affine_minhash_constants`` so the oracle embeds identical
+      literals). HashAggregate AND ~1/num_hashes of the digest cost —
+      the default: measured sf10/sf30 the hex-16 sort-agg banding ran
+      14.4 s / ~105 s (sort spill super-scales) vs affine near-linear.
 
     Formulated as explode → per-row hashes → groupBy-min: each shingle
     is materialized and hashed exactly once. (The array-valued
@@ -97,13 +141,45 @@ def lsh_banded_table(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("__sh"),
     )
-    hashed = shingled.select(
-        id_col,
-        *[
-            F.md5(F.concat(F.lit(f"{i}:"), F.col("__sh")).cast("binary")).alias(f"h{i}")
-            for i in range(num_hashes)
-        ],
-    )
+    if hash_width == "affine":
+        # One digest per instance; the per-seed values are cheap
+        # integer ops over the staged __b column (a real column, so
+        # the md5+conv run once — CollapseProject keeps non-cheap
+        # aliases referenced many times staged).
+        a_c, b_c = affine_minhash_constants(num_hashes)
+        based = shingled.select(
+            F.col(id_col),
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("__sh").cast("binary")), 1, 15),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.lit(_MERSENNE31)
+            ).alias("__b"),
+        )
+        hashed = based.select(
+            id_col,
+            *[
+                (
+                    (F.lit(a_c[i]) * F.col("__b") + F.lit(b_c[i]))
+                    % F.lit(_MERSENNE31)
+                ).alias(f"h{i}")
+                for i in range(num_hashes)
+            ],
+        )
+    else:
+
+        def _h(i: int):
+            h = F.md5(F.concat(F.lit(f"{i}:"), F.col("__sh")).cast("binary"))
+            if hash_width == "i60":
+                return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+            return h
+
+        hashed = shingled.select(
+            id_col,
+            *[_h(i).alias(f"h{i}") for i in range(num_hashes)],
+        )
     sig = hashed.groupBy(id_col).agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
@@ -137,6 +213,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     k: int = 3,
     max_bucket: int | None = None,
+    hash_width: str = "affine",
 ) -> DataFrame:
     """MinHash + LSH banding: docs sharing any band bucket become
     candidate pairs (id_a < id_b). The self-join is on the band bucket —
@@ -162,7 +239,9 @@ def minhash_lsh_candidates(
     if {"band", "bucket", id_col} <= set(df.columns):
         banded = df
     else:
-        banded = lsh_banded_table(df, text_col, id_col, num_hashes, bands, k)
+        banded = lsh_banded_table(
+            df, text_col, id_col, num_hashes, bands, k, hash_width
+        )
     # Eager checkpoint before the self-join: banded is TINY (bands
     # rows per doc) but sits on top of the whole scan→shingle→md5→min
     # chain, and the self-join's two sides otherwise each recompute it
@@ -208,6 +287,7 @@ def minhash_lsh_probe(
     k: int = 3,
     broadcast_batch: bool = True,
     max_bucket: int | None = None,
+    hash_width: str = "affine",
 ) -> DataFrame:
     """Incremental dedup probe: near-dup candidates between a NEW batch
     and an already-indexed corpus — the daily-increment shape of a
@@ -232,7 +312,7 @@ def minhash_lsh_probe(
         idx = index_df  # pre-built index, used as-is
     else:
         idx = lsh_banded_table(
-            index_df, text_col, id_col, num_hashes, bands, k
+            index_df, text_col, id_col, num_hashes, bands, k, hash_width
         )
     if max_bucket is not None:
         occ = Window.partitionBy("band", "bucket")
@@ -245,7 +325,7 @@ def minhash_lsh_probe(
         probe = batch_df  # already banded (e.g. shared with a self-join)
     else:
         probe = lsh_banded_table(
-            batch_df, text_col, id_col, num_hashes, bands, k
+            batch_df, text_col, id_col, num_hashes, bands, k, hash_width
         )
     if broadcast_batch:
         probe = F.broadcast(probe)
@@ -340,6 +420,7 @@ def ngram_jaccard_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     max_bucket: int = 1000,
+    hash_width: str = "affine",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs >= threshold, LSH-blocked.
 
@@ -379,7 +460,7 @@ def ngram_jaccard_pairs(
         cand = minhash_lsh_candidates(
             df, text_col=text_col, id_col=id_col,
             num_hashes=num_hashes, bands=bands, k=k,
-            max_bucket=max_bucket,
+            max_bucket=max_bucket, hash_width=hash_width,
         ).localCheckpoint()
         ids = (
             cand.select(F.col("id_a").alias(id_col))

@@ -84,6 +84,14 @@ _CHANGED_THIS_ROUND = frozenset({
     "agg_approx_distinct",      # promoted rows-only -> bounded-error oracle
     "profile_approx_quantiles", # promoted rows-only -> bounded-error oracle
     "dedup_ngram_jaccard",      # blocker re-banded 8x2 -> 8x4 (FP ~J^4)
+    # LSH family hex -> affine (Carter-Wegman; HashAggregate instead of
+    # the sort-spilling string-min SortAggregate); oracles re-derived:
+    "dedup_minhash_candidates",
+    "dedup_components",
+    "dedup_canonical_survivors",
+    "graph_pagerank_dup_hubs",
+    "graph_triangle_counts",
+    "sql_recursive_bfs_hops",
 })
 
 
@@ -1084,6 +1092,42 @@ _DUCK_SHINGLE_CTE = f"""
 """
 
 
+# Affine min-wise family for every LSH oracle (matches
+# hash_width='affine' in lsh_banded_table): one md5 per shingle
+# reduced to 60 bits, then h_i = (a_i*x + b_i) mod 2^31-1 per seed.
+# Constants inlined as SQL list literals so both engines compute
+# identical buckets.
+def _affine_sql_lists(n: int) -> tuple[str, str]:
+    from .operators.dedup import affine_minhash_constants
+
+    a, b = affine_minhash_constants(n)
+    return (
+        "[" + ", ".join(map(str, a)) + "]",
+        "[" + ", ".join(map(str, b)) + "]",
+    )
+
+
+_NGRAM_AFFINE_A, _NGRAM_AFFINE_B = _affine_sql_lists(32)
+_AFFINE_A16, _AFFINE_B16 = _affine_sql_lists(16)
+
+_DUCK_AFFINE_SIG16 = f"""
+    , base AS (
+        SELECT doc_id,
+               list_transform(shingles, s ->
+                   CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                   % 2147483647) AS bases
+        FROM sh
+    ), sig AS (
+        SELECT doc_id,
+               list_transform(range(0, 16), i ->
+                   list_min(list_transform(bases, x ->
+                       ({_AFFINE_A16}[i + 1] * x
+                        + {_AFFINE_B16}[i + 1]) % 2147483647))
+               ) AS sig
+        FROM base
+    )"""
+
+
 @register(
     "dedup_exact_groups",
     f"""
@@ -1107,13 +1151,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_candidates",
     _DUCK_SHINGLE_CTE
     + """
-    , sig AS (
-        SELECT doc_id,
-               list_transform(range(0, 16), i ->
-                   list_min(list_transform(shingles, s -> md5(i || ':' || s)))
-               ) AS sig
-        FROM sh
-    ), banded AS (
+""" + _DUCK_AFFINE_SIG16 + """, banded AS (
         SELECT doc_id, b.band,
                array_to_string(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4),
                                '|') AS bucket
@@ -1140,13 +1178,7 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental_lsh",
     _DUCK_SHINGLE_CTE
     + """
-    , sig AS (
-        SELECT doc_id,
-               list_transform(range(0, 16), i ->
-                   list_min(list_transform(shingles, s -> md5(i || ':' || s)))
-               ) AS sig
-        FROM sh
-    ), banded AS (
+""" + _DUCK_AFFINE_SIG16 + """, banded AS (
         SELECT doc_id, b.band,
                array_to_string(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4),
                                '|') AS bucket,
@@ -1263,13 +1295,7 @@ def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_components",
     _DUCK_SHINGLE_CTE.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
     + """
-    , sig AS (
-        SELECT doc_id,
-               list_transform(range(0, 16), i ->
-                   list_min(list_transform(shingles, s -> md5(i || ':' || s)))
-               ) AS sig
-        FROM sh
-    ), banded AS (
+""" + _DUCK_AFFINE_SIG16 + """, banded AS (
         SELECT doc_id, b.band,
                array_to_string(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4),
                                '|') AS bucket
@@ -1307,13 +1333,23 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     _DUCK_SHINGLE_CTE
-    + """
-    , sig AS (
+    + f"""
+    , base AS (
+        -- affine min-wise family (matches hash_width='affine'):
+        -- one md5 per shingle, per-seed h_i = (a_i*x + b_i) mod 2^31-1
+        SELECT doc_id,
+               list_transform(shingles, s ->
+                   CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                   % 2147483647) AS bases
+        FROM sh
+    ), sig AS (
         SELECT doc_id,
                list_transform(range(0, 32), i ->
-                   list_min(list_transform(shingles, s -> md5(i || ':' || s)))
+                   list_min(list_transform(bases, x ->
+                       ({_NGRAM_AFFINE_A}[i + 1] * x
+                        + {_NGRAM_AFFINE_B}[i + 1]) % 2147483647))
                ) AS sig
-        FROM sh
+        FROM base
     ), banded0 AS (
         SELECT doc_id, b.band,
                array_to_string(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4),
@@ -5503,13 +5539,7 @@ def decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_canonical_survivors",
     _DUCK_SHINGLE_CTE.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
     + """
-    , sig AS (
-        SELECT doc_id,
-               list_transform(range(0, 16), i ->
-                   list_min(list_transform(shingles, s -> md5(i || ':' || s)))
-               ) AS sig
-        FROM sh
-    ), banded AS (
+""" + _DUCK_AFFINE_SIG16 + """, banded AS (
         SELECT doc_id, b.band,
                array_to_string(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4),
                                '|') AS bucket
@@ -6514,13 +6544,7 @@ def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle, minus the recursive closure) — the graph the graph-analytics
 # entries run on.
 _DUCK_LSH_PAIRS = _DUCK_SHINGLE_CTE + """
-    , sig AS (
-        SELECT doc_id,
-               list_transform(range(0, 16), i ->
-                   list_min(list_transform(shingles, s -> md5(i || ':' || s)))
-               ) AS sig
-        FROM sh
-    ), banded AS (
+""" + _DUCK_AFFINE_SIG16 + """, banded AS (
         SELECT doc_id, b.band,
                array_to_string(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4),
                                '|') AS bucket
