@@ -121,6 +121,10 @@ HEADLINE = [
     "text_doc_signals",
     "embedding_pca_recon",
     "basket_brand_lift",
+    # round 7: incremental dedup + CCNet/Gopher text filters
+    "dedup_incremental_lsh",
+    "text_perplexity_buckets",
+    "text_gopher_repetition_ngrams",
 ]
 
 

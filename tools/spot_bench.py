@@ -47,7 +47,46 @@ def main() -> None:
                     help="max cpu_calibration() secs for a calm run")
     ap.add_argument("--max-extra", type=int, default=4,
                     help="extra retries per query hunting a calm window")
+    ap.add_argument("--isolate", action="store_true",
+                    help="one subprocess (fresh JVM) per query: heavy "
+                    "queries leak localCheckpoint blocks that slow "
+                    "later queries in the same session (measured 11 s "
+                    "-> 42 s for dedup_duplicate_spans at sf30 when it "
+                    "ran after the pre-fix ngram blowup); isolation "
+                    "makes every number a solo number")
     args = ap.parse_args()
+
+    if args.isolate:
+        import subprocess
+
+        merged: dict[str, dict] = {
+            "sf_dir": args.sf, "n": args.n, "cpus": args.cpus,
+            "calib_gate": args.calib_gate, "queries": {},
+            "queries_calib": {}, "queries_median": {}, "uncalm": [],
+        }
+        for name in [q.strip() for q in args.only.split(",") if q.strip()]:
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--sf", args.sf, "--only", name,
+                "--n", str(args.n), "--cpus", str(args.cpus),
+                "--calib-gate", str(args.calib_gate),
+                "--max-extra", str(args.max_extra),
+            ]
+            out = subprocess.run(
+                cmd, capture_output=True, text=True
+            )
+            print(out.stderr.splitlines()[-1] if out.stderr else "",
+                  file=sys.stderr)
+            try:
+                row = json.loads(out.stdout.strip().splitlines()[-1])
+            except (ValueError, IndexError):
+                print(f"  {name}: subprocess failed", file=sys.stderr)
+                continue
+            for k in ("queries", "queries_calib", "queries_median"):
+                merged[k].update(row.get(k, {}))
+            merged["uncalm"] += row.get("uncalm", [])
+        print(json.dumps(merged))
+        return
 
     from bench import cpu_calibration
 
