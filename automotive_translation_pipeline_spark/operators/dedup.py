@@ -1389,15 +1389,79 @@ def _span_kept_words(
             ).alias("__fp"),
         )
     )
-    w_fp = Window.partitionBy("__fp")
-    redundant = (
-        pos.withColumn("__cnt", F.count(F.lit(1)).over(w_fp))
-        .withColumn(
-            "__rk",
-            F.row_number().over(w_fp.orderBy(id_col, "__i")),
-        )
-        .filter((F.col("__cnt") >= min_count) & (F.col("__rk") > 1))
+    # Canonical-first election as a HASH aggregate + join-back, not a
+    # row_number window: the window form sorts the ENTIRE exploded
+    # window stream inside each WindowExec (and count/row_number need
+    # DIFFERENT sort orders, so Spark plans two of them) — measured
+    # 4.6x cold at sf30 (9.4 s -> 43.7 s) while the window-free
+    # detection form stayed linear. The aggregate must carry the
+    # lexicographic (doc id, position) minimum in a FIXED-WIDTH buffer
+    # to stay in HashAggregate — min(struct(...)) or min(string) both
+    # fall back to SortAggregate, the same full sort by another name
+    # (SCALE.md round-7 finding #2, the affine-MinHash lesson). For
+    # integral non-negative ids, min(id * MAX_POS + pos) IS the
+    # lexicographic pair minimum in one BIGINT, with in-plan
+    # raise_error guards on both packing preconditions; non-integral
+    # id types take the struct form (correct, documented sort cost).
+    # The join-back's right side is pre-filtered to the duplicated
+    # subset (cnt >= min_count) — broadcastable on any mostly-unique
+    # corpus, and a narrow-key hash exchange otherwise.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    _MAX_POS = 1 << 21  # 2M positions/doc; docs beyond this raise in-plan
+    integral = isinstance(
+        pos.schema[id_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
     )
+    if integral:
+        packed = F.when(
+            (F.col("__i") >= _MAX_POS)
+            | (F.col(id_col) < 0)
+            | (F.col(id_col) >= F.lit(1 << 42)),
+            F.raise_error(
+                "remove_duplicate_spans: packed canonical key needs "
+                "0 <= doc id < 2^42 and < 2^21 windows per document"
+            ).cast("long"),
+        ).otherwise(
+            F.col(id_col).cast("long") * F.lit(_MAX_POS) + F.col("__i")
+        )
+        firsts = (
+            pos.groupBy("__fp")
+            .agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                F.min(packed).alias("__k"),
+            )
+            .filter(F.col("__cnt") >= min_count)
+            .select(
+                "__fp",
+                # Power-of-two packing decodes with exact long
+                # shift/mask ('/' would round-trip through double).
+                F.shiftright(F.col("__k"), 21).alias("__d"),
+                F.col("__k").bitwiseAND(F.lit(_MAX_POS - 1)).alias("__p"),
+            )
+        )
+        redundant = pos.join(firsts, "__fp").filter(
+            (F.col(id_col) != F.col("__d")) | (F.col("__i") != F.col("__p"))
+        )
+    else:
+        firsts = (
+            pos.groupBy("__fp")
+            .agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                F.min(
+                    F.struct(
+                        F.col(id_col).alias("d"), F.col("__i").alias("p")
+                    )
+                ).alias("__first"),
+            )
+            .filter(F.col("__cnt") >= min_count)
+            .select("__fp", "__first.d", "__first.p")
+            .withColumnRenamed("d", "__d")
+            .withColumnRenamed("p", "__p")
+        )
+        redundant = pos.join(firsts, "__fp").filter(
+            (F.col(id_col) != F.col("__d")) | (F.col("__i") != F.col("__p"))
+        )
     w_doc = Window.partitionBy(id_col).orderBy("__i")
     spans = (
         redundant.withColumn(

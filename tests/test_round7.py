@@ -242,3 +242,54 @@ def test_gopher_repetition_ngrams_closed_form(spark, tmp_path):
     assert rows[(1, 4)].dup_char_frac_e4 == 0
     assert rows[(2, 2)].dup_char_frac_e4 == 0
     assert (2, 4) not in rows  # 3 words: no 4-grams, no phantom row
+
+
+def test_remove_spans_string_id_fallback_matches_integral_path(spark):
+    # The canonical-first election has two physical forms: a packed
+    # BIGINT HashAggregate for integral ids and a min(struct) fallback
+    # for everything else. Same semantics — lowest (id, position)
+    # first occurrence — so renaming ids 1..n to "d01".."d0n"
+    # (order-preserving) must cut the exact same words.
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    rows = [
+        (1, shared + " a1 a2 a3 a4 a5 a6 a7 a8"),
+        (2, "b1 b2 b3 b4 b5 b6 b7 b8 " + shared),
+        (3, shared),
+    ]
+    ints = spark.createDataFrame(rows, "doc_id bigint, text string")
+    strs = spark.createDataFrame(
+        [(f"d{i:02d}", t) for i, t in rows], "doc_id string, text string"
+    )
+    got_int = {
+        r.doc_id: (r.kept_words, r.removed_words, r.kept_md5)
+        for r in remove_duplicate_spans(ints, k=8).collect()
+    }
+    got_str = {
+        r.doc_id: (r.kept_words, r.removed_words, r.kept_md5)
+        for r in remove_duplicate_spans(strs, k=8).collect()
+    }
+    assert got_str == {f"d{i:02d}": got_int[i] for i in got_int}
+    assert got_int[1][1] == 0 and got_int[2][1] == 8 and got_int[3][1] == 8
+
+
+def test_remove_spans_packed_key_guard_raises_on_huge_id(spark):
+    # Ids at or beyond 2^42 would overflow the packed (id, pos) key;
+    # the in-plan guard must raise, never silently mis-elect.
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    text = "g1 g2 g3 g4 g5 g6 g7 g8"
+    df = spark.createDataFrame(
+        [(1 << 42, text), ((1 << 42) + 1, text)],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises((Py4JJavaError, Exception)):
+        remove_duplicate_spans(df, k=8).collect()
