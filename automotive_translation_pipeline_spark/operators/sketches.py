@@ -41,20 +41,18 @@ def _hash_idx(word: str, seed: int, width: int) -> int:
     return zlib.crc32(f"{seed}:{word}".encode("utf-8")) % width
 
 
-def topk_heavy_hitters_cms(
+def merged_cms(
     words: DataFrame,
     col: str = "w",
-    k: int = 10,
     depth: int = 4,
     width: int = 8192,
     candidates_per_partition: int = 64,
-) -> list[tuple[str, int]]:
-    """Approximate global top-k of ``words[col]`` with bounded shuffle.
-
-    Returns a driver-side list of (word, estimated_count), sorted by
-    (-count, word). The only data leaving executors is one sketch +
-    ``candidates_per_partition`` candidate words per partition.
-    """
+) -> tuple[np.ndarray, set[str]]:
+    """Build the corpus count-min sketch: every partition folds its
+    rows into one depth×width int64 grid + its local top candidates,
+    and the grids reduce by cellwise sum on the driver (count-min is a
+    linear sketch). Returns ``(merged_sketch, candidate_words)``; only
+    O(partitions × sketch) bytes ever leave the executors."""
 
     def build(iterator):
         for pdf in iterator:
@@ -74,9 +72,6 @@ def topk_heavy_hitters_cms(
     parts = words.mapInPandas(
         build, "sketch binary, cands array<string>"
     ).collect()
-    if not parts:
-        return []
-
     merged = np.zeros((depth, width), dtype=np.int64)
     cand_set: set[str] = set()
     for row in parts:
@@ -84,13 +79,41 @@ def topk_heavy_hitters_cms(
             depth, width
         )
         cand_set.update(row.cands)
+    return merged, cand_set
 
-    def estimate(word: str) -> int:
-        return int(
-            min(merged[d, _hash_idx(word, d, width)] for d in range(depth))
-        )
 
+def cms_estimate(
+    sketch: np.ndarray, word: str, depth: int = 4, width: int = 8192
+) -> int:
+    """Point estimate from a merged sketch: min over the depth rows.
+    Never under-counts (every cell holds the true count plus
+    non-negative collision mass — the one-sided CM guarantee)."""
+    return int(
+        min(sketch[d, _hash_idx(word, d, width)] for d in range(depth))
+    )
+
+
+def topk_heavy_hitters_cms(
+    words: DataFrame,
+    col: str = "w",
+    k: int = 10,
+    depth: int = 4,
+    width: int = 8192,
+    candidates_per_partition: int = 64,
+) -> list[tuple[str, int]]:
+    """Approximate global top-k of ``words[col]`` with bounded shuffle.
+
+    Returns a driver-side list of (word, estimated_count), sorted by
+    (-count, word). The only data leaving executors is one sketch +
+    ``candidates_per_partition`` candidate words per partition.
+    """
+    merged, cand_set = merged_cms(
+        words, col, depth, width, candidates_per_partition
+    )
+    if not cand_set:
+        return []
     scored = sorted(
-        ((w, estimate(w)) for w in cand_set), key=lambda t: (-t[1], t[0])
+        ((w, cms_estimate(merged, w, depth, width)) for w in cand_set),
+        key=lambda t: (-t[1], t[0]),
     )
     return scored[:k]

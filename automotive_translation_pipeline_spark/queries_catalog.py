@@ -83,6 +83,9 @@ _CHANGED_THIS_ROUND = frozenset({
     # round 7 edits:
     "agg_approx_distinct",      # promoted rows-only -> bounded-error oracle
     "profile_approx_quantiles", # promoted rows-only -> bounded-error oracle
+    "heavy_hitters_cms",        # promoted rows-only -> bounded-error oracle
+    "agg_hll_mergeable",        # promoted rows-only -> bounded-error oracle
+    "dedup_remove_duplicate_spans",  # canonical election -> packed-key hash agg
     "dedup_ngram_jaccard",      # blocker re-banded 8x2 -> 8x4 (FP ~J^4)
     # LSH family hex -> affine (Carter-Wegman; HashAggregate instead of
     # the sort-spilling string-min SortAggregate); oracles re-derived:
@@ -4851,22 +4854,68 @@ def global_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "global_index")
 
 
-@register("heavy_hitters_cms", None)
+@register(
+    "heavy_hitters_cms",
+    """
+    SELECT w, exact_count,
+           TRUE AS never_undercounts,
+           TRUE AS within_loose_bound
+    FROM (
+        SELECT w, CAST(count(*) AS BIGINT) AS exact_count
+        FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                                                '\\s+')) AS w
+            FROM documents)
+        GROUP BY w
+        ORDER BY exact_count DESC, w ASC
+        LIMIT 10
+    )
+    """,
+)
 def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min-sketch heavy hitters (rows-only: sketch estimates are
-    approximate by construction — accuracy vs the exact top-10 is
-    pytest-asserted instead). The scale path for `heavy_hitters_words`:
-    per-partition linear sketches merge by addition, so the shuffle is
-    O(partitions × sketch), never O(vocabulary)
-    (operators/sketches.py:topk_heavy_hitters_cms)."""
-    from .operators.sketches import topk_heavy_hitters_cms
+    """Count-min-sketch heavy hitters, promoted from rows-only to a
+    BOUNDED-ERROR oracle (round-6 verdict #4 pattern): the estimates
+    are engine-specific, but the sketch CONTRACT is not. Per exact
+    top-10 word (a genuine value check against DuckDB — word AND exact
+    count) the query emits `never_undercounts` = sketch >= exact (the
+    one-sided count-min guarantee, deterministic by construction) and
+    `within_loose_bound` = sketch <= 1.2*exact + 10 (the accuracy
+    hook's long-standing bound; deterministic for fixed data + fixed
+    crc32 seeds). Candidate recall of the sketch's own top-k path
+    stays in the accuracy hook. The scale path for
+    `heavy_hitters_words` remains: per-partition linear sketches merge
+    by addition — O(partitions × sketch) shuffle, never O(vocabulary)
+    (operators/sketches.py:merged_cms)."""
+    from .operators.sketches import cms_estimate, merged_cms
 
     t = load_testdata(spark, sf_dir)
     words = t["documents"].select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
     )
-    top = topk_heavy_hitters_cms(words, "w", k=10)
-    return spark.createDataFrame(top, "w string, est_count long")
+    exact_top = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("w"))
+        .limit(10)
+        .collect()
+    )
+    sketch, _ = merged_cms(words, "w")
+    rows = []
+    for r in exact_top:
+        est = cms_estimate(sketch, r["w"])
+        rows.append(
+            (
+                r["w"],
+                r["exact_count"],
+                est >= r["exact_count"],
+                est <= 1.2 * r["exact_count"] + 10,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "w string, exact_count long, never_undercounts boolean, "
+        "within_loose_bound boolean",
+    )
 
 
 @register(
@@ -5387,26 +5436,67 @@ def ann_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_mergeable", None)
+@register(
+    "agg_hll_mergeable",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT
+                trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                AS BIGINT) AS exact_distinct,
+           TRUE AS direct_within_bound,
+           TRUE AS merged_within_bound
+    FROM documents
+    GROUP BY lang
+    """,
+)
 def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Re-aggregatable distinct counts via Datasketches HLL (rows-only:
-    sketch internals are engine-specific, so no DuckDB twin; the merge
-    law — union of per-source sketches == whole-table sketch — and
-    exactness at this cardinality are pytest-asserted). This is the
-    continuous-aggregate companion: per-partition sketches persist
-    with the rollup and re-aggregate to any grouping without
-    rescanning history, unlike count(DISTINCT) which cannot merge."""
+    """Re-aggregatable distinct counts via Datasketches HLL, promoted
+    from rows-only to a BOUNDED-ERROR oracle (round-6 verdict #4
+    pattern): sketch internals are engine-specific, but the
+    re-aggregation CONTRACT is not. Per language the query emits the
+    exact distinct fingerprint count (a genuine value check against
+    DuckDB) plus two booleans: the DIRECT whole-group sketch estimate
+    and the MERGED estimate (per-source sketches → hll_union_agg — the
+    continuous-aggregate path that re-aggregates to any grouping
+    without rescanning history, unlike count(DISTINCT)) both within 5%
+    of exact — 3 sigma of lgConfigK=12's ~1.6% rse, the same bound the
+    merge-law pytest pins. Spark's HLL is deterministic for fixed
+    data, so a violation is a hard hash-FAIL, not flake. At 100 TB
+    drop the exact column and persist the sketches with the rollup."""
     from .functions.text import doc_fingerprint
 
     t = load_testdata(spark, sf_dir)
-    sketches = (
-        t["documents"]
-        .select("lang", doc_fingerprint(F.col("text")).alias("fp"))
-        .groupBy("lang")
-        .agg(F.hll_sketch_agg("fp").alias("sk"), F.count("*").alias("n_docs"))
+    docs = t["documents"].select(
+        "lang", "source", doc_fingerprint(F.col("text")).alias("fp")
     )
-    return sketches.select(
-        "lang", "n_docs", F.hll_sketch_estimate("sk").alias("est_distinct")
+    merged = (
+        docs.groupBy("lang", "source")
+        .agg(F.hll_sketch_agg("fp").alias("sk"), F.count(F.lit(1)).alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__m"),
+            F.sum("n").alias("n_docs"),
+        )
+    )
+    direct = docs.groupBy("lang").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("fp")).alias("__d"),
+        F.countDistinct("fp").alias("exact_distinct"),
+    )
+    bound = F.greatest(F.lit(2.0), F.col("exact_distinct") * 0.05)
+    return (
+        merged.join(direct, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "exact_distinct",
+            (F.abs(F.col("__d") - F.col("exact_distinct")) <= bound).alias(
+                "direct_within_bound"
+            ),
+            (F.abs(F.col("__m") - F.col("exact_distinct")) <= bound).alias(
+                "merged_within_bound"
+            ),
+        )
     )
 
 
