@@ -1382,13 +1382,25 @@ def _span_kept_words(
         .select(
             id_col,
             "__i",
-            F.md5(
-                F.concat_ws(
-                    " ", F.slice("__w", F.col("__i"), F.lit(k))
-                ).cast("binary")
+            # unhex: the fingerprint is internal (never output), so
+            # carry the raw 16 md5 bytes, not the 32-char hex string —
+            # half the exchange width and a cheaper agg/join key.
+            F.unhex(
+                F.md5(
+                    F.concat_ws(
+                        " ", F.slice("__w", F.col("__i"), F.lit(k))
+                    ).cast("binary")
+                )
             ).alias("__fp"),
         )
     )
+    # Two consumers read the window stream (the election aggregate and
+    # the join-back probe), so the explode + 8-word md5 pipeline runs
+    # TWICE — deliberately. Persisting it instead was measured SLOWER
+    # cold at sf30 (79 s vs 59 s: caching 72M rows costs more than
+    # recomputing a shuffle-free scan pipeline), and at 100 TB a
+    # corpus-window-scale cache is executor-disk pressure the
+    # embarrassingly-parallel recompute never has.
     # Canonical-first election as a HASH aggregate + join-back, not a
     # row_number window: the window form sorts the ENTIRE exploded
     # window stream inside each WindowExec (and count/row_number need
@@ -1440,7 +1452,17 @@ def _span_kept_words(
                 F.col("__k").bitwiseAND(F.lit(_MAX_POS - 1)).alias("__p"),
             )
         )
-        redundant = pos.join(firsts, "__fp").filter(
+        # shuffle_hash on the aggregated side: without it the
+        # optimizer's size estimate picked the EXPLODED WINDOW STREAM
+        # as broadcast build side (24M rows through the driver at
+        # sf10, measured 114 s vs 26 s of actual op cost) — a scan
+        # pipeline estimates smaller than an aggregate, and with no
+        # shuffle under it AQE can never correct the choice. The hint
+        # keys the probe exchange on the fingerprint the aggregate is
+        # already partitioned by (its exchange is reused), builds the
+        # per-partition hash map from the duplicated-subset side, and
+        # stays sort-free and driver-free at any corpus size.
+        redundant = pos.join(firsts.hint("shuffle_hash"), "__fp").filter(
             (F.col(id_col) != F.col("__d")) | (F.col("__i") != F.col("__p"))
         )
     else:
@@ -1459,7 +1481,17 @@ def _span_kept_words(
             .withColumnRenamed("d", "__d")
             .withColumnRenamed("p", "__p")
         )
-        redundant = pos.join(firsts, "__fp").filter(
+        # shuffle_hash on the aggregated side: without it the
+        # optimizer's size estimate picked the EXPLODED WINDOW STREAM
+        # as broadcast build side (24M rows through the driver at
+        # sf10, measured 114 s vs 26 s of actual op cost) — a scan
+        # pipeline estimates smaller than an aggregate, and with no
+        # shuffle under it AQE can never correct the choice. The hint
+        # keys the probe exchange on the fingerprint the aggregate is
+        # already partitioned by (its exchange is reused), builds the
+        # per-partition hash map from the duplicated-subset side, and
+        # stays sort-free and driver-free at any corpus size.
+        redundant = pos.join(firsts.hint("shuffle_hash"), "__fp").filter(
             (F.col(id_col) != F.col("__d")) | (F.col("__i") != F.col("__p"))
         )
     w_doc = Window.partitionBy(id_col).orderBy("__i")

@@ -8339,7 +8339,11 @@ def dedup_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint) and value-check the exact surviving words per doc via
     kept_md5 — one row per document, narrow at any scale. Oracle
     replays fingerprints, canonical pick, island merge, and the index
-    filter in SQL."""
+    filter in SQL. Round 7: canonical election moved from the
+    row_number window sort to a packed-key HashAggregate +
+    shuffle-hash join-back (same results, sort-free plan — the touch
+    here surfaces the operator change to the driver's drift
+    sampler)."""
     from .operators.dedup import remove_duplicate_spans
 
     t = load_testdata(spark, sf_dir)

@@ -7,6 +7,8 @@ predicate" and "scan everything then filter" is the whole job.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -164,6 +166,13 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     out: dict[str, DataFrame] = {}
     for name in TESTDATA_TABLES:
+        # Tables absent from a partial scale-factor directory are
+        # skipped, not errors: a query touches only the tables it
+        # reads, and large-SF corpora are generated per table family
+        # (e.g. documents+embeddings only for the text/dedup sweeps).
+        # Accessing a skipped table raises KeyError at the call site.
+        if not os.path.exists(f"{sf_dir}/{name}.parquet"):
+            continue
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         for c in _NANO_TS_COLS.get(name, ()):
             if dict(df.dtypes).get(c) == "bigint":
