@@ -113,16 +113,17 @@ def remove_duplicate_segments(
     document — a fully-duplicated document stays present with
     ``n_kept = 0`` and empty ``kept_text``.
 
-    Scale: explode is narrow (no shuffle); first-occurrence election is
-    ONE row_number window partitioned by the block text (the same
-    shuffle key cardinality as exact dedup — hot blocks cost rows
-    proportional to their occurrence count, never pairwise); the
+    Scale: explode is narrow (no shuffle); first-occurrence election
+    rides ``dedup.first_occurrence_table`` — a packed-key
+    HashAggregate on the block's md5 + a shuffle-hash join-back,
+    replacing the row_number window whose whole-stream sort measured
+    super-linear by sf100 (and whose partition key here was the RAW
+    block text; the md5 key halves the exchange). Hot blocks cost rows
+    proportional to their occurrence count, never pairwise; the
     rebuild is one keyed rollup whose order comes from ``array_sort``
     inside the aggregation buffer, not an extra sort exchange. Two
-    shuffles total, both linear.
+    narrow shuffles plus the join-back exchange, all linear.
     """
-    from pyspark.sql import Window
-
     if seg_words <= 0:
         raise ValueError("seg_words must be positive")
     words = F.split(normalized_text(F.col(text_col)), " ")
@@ -149,15 +150,25 @@ def remove_duplicate_segments(
             " ",
         ).alias("seg_text"),
     )
-    win = Window.partitionBy("seg_text").orderBy(F.col(id_col), F.col("seg_idx"))
-    flagged = segs.withColumn("__rn", F.row_number().over(win))
+    from .dedup import first_occurrence_table
+
+    segs = segs.withColumn(
+        "__fp", F.unhex(F.md5(F.col("seg_text").cast("binary")))
+    )
+    firsts = first_occurrence_table(
+        segs, id_col=id_col, idx_col="seg_idx", key_col="__fp"
+    )
+    flagged = segs.join(firsts.hint("shuffle_hash"), "__fp").withColumn(
+        "__is_first",
+        (F.col(id_col) == F.col("__d")) & (F.col("seg_idx") == F.col("__p")),
+    )
     kept_struct = F.when(
-        F.col("__rn") == 1, F.struct(F.col("seg_idx"), F.col("seg_text"))
+        F.col("__is_first"), F.struct(F.col("seg_idx"), F.col("seg_text"))
     )  # NULL otherwise; collect_list drops NULLs
     return flagged.groupBy(id_col).agg(
         F.first("__n_segs").alias("n_segments"),
         F.coalesce(
-            F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)), F.lit(0)
+            F.sum(F.when(F.col("__is_first"), 1).otherwise(0)), F.lit(0)
         ).cast("long").alias("n_kept"),
         F.array_join(
             F.transform(
@@ -189,20 +200,21 @@ def segment_dup_stats(
     scanned or shingled twice, and there is no doc-to-frequency join at
     all (a naive freq-table join either broadcasts a corpus-sized
     per-segment table or re-explodes the probe side). Instead:
-    (1) groupBy(seg, id) with count — Spark's partial aggregation
-    collapses within-doc repeats map-side before the shuffle; (2) the
-    distinct-doc count per segment is a window count over those
-    already-aggregated pairs (one row per (seg, doc), so the partition
-    is exactly the segment's doc list — bounded by corpus doc count,
-    no position blowup); (3) the per-doc rollup weights each pair by
-    its position count. Three keyed shuffles, all over pre-aggregated
-    rows; a hot segment costs rows proportional to its distinct docs,
-    never pairwise. The repartition decouples shingle-hash parallelism
-    from the scan's file layout (same rationale as
+    (1) groupBy(seg_md5, id) with count — Spark's partial aggregation
+    collapses within-doc repeats map-side before the shuffle, and the
+    16-byte md5 key (the segment text itself is never needed
+    downstream) keeps every exchange narrow; (2) the multi-doc flag
+    comes from a HashAggregate over those already-aggregated pairs
+    joined back with shuffle_hash — NOT a window count, whose
+    whole-stream sort by the partition key measured super-linear by
+    sf100 on the span family (the left join keeps single-doc pairs,
+    null-flagged); (3) the per-doc rollup weights each pair by its
+    position count. Three keyed shuffles, all over pre-aggregated
+    narrow rows; a hot segment costs rows proportional to its distinct
+    docs, never pairwise. The repartition decouples shingle-hash
+    parallelism from the scan's file layout (same rationale as
     minhash_lsh_candidates).
     """
-    from pyspark.sql import Window
-
     ex = (
         df.select(F.col(id_col), F.col(text_col))
         .repartition(F.col(id_col))
@@ -210,17 +222,24 @@ def segment_dup_stats(
             F.col(id_col),
             F.explode(word_shingles(F.col(text_col), k)).alias("seg"),
         )
+        .select(
+            id_col, F.unhex(F.md5(F.col("seg").cast("binary"))).alias("__fp")
+        )
     )
-    pairs = ex.groupBy("seg", id_col).agg(F.count(F.lit(1)).alias("__n_pos"))
-    with_nd = pairs.withColumn(
-        "__nd", F.count(F.lit(1)).over(Window.partitionBy("seg"))
+    pairs = ex.groupBy("__fp", id_col).agg(F.count(F.lit(1)).alias("__n_pos"))
+    multi = (
+        pairs.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") > 1)
     )
+    flagged = pairs.join(multi.hint("shuffle_hash"), "__fp", "left")
     return (
-        with_nd.groupBy(id_col)
+        flagged.groupBy(id_col)
         .agg(
             F.sum("__n_pos").alias("n_segments"),
             F.coalesce(
-                F.sum(F.when(F.col("__nd") > 1, F.col("__n_pos"))), F.lit(0)
+                F.sum(F.when(F.col("__nd").isNotNull(), F.col("__n_pos"))),
+                F.lit(0),
             ).alias("dup_segments"),
         )
         .withColumn(

@@ -1264,16 +1264,33 @@ def duplicate_spans(
         id_col,
         "n_words",
         "__i",
-        F.md5(
-            F.concat_ws(" ", F.slice("__w", F.col("__i"), F.lit(k))).cast(
-                "binary"
+        # Raw md5 bytes, not hex: the fingerprint is internal — half
+        # the exchange/key width (same as the removal form).
+        F.unhex(
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice("__w", F.col("__i"), F.lit(k))
+                ).cast("binary")
             )
         ).alias("__fp"),
     )
-    with_cnt = pos.withColumn(
-        "__cnt", F.count(F.lit(1)).over(Window.partitionBy("__fp"))
+    # Corpus window count as a HASH aggregate + shuffle-hash join-back,
+    # not count().over(Window.partitionBy(fp)): an unordered window
+    # still SORTS the whole exploded stream by the partition key, and
+    # at sf100 that sort went super-linear (122 s, 10.7x for 3.3x
+    # data) while the removal form's aggregate+join plan stayed linear
+    # (2.7x for 3.3x). Same shape as `_span_kept_words`: the
+    # duplicated-fp side is pre-filtered (cnt >= min_count), the probe
+    # exchange keys on the fingerprint the aggregate is already
+    # partitioned by, and the hint stops the planner from broadcasting
+    # the exploded stream (its scan pipeline estimates smaller than
+    # the aggregate).
+    dup_fps = (
+        pos.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= min_count)
     )
-    dup = with_cnt.filter(F.col("__cnt") >= min_count)
+    dup = pos.join(dup_fps.hint("shuffle_hash"), "__fp")
     w_doc = Window.partitionBy(id_col).orderBy("__i")
     islands = dup.withColumn(
         "__new",
@@ -1355,6 +1372,81 @@ def remove_duplicate_spans_text(
     )
 
 
+def first_occurrence_table(
+    pos: DataFrame,
+    id_col: str,
+    idx_col: str,
+    key_col: str,
+    min_count: int | None = None,
+) -> DataFrame:
+    """Corpus-canonical first occurrence per key as a HASH aggregate:
+    ``(key_col, __d, __p)`` where ``(__d, __p)`` is the
+    lexicographically-lowest ``(id, index)`` holding the key; with
+    ``min_count`` the table is pre-filtered to keys occurring at least
+    that often (the duplicated subset). Callers join it back with
+    ``.hint("shuffle_hash")`` — see the design notes in
+    ``_span_kept_words``: the window/row_number formulation sorts the
+    whole stream (measured super-linear by sf100), min(struct)/
+    min(string) silently fall back to SortAggregate, and without the
+    hint the planner broadcasts the STREAM side (a scan pipeline
+    estimates smaller than an aggregate, and AQE cannot fix a
+    broadcast with no shuffle under it).
+
+    The aggregate buffer must be fixed-width to stay in HashAggregate:
+    for non-negative integral ids the election key packs into one
+    BIGINT (``id * 2^21 + idx``, exact lexicographic order,
+    shift/mask decode, in-plan raise_error guards on both packing
+    preconditions); other id types take a min(struct) fallback —
+    correct, documented SortAggregate cost."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    max_pos = 1 << 21  # 2M positions/doc; beyond this raises in-plan
+    aggs = [F.count(F.lit(1)).alias("__cnt")]
+    integral = isinstance(
+        pos.schema[id_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+    if integral:
+        packed = F.when(
+            (F.col(idx_col) >= max_pos)
+            | (F.col(idx_col) < 0)
+            | (F.col(id_col) < 0)
+            | (F.col(id_col) >= F.lit(1 << 42)),
+            F.raise_error(
+                "first_occurrence_table: packed canonical key needs "
+                "0 <= id < 2^42 and 0 <= index < 2^21"
+            ).cast("long"),
+        ).otherwise(
+            F.col(id_col).cast("long") * F.lit(max_pos)
+            + F.col(idx_col).cast("long")
+        )
+        firsts = pos.groupBy(key_col).agg(
+            *aggs, F.min(packed).alias("__k")
+        )
+        if min_count is not None:
+            firsts = firsts.filter(F.col("__cnt") >= min_count)
+        return firsts.select(
+            key_col,
+            # Power-of-two packing decodes with exact long shift/mask
+            # ('/' would round-trip through double).
+            F.shiftright(F.col("__k"), 21).alias("__d"),
+            F.col("__k").bitwiseAND(F.lit(max_pos - 1)).alias("__p"),
+        )
+    firsts = pos.groupBy(key_col).agg(
+        *aggs,
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col(idx_col).alias("p"))
+        ).alias("__first"),
+    )
+    if min_count is not None:
+        firsts = firsts.filter(F.col("__cnt") >= min_count)
+    return firsts.select(
+        key_col,
+        F.col("__first.d").alias("__d"),
+        F.col("__first.p").alias("__p"),
+    )
+
+
 def _span_kept_words(
     df: DataFrame, text_col: str, id_col: str, k: int, min_count: int
 ):
@@ -1418,82 +1510,13 @@ def _span_kept_words(
     # The join-back's right side is pre-filtered to the duplicated
     # subset (cnt >= min_count) — broadcastable on any mostly-unique
     # corpus, and a narrow-key hash exchange otherwise.
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
-
-    _MAX_POS = 1 << 21  # 2M positions/doc; docs beyond this raise in-plan
-    integral = isinstance(
-        pos.schema[id_col].dataType,
-        (ByteType, ShortType, IntegerType, LongType),
+    firsts = first_occurrence_table(
+        pos, id_col=id_col, idx_col="__i", key_col="__fp",
+        min_count=min_count,
     )
-    if integral:
-        packed = F.when(
-            (F.col("__i") >= _MAX_POS)
-            | (F.col(id_col) < 0)
-            | (F.col(id_col) >= F.lit(1 << 42)),
-            F.raise_error(
-                "remove_duplicate_spans: packed canonical key needs "
-                "0 <= doc id < 2^42 and < 2^21 windows per document"
-            ).cast("long"),
-        ).otherwise(
-            F.col(id_col).cast("long") * F.lit(_MAX_POS) + F.col("__i")
-        )
-        firsts = (
-            pos.groupBy("__fp")
-            .agg(
-                F.count(F.lit(1)).alias("__cnt"),
-                F.min(packed).alias("__k"),
-            )
-            .filter(F.col("__cnt") >= min_count)
-            .select(
-                "__fp",
-                # Power-of-two packing decodes with exact long
-                # shift/mask ('/' would round-trip through double).
-                F.shiftright(F.col("__k"), 21).alias("__d"),
-                F.col("__k").bitwiseAND(F.lit(_MAX_POS - 1)).alias("__p"),
-            )
-        )
-        # shuffle_hash on the aggregated side: without it the
-        # optimizer's size estimate picked the EXPLODED WINDOW STREAM
-        # as broadcast build side (24M rows through the driver at
-        # sf10, measured 114 s vs 26 s of actual op cost) — a scan
-        # pipeline estimates smaller than an aggregate, and with no
-        # shuffle under it AQE can never correct the choice. The hint
-        # keys the probe exchange on the fingerprint the aggregate is
-        # already partitioned by (its exchange is reused), builds the
-        # per-partition hash map from the duplicated-subset side, and
-        # stays sort-free and driver-free at any corpus size.
-        redundant = pos.join(firsts.hint("shuffle_hash"), "__fp").filter(
-            (F.col(id_col) != F.col("__d")) | (F.col("__i") != F.col("__p"))
-        )
-    else:
-        firsts = (
-            pos.groupBy("__fp")
-            .agg(
-                F.count(F.lit(1)).alias("__cnt"),
-                F.min(
-                    F.struct(
-                        F.col(id_col).alias("d"), F.col("__i").alias("p")
-                    )
-                ).alias("__first"),
-            )
-            .filter(F.col("__cnt") >= min_count)
-            .select("__fp", "__first.d", "__first.p")
-            .withColumnRenamed("d", "__d")
-            .withColumnRenamed("p", "__p")
-        )
-        # shuffle_hash on the aggregated side: without it the
-        # optimizer's size estimate picked the EXPLODED WINDOW STREAM
-        # as broadcast build side (24M rows through the driver at
-        # sf10, measured 114 s vs 26 s of actual op cost) — a scan
-        # pipeline estimates smaller than an aggregate, and with no
-        # shuffle under it AQE can never correct the choice. The hint
-        # keys the probe exchange on the fingerprint the aggregate is
-        # already partitioned by (its exchange is reused), builds the
-        # per-partition hash map from the duplicated-subset side, and
-        # stays sort-free and driver-free at any corpus size.
-        redundant = pos.join(firsts.hint("shuffle_hash"), "__fp").filter(
-            (F.col(id_col) != F.col("__d")) | (F.col("__i") != F.col("__p"))
-        )
+    redundant = pos.join(firsts.hint("shuffle_hash"), "__fp").filter(
+        (F.col(id_col) != F.col("__d")) | (F.col("__i") != F.col("__p"))
+    )
     w_doc = Window.partitionBy(id_col).orderBy("__i")
     spans = (
         redundant.withColumn(

@@ -86,6 +86,10 @@ _CHANGED_THIS_ROUND = frozenset({
     "heavy_hitters_cms",        # promoted rows-only -> bounded-error oracle
     "agg_hll_mergeable",        # promoted rows-only -> bounded-error oracle
     "dedup_remove_duplicate_spans",  # canonical election -> packed-key hash agg
+    "text_perplexity_buckets",  # per-lang rank -> parallel global index
+    "dedup_duplicate_spans",     # window count -> hash agg + join-back
+    "dedup_segment_overlap",     # window count -> hash agg + join-back
+    "dedup_remove_dup_segments", # election -> packed-key hash agg
     "dedup_ngram_jaccard",      # blocker re-banded 8x2 -> 8x4 (FP ~J^4)
     # LSH family hex -> affine (Carter-Wegman; HashAggregate instead of
     # the sort-spilling string-min SortAggregate); oracles re-derived:
@@ -5873,9 +5877,11 @@ def dedup_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/chunking.py:segment_dup_stats). The document-level
     signal behind substring dedup (Lee et al. 2021) and the
     duplicate-text-fraction gates in Gopher/RefinedWeb. Linear shapes
-    only: segment-frequency agg + co-partitioned join back + per-doc
-    rollup — a hot segment costs one frequency row, never a pair
-    explosion."""
+    only: segment-frequency HashAggregate + shuffle-hash join back +
+    per-doc rollup (round 7: the window count became agg+join and the
+    key became the segment md5 — the whole-stream window sort measured
+    super-linear by sf100 and the raw-text key doubled the exchange) —
+    a hot segment costs one frequency row, never a pair explosion."""
     from .operators.chunking import segment_dup_stats
 
     t = load_testdata(spark, sf_dir)
@@ -6030,24 +6036,38 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stand-in LM is the corpus unigram distribution
     (operators/lm.py:unigram_surprisal); a trained KenLM drops into the
     same plan as a per-doc score column. Bucketing is an exact per-lang
-    rank (row_number over (avg_surprisal, doc_id) — deterministic on
-    ties) against integer tercile bounds; the per-lang sort is one
-    shuffle on lang + sort, the exact/approx pair discipline applies at
-    100 TB (swap to approx-quantile thresholds broadcast back — same
-    output contract, no global sort). Per-doc surprisal is quantized to
-    integer 1e-4 units before summing so the rollup is exact BIGINT
-    arithmetic cross-engine."""
+    rank (deterministic ties on doc_id) against integer tercile
+    bounds. Round 7: the rank no longer rides a per-lang row_number
+    window — ~5 languages means a 5-TASK sort of the whole corpus
+    (measured super-linear at sf100: 91 s, 5.9x for 3.3x data); it now
+    rides `with_global_index` over (lang, avg_surprisal, doc_id) — a
+    range shuffle + parallel in-partition sort — minus broadcast
+    per-lang start offsets (cumsum of per-lang counts in lang order,
+    computed from the persisted narrow score table: 4 columns/doc,
+    small relative to recomputing the surprisal explode). Identical
+    numbers to the window form; the exact/approx pair discipline still
+    applies at 100 TB (approx-quantile thresholds broadcast back —
+    same output contract, no corpus rank at all). Per-doc surprisal is
+    quantized to integer 1e-4 units before summing so the rollup is
+    exact BIGINT arithmetic cross-engine."""
+    from .operators.indexing import with_global_index
     from .operators.lm import unigram_surprisal
 
     t = load_testdata(spark, sf_dir)
     docs = t["documents"]
     s = unigram_surprisal(docs, text_col="text", id_col="doc_id")
-    j = s.join(docs.select("doc_id", "lang"), "doc_id")
-    wl = Window.partitionBy("lang")
-    rk = j.withColumn(
-        "r",
-        F.row_number().over(wl.orderBy("avg_surprisal", "doc_id")),
-    ).withColumn("nl", F.count(F.lit(1)).over(wl))
+    j = s.join(docs.select("doc_id", "lang"), "doc_id").persist()
+    jx = with_global_index(j, order_by=["lang", "avg_surprisal", "doc_id"])
+    nl_tbl = j.groupBy("lang").agg(F.count(F.lit(1)).alias("nl"))
+    w_lang = Window.orderBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    starts = nl_tbl.withColumn(
+        "__g0", F.coalesce(F.sum("nl").over(w_lang), F.lit(0)) + F.lit(1)
+    )
+    rk = jx.join(F.broadcast(starts), "lang").withColumn(
+        "r", F.col("global_index") - F.col("__g0") + F.lit(1)
+    )
     bucket = (
         F.when(F.col("r") * 3 <= F.col("nl"), F.lit("head"))
         .when(F.col("r") * 3 <= 2 * F.col("nl"), F.lit("middle"))
@@ -7789,9 +7809,12 @@ def dedup_remove_dup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact text already occurred at a smaller (doc, block) position
     corpus-wide, and reassemble the documents from the survivors —
     boilerplate is removed, the documents live on
-    (operators/chunking.py:remove_duplicate_segments). Two linear
-    shuffles: the first-occurrence window keyed on block text and the
-    per-doc rebuild; the complement of the PASSIVE dup-fraction signal
+    (operators/chunking.py:remove_duplicate_segments). Linear
+    shapes only — round 7: the first-occurrence election moved from a
+    row_number window keyed on RAW block text to the shared packed-key
+    HashAggregate + shuffle-hash join-back on the block md5
+    (dedup.first_occurrence_table); plus the per-doc rebuild. The
+    complement of the PASSIVE dup-fraction signal
     (dedup_segment_overlap)."""
     from .operators.chunking import remove_duplicate_segments
 
@@ -8217,9 +8240,11 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     2022 suffix-array dedup pass: every 8-word window with corpus
     count >= 2 is duplicated text; overlapping/touching windows merge
     gaps-and-islands into maximal per-document spans. Two shuffles
-    (fingerprint window count + per-doc island merge); raw text never
-    shuffles. Oracle replays the identical md5 window fingerprints and
-    island merge in SQL."""
+    (fingerprint-count HashAggregate + shuffle-hash join-back — round
+    7, replacing the count-over-window whose whole-stream sort
+    measured 10.7x for 3.3x data at sf100 — then the per-doc island
+    merge); raw text never shuffles. Oracle replays the identical md5
+    window fingerprints and island merge in SQL."""
     from .operators.dedup import duplicate_spans
 
     t = load_testdata(spark, sf_dir)

@@ -72,15 +72,21 @@ def test_chunk_plan_has_no_shuffle(spark):
     assert "Exchange" not in plan
 
 
-def test_segment_dup_single_explode_pass(spark):
-    # Scale contract: the corpus must be shingle-exploded exactly once —
-    # no second scan branch and no doc-to-frequency join (which would
-    # either broadcast a corpus-sized table or re-explode the probe
-    # side at scale).
+def test_segment_dup_sort_free_pass(spark):
+    # Scale contract (round 7): the multi-doc flag must come from a
+    # HashAggregate + shuffle-hash join over the collapsed (md5, doc)
+    # pairs — never a window count (whole-stream sort by the partition
+    # key; the span family measured that sort 10.7x for 3.3x data at
+    # sf100) and never a sort-merge join or a broadcast of the
+    # pair stream. The price is a second shingle explode (one per
+    # pair consumer) — deliberate: recompute is shuffle-free map work,
+    # the sort is not.
     df = _docs(spark, [(1, " ".join(f"w{i}" for i in range(12)))])
     plan = segment_dup_stats(df, k=8)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Generate") == 1
-    assert "Join" not in plan
+    assert plan.count("Generate") == 2
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" in plan
 
 
 def test_segment_dup_stats_planted_dup(spark):
