@@ -155,6 +155,9 @@ def remove_duplicate_segments(
     segs = segs.withColumn(
         "__fp", F.unhex(F.md5(F.col("seg_text").cast("binary")))
     )
+    # Two consumers (election aggregate + join probe) recompute the
+    # block construction — same rationale as _span_kept_words (AQE's
+    # stage cache will not dedupe an explicitly shared repartition).
     firsts = first_occurrence_table(
         segs, id_col=id_col, idx_col="seg_idx", key_col="__fp"
     )
@@ -226,7 +229,11 @@ def segment_dup_stats(
             id_col, F.unhex(F.md5(F.col("seg").cast("binary"))).alias("__fp")
         )
     )
-    pairs = ex.groupBy("__fp", id_col).agg(F.count(F.lit(1)).alias("__n_pos"))
+    pairs = ex.groupBy("__fp", id_col).agg(
+        F.count(F.lit(1)).alias("__n_pos")
+    )
+    # Two consumers of the collapsed pairs (multi-doc aggregate + join
+    # probe) recompute them — see _span_kept_words for the rationale.
     multi = (
         pairs.groupBy("__fp")
         .agg(F.count(F.lit(1)).alias("__nd"))

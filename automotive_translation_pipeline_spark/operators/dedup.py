@@ -1278,13 +1278,11 @@ def duplicate_spans(
     # not count().over(Window.partitionBy(fp)): an unordered window
     # still SORTS the whole exploded stream by the partition key, and
     # at sf100 that sort went super-linear (122 s, 10.7x for 3.3x
-    # data) while the removal form's aggregate+join plan stayed linear
-    # (2.7x for 3.3x). Same shape as `_span_kept_words`: the
-    # duplicated-fp side is pre-filtered (cnt >= min_count), the probe
-    # exchange keys on the fingerprint the aggregate is already
-    # partitioned by, and the hint stops the planner from broadcasting
-    # the exploded stream (its scan pipeline estimates smaller than
-    # the aggregate).
+    # data) while the aggregate+join slope stayed ~3x. The two
+    # consumers recompute the window stream deliberately — the full
+    # design notes (persist measured slower; AQE stage cache will not
+    # dedupe an explicitly shared repartition) live in
+    # `_span_kept_words`.
     dup_fps = (
         pos.groupBy("__fp")
         .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -1463,7 +1461,14 @@ def _span_kept_words(
         F.size(words).alias("n_words"),
     )
     pos = (
-        base.filter(F.col("n_words") >= k)
+        # The explicit isNotNull matters twice over: a null id can
+        # never be elected canonical (the packed key nulls out and
+        # min() skips it), and — load-bearing — the join-back infers
+        # IsNotNull(id) on the PROBE branch only, which would make the
+        # two REPARTITION exchanges canonicalize differently and stop
+        # ReuseExchange from deduplicating them (measured: the whole
+        # explode+md5+exchange pipeline ran twice).
+        base.filter((F.col("n_words") >= k) & F.col(id_col).isNotNull())
         .select(
             id_col,
             F.explode(
@@ -1486,30 +1491,25 @@ def _span_kept_words(
             ).alias("__fp"),
         )
     )
-    # Two consumers read the window stream (the election aggregate and
-    # the join-back probe), so the explode + 8-word md5 pipeline runs
-    # TWICE — deliberately. Persisting it instead was measured SLOWER
-    # cold at sf30 (79 s vs 59 s: caching 72M rows costs more than
-    # recomputing a shuffle-free scan pipeline), and at 100 TB a
-    # corpus-window-scale cache is executor-disk pressure the
-    # embarrassingly-parallel recompute never has.
     # Canonical-first election as a HASH aggregate + join-back, not a
     # row_number window: the window form sorts the ENTIRE exploded
     # window stream inside each WindowExec (and count/row_number need
     # DIFFERENT sort orders, so Spark plans two of them) — measured
-    # 4.6x cold at sf30 (9.4 s -> 43.7 s) while the window-free
-    # detection form stayed linear. The aggregate must carry the
-    # lexicographic (doc id, position) minimum in a FIXED-WIDTH buffer
-    # to stay in HashAggregate — min(struct(...)) or min(string) both
-    # fall back to SortAggregate, the same full sort by another name
-    # (SCALE.md round-7 finding #2, the affine-MinHash lesson). For
-    # integral non-negative ids, min(id * MAX_POS + pos) IS the
-    # lexicographic pair minimum in one BIGINT, with in-plan
-    # raise_error guards on both packing preconditions; non-integral
-    # id types take the struct form (correct, documented sort cost).
-    # The join-back's right side is pre-filtered to the duplicated
-    # subset (cnt >= min_count) — broadcastable on any mostly-unique
-    # corpus, and a narrow-key hash exchange otherwise.
+    # super-linear by sf100 (the detection twin: 10.7x for 3.3x data)
+    # while the aggregate+join plan's slope stayed ~3x (2.7x for 3.3x
+    # cold-isolated). The two consumers (election aggregate +
+    # join-back probe) deliberately RECOMPUTE the explode+md5
+    # pipeline: persisting it measured slower (79 s vs 59 s cold sf30
+    # — caching 72M rows costs more than a shuffle-free recompute),
+    # and an explicit repartition("__fp") shared by both consumers —
+    # the single-pass ideal, proven by ReuseExchange with AQE
+    # disabled (ONE Generate in the plan) — is not deduplicated by
+    # AQE's stage cache (identical canonical subtrees, still two
+    # stages; SCALE.md round-7 continuation), so it just doubles the
+    # exchange. AQE's skew/coalesce wins elsewhere outweigh this
+    # operator's 2x map pass. See first_occurrence_table for why the
+    # aggregation buffer must be a packed BIGINT, never
+    # min(struct)/min(string).
     firsts = first_occurrence_table(
         pos, id_col=id_col, idx_col="__i", key_col="__fp",
         min_count=min_count,

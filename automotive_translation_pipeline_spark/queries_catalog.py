@@ -6036,38 +6036,30 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stand-in LM is the corpus unigram distribution
     (operators/lm.py:unigram_surprisal); a trained KenLM drops into the
     same plan as a per-doc score column. Bucketing is an exact per-lang
-    rank (deterministic ties on doc_id) against integer tercile
-    bounds. Round 7: the rank no longer rides a per-lang row_number
-    window — ~5 languages means a 5-TASK sort of the whole corpus
-    (measured super-linear at sf100: 91 s, 5.9x for 3.3x data); it now
-    rides `with_global_index` over (lang, avg_surprisal, doc_id) — a
-    range shuffle + parallel in-partition sort — minus broadcast
-    per-lang start offsets (cumsum of per-lang counts in lang order,
-    computed from the persisted narrow score table: 4 columns/doc,
-    small relative to recomputing the surprisal explode). Identical
-    numbers to the window form; the exact/approx pair discipline still
-    applies at 100 TB (approx-quantile thresholds broadcast back —
-    same output contract, no corpus rank at all). Per-doc surprisal is
-    quantized to integer 1e-4 units before summing so the rollup is
-    exact BIGINT arithmetic cross-engine."""
-    from .operators.indexing import with_global_index
+    rank (row_number over (avg_surprisal, doc_id) — deterministic on
+    ties) against integer tercile bounds. Round-7 profiling note: the
+    per-lang rank window (parallelism bounded by n_langs) was
+    suspected as this query's scale limit and rewritten through the
+    parallel `with_global_index` — measured SLOWER at every decade
+    (the rank is ~7% of the query at sf100; the surprisal explode is
+    the cost, and the extra range-sampling/checkpoint machinery only
+    added to it), so the simple window stays. When n_langs stops
+    bounding parallelism acceptably, the documented 100 TB swap is
+    approx-quantile thresholds broadcast back — same output contract,
+    no corpus rank at all. Per-doc surprisal is quantized to integer
+    1e-4 units before summing so the rollup is exact BIGINT
+    arithmetic cross-engine."""
     from .operators.lm import unigram_surprisal
 
     t = load_testdata(spark, sf_dir)
     docs = t["documents"]
     s = unigram_surprisal(docs, text_col="text", id_col="doc_id")
-    j = s.join(docs.select("doc_id", "lang"), "doc_id").persist()
-    jx = with_global_index(j, order_by=["lang", "avg_surprisal", "doc_id"])
-    nl_tbl = j.groupBy("lang").agg(F.count(F.lit(1)).alias("nl"))
-    w_lang = Window.orderBy("lang").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow - 1
-    )
-    starts = nl_tbl.withColumn(
-        "__g0", F.coalesce(F.sum("nl").over(w_lang), F.lit(0)) + F.lit(1)
-    )
-    rk = jx.join(F.broadcast(starts), "lang").withColumn(
-        "r", F.col("global_index") - F.col("__g0") + F.lit(1)
-    )
+    j = s.join(docs.select("doc_id", "lang"), "doc_id")
+    wl = Window.partitionBy("lang")
+    rk = j.withColumn(
+        "r",
+        F.row_number().over(wl.orderBy("avg_surprisal", "doc_id")),
+    ).withColumn("nl", F.count(F.lit(1)).over(wl))
     bucket = (
         F.when(F.col("r") * 3 <= F.col("nl"), F.lit("head"))
         .when(F.col("r") * 3 <= 2 * F.col("nl"), F.lit("middle"))
