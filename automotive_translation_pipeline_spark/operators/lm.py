@@ -51,9 +51,21 @@ def unigram_surprisal(
         )
     )
     pairs = words.groupBy("word", id_col).agg(F.count(F.lit(1)).alias("__n"))
-    with_wc = pairs.withColumn(
-        "__wc", F.sum("__n").over(Window.partitionBy("word"))
-    )
+    # Corpus word counts as a hash aggregate + join, NOT
+    # sum().over(Window.partitionBy(word)): the window sorts the whole
+    # (word, doc) pair stream by word — the span family measured that
+    # exact shape super-linear by sf100, and this one was the
+    # dominant cost of text_perplexity_buckets (surprisal is ~93% of
+    # that query). The count branch re-explodes the corpus, but its
+    # map-side partial aggregation collapses to vocabulary size before
+    # the exchange — a second shuffle-free map pass replacing a
+    # corpus-wide sort (the repo's established trade). shuffle_hash
+    # keeps the vocab side as the build side; with Heaps-law
+    # vocabularies the build table is tiny at any corpus size, and the
+    # probe exchange on `word` is the same exchange the window form
+    # paid before sorting.
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("__wc"))
+    with_wc = pairs.join(wc.hint("shuffle_hash"), "word")
     # -mean(ln(wc/total)) = ln(total) - mean(ln(wc)): factoring the
     # global total OUT of the per-word term lets the whole corpus-side
     # computation finish in one pass, leaving total as a 1-row reduce
@@ -162,11 +174,15 @@ def bigram_surprisal(
     with common words in UNUSUAL orders (shuffled spam, template
     stitching) scores high here while passing the unigram gate.
 
-    Same scale discipline as unigram: the corpus explodes to bigrams
-    exactly once and collapses map-side to (doc, w1, w2, n); both
-    corpus counts attach as windows over the collapsed pairs (shuffles
-    of pair rows, never of raw text). Documents under 2 words have no
-    bigrams and drop out — identically in the SQL oracle.
+    Same scale discipline as unigram: the per-doc stream collapses
+    map-side to (doc, w1, w2, n), and both corpus count tables
+    (c(w1 w2) and c(w1)) come from hash aggregates over a second
+    bigram explode — map-side combine collapses them to
+    vocabulary-sized exchanges — attached by shuffle-hash joins, never
+    by windows over the pair stream (that window sort measured
+    super-linear by sf100 on the unigram twin). Raw text never
+    shuffles. Documents under 2 words have no bigrams and drop out —
+    identically in the SQL oracle.
     """
     words = F.split(normalized_text(F.col(text_col)), " ")
     n = F.size(words)
@@ -185,9 +201,11 @@ def bigram_surprisal(
         .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
     pairs = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("__n"))
-    with_counts = pairs.withColumn(
-        "__c12", F.sum("__n").over(Window.partitionBy("w1", "w2"))
-    ).withColumn("__c1", F.sum("__n").over(Window.partitionBy("w1")))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    with_counts = pairs.join(c12.hint("shuffle_hash"), ["w1", "w2"]).join(
+        c1.hint("shuffle_hash"), "w1"
+    )
     return with_counts.groupBy(id_col).agg(
         F.sum("__n").alias("n_bigrams"),
         F.round(
