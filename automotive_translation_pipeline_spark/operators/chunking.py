@@ -95,6 +95,7 @@ def remove_duplicate_segments(
     text_col: str = "text",
     id_col: str = "doc_id",
     seg_words: int = 16,
+    packed_ids: bool | None = None,
 ) -> DataFrame:
     """Corpus-wide exact-duplicate-segment removal with document
     reconstruction (Lee et al. 2021's substring dedup, on fixed
@@ -112,6 +113,17 @@ def remove_duplicate_segments(
     Output: (id, n_segments, n_kept, kept_text) for EVERY input
     document — a fully-duplicated document stays present with
     ``n_kept = 0`` and empty ``kept_text``.
+
+    Id-domain contract (uniform with ``remove_duplicate_spans``):
+    documents with a NULL id never participate in the election or the
+    cutting — they pass through whole (one output row each, all
+    blocks kept), rather than electing no first occurrence and being
+    silently cut from every copy, or collapsing into one
+    ``groupBy(null)`` row. Integral ids ride the packed-BIGINT
+    HashAggregate election (``0 <= id < 2^42``, ``< 2^21`` blocks per
+    document, in-plan raise otherwise); pass ``packed_ids=False`` for
+    id domains outside that (snowflake-style 64-bit ids) to take the
+    min(struct) election instead.
 
     Scale: explode is narrow (no shuffle); first-occurrence election
     rides ``dedup.first_occurrence_table`` — a packed-key
@@ -131,7 +143,20 @@ def remove_duplicate_segments(
     # ceil(n / seg_words) blocks; int-int division yields DOUBLE in
     # both Spark and DuckDB, so ceil() agrees with the oracle.
     n_segs = F.ceil(n / F.lit(seg_words)).cast("long")
-    base = df.select(
+    # NULL-id pass-through branch (see the id-domain contract above):
+    # a narrow second scan whose isNull filter pushes down to the
+    # source — row groups with no null ids skip via stats, so the
+    # usually-empty branch costs ~nothing at any corpus size.
+    passthrough = (
+        df.filter(F.col(id_col).isNull())
+        .select(
+            F.col(id_col),
+            n_segs.alias("n_segments"),
+            n_segs.alias("n_kept"),
+            F.array_join(words, " ").alias("kept_text"),
+        )
+    )
+    base = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col),
         words.alias("__words"),
         n_segs.alias("__n_segs"),
@@ -159,7 +184,8 @@ def remove_duplicate_segments(
     # block construction — same rationale as _span_kept_words (AQE's
     # stage cache will not dedupe an explicitly shared repartition).
     firsts = first_occurrence_table(
-        segs, id_col=id_col, idx_col="seg_idx", key_col="__fp"
+        segs, id_col=id_col, idx_col="seg_idx", key_col="__fp",
+        packed_ids=packed_ids,
     )
     flagged = segs.join(firsts.hint("shuffle_hash"), "__fp").withColumn(
         "__is_first",
@@ -168,7 +194,7 @@ def remove_duplicate_segments(
     kept_struct = F.when(
         F.col("__is_first"), F.struct(F.col("seg_idx"), F.col("seg_text"))
     )  # NULL otherwise; collect_list drops NULLs
-    return flagged.groupBy(id_col).agg(
+    deduped = flagged.groupBy(id_col).agg(
         F.first("__n_segs").alias("n_segments"),
         F.coalesce(
             F.sum(F.when(F.col("__is_first"), 1).otherwise(0)), F.lit(0)
@@ -181,6 +207,7 @@ def remove_duplicate_segments(
             " ",
         ).alias("kept_text"),
     )
+    return deduped.unionByName(passthrough)
 
 
 def segment_dup_stats(

@@ -205,6 +205,30 @@ def lsh_banded_table(
     ).select(id_col, "bb.band", "bb.bucket")
 
 
+def _drop_over_cap_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """Stop-bucket cap as a hash aggregate + anti-join, never a
+    count-over-window: ``count(*) OVER (PARTITION BY band, bucket)`` on
+    a corpus-sized banded stream is a whole-stream SORT (the same shape
+    the span family purged — see first_occurrence_table). Instead the
+    over-cap bucket SET is a tiny ``groupBy(band, bucket).count()``
+    (bounded by n·bands/cap rows, in practice the handful of hot
+    boilerplate buckets) and the stream takes one sort-free LEFT ANTI
+    against it. ``hint("shuffle_hash")`` keeps the planner off
+    SortMergeJoin (a grouped aggregate's static estimate can exceed the
+    broadcast threshold); the resulting (band, bucket) hash
+    partitioning is exactly what the downstream bucket join needs, so
+    the exchange is reused, not added. AQE may still demote it to a
+    runtime broadcast when the over-cap set proves tiny — either way,
+    no sort touches the stream."""
+    over = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .filter(F.col("__occ") > max_bucket)
+        .select("band", "bucket")
+    )
+    return banded.join(over.hint("shuffle_hash"), ["band", "bucket"], "left_anti")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -251,15 +275,7 @@ def minhash_lsh_candidates(
     # 11.8 → 10.4 s cold and ~10 → 5.8 s warm for the candidate query.
     banded = banded.localCheckpoint()
     if max_bucket is not None:
-        # One extra exchange of the tiny banded table (bands rows per
-        # doc); the filter runs on the checkpointed data, so the
-        # signature chain does not replay.
-        occ = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("__occ", F.count(F.lit(1)).over(occ))
-            .filter(F.col("__occ") <= max_bucket)
-            .drop("__occ")
-        )
+        banded = _drop_over_cap_buckets(banded, max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -315,12 +331,7 @@ def minhash_lsh_probe(
             index_df, text_col, id_col, num_hashes, bands, k, hash_width
         )
     if max_bucket is not None:
-        occ = Window.partitionBy("band", "bucket")
-        idx = (
-            idx.withColumn("__occ", F.count(F.lit(1)).over(occ))
-            .filter(F.col("__occ") <= max_bucket)
-            .drop("__occ")
-        )
+        idx = _drop_over_cap_buckets(idx, max_bucket)
     if {"band", "bucket", id_col} <= set(batch_df.columns):
         probe = batch_df  # already banded (e.g. shared with a self-join)
     else:
@@ -1313,6 +1324,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     k: int = 8,
     min_count: int = 2,
+    packed_ids: bool | None = None,
 ) -> DataFrame:
     """The ACTIVE form of ``duplicate_spans`` — the full Lee et al.
     2022 dedup step: every duplicated k-word window occurrence beyond
@@ -1333,8 +1345,19 @@ def remove_duplicate_spans(
     span list back to the word arrays; span lists are tiny relative
     to documents. The row_number that picks the canonical occurrence
     rides the same fingerprint partitioning as the count.
+
+    Id-domain contract: documents with a NULL id never participate in
+    the election or the cutting — their text passes through whole.
+    Integral ids ride a packed-BIGINT HashAggregate election that
+    requires ``0 <= id < 2^42`` and ``< 2^21`` word positions per
+    document (raises in-plan otherwise); for id domains outside that
+    (snowflake-style 64-bit ids, multi-million-word documents) pass
+    ``packed_ids=False`` for the min(struct) election — identical
+    results at a documented SortAggregate cost.
     """
-    joined, kept = _span_kept_words(df, text_col, id_col, k, min_count)
+    joined, kept = _span_kept_words(
+        df, text_col, id_col, k, min_count, packed_ids
+    )
     return joined.select(
         id_col,
         "n_words",
@@ -1351,6 +1374,7 @@ def remove_duplicate_spans_text(
     k: int = 8,
     min_count: int = 2,
     out_col: str = "clean_text",
+    packed_ids: bool | None = None,
 ) -> DataFrame:
     """``remove_duplicate_spans`` that RETURNS the cleaned text — the
     composable form the curation pipeline chains into downstream
@@ -1358,9 +1382,13 @@ def remove_duplicate_spans_text(
     consume the post-cut words). Output: every input column except
     ``text_col``, plus ``out_col`` (surviving words re-joined, already
     normalized) and ``kept_words`` (its token count). Same plan as the
-    report form; the only difference is which projection rides the
+    report form — including the id-domain contract documented there
+    (NULL ids pass through whole; ``packed_ids=False`` for un-packable
+    id domains); the only difference is which projection rides the
     final join."""
-    joined, kept = _span_kept_words(df, text_col, id_col, k, min_count)
+    joined, kept = _span_kept_words(
+        df, text_col, id_col, k, min_count, packed_ids
+    )
     carry = [c for c in df.columns if c not in (text_col, id_col)]
     return joined.select(
         id_col,
@@ -1376,6 +1404,7 @@ def first_occurrence_table(
     idx_col: str,
     key_col: str,
     min_count: int | None = None,
+    packed_ids: bool | None = None,
 ) -> DataFrame:
     """Corpus-canonical first occurrence per key as a HASH aggregate:
     ``(key_col, __d, __p)`` where ``(__d, __p)`` is the
@@ -1395,7 +1424,14 @@ def first_occurrence_table(
     BIGINT (``id * 2^21 + idx``, exact lexicographic order,
     shift/mask decode, in-plan raise_error guards on both packing
     preconditions); other id types take a min(struct) fallback —
-    correct, documented SortAggregate cost."""
+    correct, documented SortAggregate cost.
+
+    ``packed_ids`` is the escape hatch for integral id domains the
+    packing cannot hold (snowflake-style ids >= 2^42, or documents
+    with >= 2^21 positions): ``None`` (default) auto-selects the
+    packed path for integral ids, ``False`` forces the min(struct)
+    SortAggregate path — same results, no in-plan raise — and
+    ``True`` asserts the packed path (raises on non-integral ids)."""
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
     max_pos = 1 << 21  # 2M positions/doc; beyond this raises in-plan
@@ -1404,7 +1440,13 @@ def first_occurrence_table(
         pos.schema[id_col].dataType,
         (ByteType, ShortType, IntegerType, LongType),
     )
-    if integral:
+    if packed_ids is True and not integral:
+        raise TypeError(
+            f"first_occurrence_table: packed_ids=True requires an "
+            f"integral id column; {id_col} is "
+            f"{pos.schema[id_col].dataType.simpleString()}"
+        )
+    if integral and packed_ids is not False:
         packed = F.when(
             (F.col(idx_col) >= max_pos)
             | (F.col(idx_col) < 0)
@@ -1446,7 +1488,12 @@ def first_occurrence_table(
 
 
 def _span_kept_words(
-    df: DataFrame, text_col: str, id_col: str, k: int, min_count: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    min_count: int,
+    packed_ids: bool | None = None,
 ):
     """Shared Lee-et-al span-cut plan: returns ``(joined, kept)`` —
     the word-array frame (every non-text input column carried through)
@@ -1512,7 +1559,7 @@ def _span_kept_words(
     # min(struct)/min(string).
     firsts = first_occurrence_table(
         pos, id_col=id_col, idx_col="__i", key_col="__fp",
-        min_count=min_count,
+        min_count=min_count, packed_ids=packed_ids,
     )
     redundant = pos.join(firsts.hint("shuffle_hash"), "__fp").filter(
         (F.col(id_col) != F.col("__d")) | (F.col("__i") != F.col("__p"))

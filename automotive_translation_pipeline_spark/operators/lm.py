@@ -42,29 +42,31 @@ def unigram_surprisal(
     token and participate like any other word (identical on the oracle
     side).
     """
-    words = (
-        df.select(F.col(id_col), F.col(text_col))
-        .repartition(F.col(id_col))
-        .select(
-            F.col(id_col),
-            F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("word"),
-        )
-    )
+    base = df.select(F.col(id_col), F.col(text_col))
+    exploded = F.explode(
+        F.split(normalized_text(F.col(text_col)), " ")
+    ).alias("word")
+    words = base.repartition(F.col(id_col)).select(F.col(id_col), exploded)
     pairs = words.groupBy("word", id_col).agg(F.count(F.lit(1)).alias("__n"))
     # Corpus word counts as a hash aggregate + join, NOT
     # sum().over(Window.partitionBy(word)): the window sorts the whole
     # (word, doc) pair stream by word — the span family measured that
     # exact shape super-linear by sf100, and this one was the
     # dominant cost of text_perplexity_buckets (surprisal is ~93% of
-    # that query). The count branch re-explodes the corpus, but its
+    # that query). The count branch re-explodes the corpus FROM THE RAW
+    # SCAN — deliberately not from `words`, whose repartition(id) would
+    # make this branch replay a corpus-wide raw-text exchange that a
+    # groupBy(word) cannot use (AQE's stage cache does not dedupe a
+    # shared repartition; SCALE.md round-7 continuation). From the scan,
     # map-side partial aggregation collapses to vocabulary size before
-    # the exchange — a second shuffle-free map pass replacing a
-    # corpus-wide sort (the repo's established trade). shuffle_hash
-    # keeps the vocab side as the build side; with Heaps-law
-    # vocabularies the build table is tiny at any corpus size, and the
-    # probe exchange on `word` is the same exchange the window form
-    # paid before sorting.
-    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("__wc"))
+    # the only exchange — a genuinely shuffle-free second map pass.
+    # shuffle_hash keeps the vocab side as the build side; with
+    # Heaps-law vocabularies the build table is tiny at any corpus
+    # size, and the probe exchange on `word` is the same exchange the
+    # window form paid before sorting.
+    wc = base.select(exploded).groupBy("word").agg(
+        F.count(F.lit(1)).alias("__wc")
+    )
     with_wc = pairs.join(wc.hint("shuffle_hash"), "word")
     # -mean(ln(wc/total)) = ln(total) - mean(ln(wc)): factoring the
     # global total OUT of the per-word term lets the whole corpus-side

@@ -280,7 +280,6 @@ def test_remove_spans_packed_key_guard_raises_on_huge_id(spark):
     # Ids at or beyond 2^42 would overflow the packed (id, pos) key;
     # the in-plan guard must raise, never silently mis-elect.
     import pytest
-    from py4j.protocol import Py4JJavaError
 
     from automotive_translation_pipeline_spark.operators.dedup import (
         remove_duplicate_spans,
@@ -291,5 +290,13 @@ def test_remove_spans_packed_key_guard_raises_on_huge_id(spark):
         [(1 << 42, text), ((1 << 42) + 1, text)],
         "doc_id bigint, text string",
     )
-    with pytest.raises((Py4JJavaError, Exception)):
+    # match pins the guard's own message so an unrelated failure (a
+    # typo'd column, an AnalysisException) cannot green this test.
+    with pytest.raises(Exception, match="packed canonical key"):
         remove_duplicate_spans(df, k=8).collect()
+
+    # packed_ids=False is the documented escape hatch for id domains
+    # the packing cannot hold: same election via min(struct), no raise.
+    rows = remove_duplicate_spans(df, k=8, packed_ids=False).collect()
+    got = {r.doc_id: (r.kept_words, r.removed_words) for r in rows}
+    assert got == {1 << 42: (8, 0), (1 << 42) + 1: (0, 8)}

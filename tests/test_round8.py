@@ -1,0 +1,188 @@
+"""Round-8 hardening: the ADVICE fixes (null-id contract for
+remove_duplicate_segments, packed-id escape hatch, wc branch off the
+repartitioned plan) plus the LSH stop-bucket cap rewrite (hash
+aggregate + anti-join, never a count-over-window on the banded
+stream)."""
+
+from pyspark.sql import functions as F
+
+from automotive_translation_pipeline_spark.sources import load_testdata
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lsh_cap_is_aggregate_anti_join_not_window(spark):
+    """The max_bucket cap must never plan a WindowExec over the banded
+    stream (count-over-window = whole-stream sort; the shape the span
+    family purged). It should be a grouped count + LEFT ANTI."""
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_lsh_probe,
+    )
+
+    docs = load_testdata(spark, SF)["documents"]
+    cand = minhash_lsh_candidates(docs, max_bucket=10)
+    plan = _plan(cand)
+    assert "Window" not in plan, plan
+    assert "LeftAnti" in plan, plan
+
+    idx = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).limit(20)
+    probe = minhash_lsh_probe(idx, batch, max_bucket=10)
+    plan = _plan(probe)
+    assert "Window" not in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_lsh_cap_semantics_unchanged(spark):
+    """The anti-join cap keeps exactly the pairs the window form kept:
+    a pair survives iff SOME band bucket holding both is at-or-under
+    cap. Cross-check against a recomputed window-style reference."""
+    from pyspark.sql import Window
+
+    from automotive_translation_pipeline_spark.operators.dedup import (
+        lsh_banded_table,
+        minhash_lsh_candidates,
+    )
+
+    docs = load_testdata(spark, SF)["documents"]
+    cap = 5
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(docs, max_bucket=cap).collect()
+    }
+    banded = lsh_banded_table(docs, "text", "doc_id")
+    occ = Window.partitionBy("band", "bucket")
+    capped = (
+        banded.withColumn("__occ", F.count(F.lit(1)).over(occ))
+        .filter(F.col("__occ") <= cap)
+        .drop("__occ")
+    )
+    ref = {
+        (r.id_a, r.id_b)
+        for r in capped.alias("l")
+        .join(
+            capped.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == ref and got  # non-vacuous: some pairs survive
+
+
+def test_remove_segments_null_ids_pass_through(spark):
+    """NULL-id docs pass through whole: one output row each (not one
+    merged groupBy(null) row), all blocks kept — and their blocks do
+    not elect first occurrences that cut text from real docs."""
+    from automotive_translation_pipeline_spark.operators.chunking import (
+        remove_duplicate_segments,
+    )
+
+    blk = "w1 w2 w3 w4"  # seg_words=4 -> one block per phrase
+    rows = [
+        (None, f"{blk} only in null docs"),
+        (None, f"{blk} other null doc"),
+        (10, f"{blk} real doc copy a"),
+        (11, f"{blk} real doc copy a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = remove_duplicate_segments(df, seg_words=4).collect()
+    assert len(out) == 4  # every input doc, null ids NOT merged
+    nulls = [r for r in out if r.doc_id is None]
+    assert len(nulls) == 2
+    # pass-through: every block kept, text intact
+    assert all(r.n_kept == r.n_segments for r in nulls)
+    assert {r.kept_text for r in nulls} == {
+        f"{blk} only in null docs",
+        f"{blk} other null doc",
+    }
+    # real docs still dedup among themselves: doc 11 loses both blocks
+    # (the shared `blk` block AND its exact-duplicate tail) to doc 10.
+    by_id = {r.doc_id: r for r in out if r.doc_id is not None}
+    assert by_id[10].n_kept == 2
+    assert by_id[11].n_kept == 0
+    # the null docs' `blk` occurrences did not cut doc 10's copy
+    assert by_id[10].kept_text == f"{blk} real doc copy a"
+
+
+def test_remove_segments_packed_ids_escape_hatch(spark):
+    """Snowflake-scale integral ids work via packed_ids=False (the
+    min(struct) election) and produce the same dedup decisions."""
+    from automotive_translation_pipeline_spark.operators.chunking import (
+        remove_duplicate_segments,
+    )
+
+    big = 1 << 42
+    df = spark.createDataFrame(
+        [(big, "a b c d"), (big + 1, "a b c d")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r.n_kept
+        for r in remove_duplicate_segments(
+            df, seg_words=4, packed_ids=False
+        ).collect()
+    }
+    assert out == {big: 1, big + 1: 0}
+
+
+def test_unigram_wc_branch_has_no_repartition(spark):
+    """The corpus word-count branch must come from the raw scan, not
+    the repartition(id) plan — AQE does not dedupe a shared
+    repartition, so a wc built on it re-exchanges raw text for a
+    groupBy(word) that cannot use the partitioning. The plan should
+    show exactly ONE round-robin/id repartition exchange feeding the
+    pairs branch."""
+    from automotive_translation_pipeline_spark.operators.lm import (
+        unigram_surprisal,
+    )
+
+    import re
+
+    docs = load_testdata(spark, SF)["documents"]
+    plan = _plan(unigram_surprisal(docs))
+    # DISTINCT repartition exchanges (the plan string re-prints cached
+    # subtrees, so the same exchange can appear twice; plan_id
+    # disambiguates) — the wc branch must not add a second one.
+    repart_ids = {
+        m.group(1)
+        for m in re.finditer(
+            r"REPARTITION_BY\w*, \[plan_id=(\d+)\]", plan
+        )
+    }
+    assert len(repart_ids) <= 1, plan
+    # and the wc branch reads text straight off the scan: a scan that
+    # needs no doc_id proves no repartition(id) sits under it.
+    assert "ReadSchema: struct<text:string>" in plan, plan
+
+
+def test_unigram_surprisal_values_unchanged(spark):
+    """The wc-branch rewrite is plan-only: values must match the
+    definition -mean(ln(wc/total)) computed directly."""
+    import math
+
+    from automotive_translation_pipeline_spark.operators.lm import (
+        unigram_surprisal,
+    )
+
+    rows = [(1, "a a b"), (2, "b c")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_words, r.avg_surprisal)
+        for r in unigram_surprisal(df).collect()
+    }
+    # corpus: a=2, b=2, c=1, total=5
+    exp1 = -(2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+    exp2 = -(math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert got[1][0] == 3 and abs(got[1][1] - exp1) < 1e-3
+    assert got[2][0] == 2 and abs(got[2][1] - exp2) < 1e-3

@@ -258,10 +258,10 @@ def test_avro_gate_is_loud(spark):
 
     df = spark.range(3)
     if avro_available(spark):
-        write_avro(df, "/tmp/claude-avro-probe")  # real path where jar exists
+        write_avro(df, "/tmp/atp-avro-probe")  # real path where jar exists
     else:
         with _pytest.raises(RuntimeError, match="spark-avro"):
-            write_avro(df, "/tmp/claude-avro-probe")
+            write_avro(df, "/tmp/atp-avro-probe")
 
 
 def test_parquet_schema_evolution_merge(spark, tmp_path):
