@@ -176,45 +176,88 @@ def bigram_surprisal(
     with common words in UNUSUAL orders (shuffled spam, template
     stitching) scores high here while passing the unigram gate.
 
-    Same scale discipline as unigram: the per-doc stream collapses
-    map-side to (doc, w1, w2, n), and both corpus count tables
-    (c(w1 w2) and c(w1)) come from hash aggregates over a second
-    bigram explode — map-side combine collapses them to
-    vocabulary-sized exchanges — attached by shuffle-hash joins, never
-    by windows over the pair stream (that window sort measured
-    super-linear by sf100 on the unigram twin). Raw text never
-    shuffles. Documents under 2 words have no bigrams and drop out —
-    identically in the SQL oracle.
+    Same scale discipline as unigram, hardened after sf100 measured
+    the original three-explode / two-stream-join form super-linear
+    (7.2x per 3.33x data):
+
+    - The per-doc stream is ``(doc, fp)`` where ``fp`` is the raw 16
+      md5 bytes of "w1 w2" — words contain no spaces
+      post-normalization, so the key is injective, and the fixed
+      16-byte key replaces two corpus-wide string columns in every
+      exchange (the span family measured −18% from the same unhex
+      trick). The stream is deliberately NOT pre-collapsed to
+      (doc, fp, n): the collapse costs its own full exchange, and in
+      natural text within-doc repeat bigrams are few — one Z-row
+      exchange beats two X-row exchanges with Z/X ≈ 1.
+    - Both log-count terms are folded into ``ln p = ln c12 − ln c1``
+      ON the bigram-vocabulary table before it ever meets the
+      per-doc stream, so the corpus-sized stream joins exactly ONCE,
+      on the uniformly-distributed fingerprint. The old second join
+      partitioned the stream by w1 — the head word — and Zipf makes
+      the hottest head a constant fraction of the whole corpus: a
+      skewed exchange that grows super-linearly with data. The w1
+      join now happens between two sub-corpus vocabulary tables,
+      where AQE's skew handling can still split the hot heads.
+    - c12 and c1 come from their own recomputed map passes (three
+      corpus explodes total, each collapsing map-side before its
+      exchange) rather than deriving c1 from c12: a twice-consumed
+      c12 either duplicates its whole explode+exchange lineage or
+      checkpoints a distinct-bigram-sized table — both measured
+      losers vs a shuffle-free extra scan (SCALE.md round 7,
+      persist-vs-recompute).
+
+    Hash aggregates + shuffle-hash joins throughout, never windows
+    over the pair stream. Raw text never shuffles. Documents under 2
+    words have no bigrams and drop out — identically in the SQL
+    oracle.
     """
     words = F.split(normalized_text(F.col(text_col)), " ")
     n = F.size(words)
-    bg = (
-        df.select(F.col(id_col), words.alias("__w"))
-        .filter(n >= 2)
-        .select(
-            id_col,
-            F.explode(
-                F.arrays_zip(
-                    F.slice("__w", 1, F.size("__w") - 1).alias("w1"),
-                    F.slice("__w", 2, F.size("__w") - 1).alias("w2"),
-                )
-            ).alias("bg"),
+    base = df.select(F.col(id_col), words.alias("__w")).filter(n >= 2)
+    bg_cols = F.explode(
+        F.arrays_zip(
+            F.slice("__w", 1, F.size("__w") - 1).alias("w1"),
+            F.slice("__w", 2, F.size("__w") - 1).alias("w2"),
         )
-        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    ).alias("bg")
+    fp = F.unhex(
+        F.md5(
+            F.concat_ws(" ", F.col("bg.w1"), F.col("bg.w2")).cast("binary")
+        )
+    ).alias("__fp")
+    stream = base.select(id_col, bg_cols).select(id_col, fp)
+    c12 = (
+        base.select(bg_cols)
+        .select(F.col("bg.w1").alias("w1"), fp)
+        .groupBy("w1", "__fp")
+        .agg(F.count(F.lit(1)).alias("__c12"))
     )
-    pairs = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("__n"))
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
-    with_counts = pairs.join(c12.hint("shuffle_hash"), ["w1", "w2"]).join(
-        c1.hint("shuffle_hash"), "w1"
+    c1 = (
+        base.select(bg_cols)
+        .select(F.col("bg.w1").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("__c1"))
     )
-    return with_counts.groupBy(id_col).agg(
-        F.sum("__n").alias("n_bigrams"),
-        F.round(
-            F.sum(F.col("__n") * -F.log(F.col("__c12") / F.col("__c1")))
-            / F.sum("__n"),
-            ndigits,
-        ).alias("avg_surprisal"),
+    # Expression mirrors the SQL oracle ulp-for-ulp: ln(c12/c1) with a
+    # double division, NOT ln(c12)-ln(c1).
+    lnp = (
+        c12.join(c1.hint("shuffle_hash"), "w1")
+        .select(
+            "__fp",
+            F.log(
+                F.col("__c12").cast("double") / F.col("__c1").cast("double")
+            ).alias("__lnp"),
+        )
+    )
+    return (
+        stream.join(lnp.hint("shuffle_hash"), "__fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(-F.col("__lnp")) / F.count(F.lit(1)), ndigits).alias(
+                "avg_surprisal"
+            ),
+        )
     )
 
 

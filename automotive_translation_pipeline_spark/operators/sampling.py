@@ -244,12 +244,17 @@ def dsir_importance_weights(
     add-``alpha``-smoothed over the bucket space, so buckets the
     target never saw stay finite.
 
-    Scale shape: the corpus explodes to features exactly once and
-    collapses map-side to (doc, bucket, n); the bucket table is
-    ``n_buckets`` rows — a broadcast — and the two global totals
-    reduce from it, so the only corpus-sized shuffles are the (doc,
-    bucket) collapse and the final per-doc sum. Raw text is never
-    shuffled.
+    Scale shape (round 8 — the round-7 form persisted a collapsed
+    (doc, bucket, n) table for three consumers, and at sf100 that
+    persist is a corpus-x-buckets-sized cache that spills; its 4.5x
+    step per 3.33x data was the round-7 watch item): two independent
+    map passes over the feature explode, ZERO persist and ZERO
+    corpus-sized shuffle. The bucket-stats branch collapses map-side
+    straight to <= 2 x n_buckets rows per partition (no doc key), so
+    its exchange is bucket-sized at any corpus size; the ratio table
+    (n_buckets rows) broadcasts onto the second explode, whose
+    per-doc rollup partial-aggregates map-side to one row per
+    document before its narrow exchange. Raw text is never shuffled.
 
     Output: ``(id, n_feats, log_weight)`` — one row per document,
     ``log_weight`` rounded to ``ndigits`` (same float-portability
@@ -279,22 +284,28 @@ def dsir_importance_weights(
         "__tgt",
         hash_bucket(F.col("__feat"), n_buckets).alias("__bkt"),
     )
-    # The collapsed (doc, bucket, n) table feeds THREE consumers (the
-    # bucket stats, the totals, and the final per-doc sum); without a
-    # persist each one replays the corpus scan + explode — three full
-    # passes at 100 TB. Persist the collapse (doc-scaled, <=
-    # n_buckets rows per doc, never raw text) and every consumer
-    # reads it.
-    per_doc_bkt = (
-        exploded.groupBy(id_col, "__tgt", "__bkt")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .persist()
-    )
-    bkt = per_doc_bkt.groupBy("__bkt").agg(
-        F.sum("__n").alias("__raw_n"),
-        F.sum(F.when(F.col("__tgt"), F.col("__n")).otherwise(F.lit(0))).alias(
-            "__tgt_n"
-        ),
+    # Two consumers, two RECOMPUTED map passes — deliberately no
+    # persist and no shared (doc, bucket) collapse: the round-7 form
+    # cached a per-doc-per-bucket table, which is corpus x buckets
+    # sized (docs x ~700 rows at 1024 buckets) and spills once the
+    # corpus outgrows executor memory — the measured 4.5x step per
+    # 3.33x data at sf100. The same persist-vs-recompute verdict the
+    # span family measured (SCALE.md round 7): caching a corpus-sized
+    # intermediate costs more than a shuffle-free second map pass.
+    # bkt is <= n_buckets rows but sits on a full corpus pass, and it
+    # has two consumers (ratio + totals) — eager-checkpoint the 1024
+    # rows so the pass runs once (persisting a TINY table is the
+    # opposite trade from the corpus-sized caches this operator
+    # dropped).
+    bkt = (
+        exploded.groupBy("__bkt")
+        .agg(
+            F.count(F.lit(1)).alias("__raw_n"),
+            F.sum(
+                F.when(F.col("__tgt"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("__tgt_n"),
+        )
+        .localCheckpoint()
     )
     totals = bkt.agg(
         F.sum("__raw_n").alias("__t_raw"), F.sum("__tgt_n").alias("__t_tgt")
@@ -307,13 +318,16 @@ def dsir_importance_weights(
             - F.log((F.col("__raw_n") + a) / (F.col("__t_raw") + b))
         ).alias("__lr"),
     )
+    # Per-doc rollup straight off the (recomputed) feature stream: the
+    # broadcast ratio join is map-side, and since each document lives
+    # in one scan partition the groupBy(id) partial aggregation
+    # collapses to one row per doc BEFORE the exchange — the same
+    # narrow shuffle the old collapsed form paid, without the cache.
     return (
-        per_doc_bkt.join(F.broadcast(ratio), "__bkt")
+        exploded.join(F.broadcast(ratio), "__bkt")
         .groupBy(id_col)
         .agg(
-            F.sum("__n").alias("n_feats"),
-            F.round(F.sum(F.col("__n") * F.col("__lr")), ndigits).alias(
-                "log_weight"
-            ),
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum(F.col("__lr")), ndigits).alias("log_weight"),
         )
     )

@@ -76,29 +76,15 @@ def register(name: str, sql: str | None):
 # by touching the entry (e.g. a docstring note), which flips its
 # fingerprint and forces the declaration here.
 _CHANGED_THIS_ROUND = frozenset({
-    # (round-6 carries all pruned: every declared entry was hash-greened
-    # — or, for ann_cosine_pq, rows-observed with its accuracy hook
-    # passing — in the driver's CORRECTNESS_r06.json against the
-    # round-6 code, so their snapshot fingerprints refresh this round.)
-    # round 7 edits:
-    "agg_approx_distinct",      # promoted rows-only -> bounded-error oracle
-    "profile_approx_quantiles", # promoted rows-only -> bounded-error oracle
-    "heavy_hitters_cms",        # promoted rows-only -> bounded-error oracle
-    "agg_hll_mergeable",        # promoted rows-only -> bounded-error oracle
-    "dedup_remove_duplicate_spans",  # canonical election -> packed-key hash agg
-    "text_perplexity_buckets",  # per-lang rank -> parallel global index
-    "dedup_duplicate_spans",     # window count -> hash agg + join-back
-    "dedup_segment_overlap",     # window count -> hash agg + join-back
-    "dedup_remove_dup_segments", # election -> packed-key hash agg
-    "dedup_ngram_jaccard",      # blocker re-banded 8x2 -> 8x4 (FP ~J^4)
-    # LSH family hex -> affine (Carter-Wegman; HashAggregate instead of
-    # the sort-spilling string-min SortAggregate); oracles re-derived:
-    "dedup_minhash_candidates",
-    "dedup_components",
-    "dedup_canonical_survivors",
-    "graph_pagerank_dup_hubs",
-    "graph_triangle_counts",
-    "sql_recursive_bfs_hops",
+    # (round-7 carries all pruned: every declared entry was hash-greened
+    # — or rows-observed with its accuracy hook passing — in the
+    # driver's CORRECTNESS_r07.json against the round-7 code, so their
+    # snapshot fingerprints refresh this round.)
+    # round 8 edits:
+    "ann_cosine_lsh",        # promoted rows-only -> full oracle (inlined SRP planes)
+    "ann_mmr_diversified",   # promoted rows-only -> full oracle (unrolled greedy CTEs)
+    "text_bigram_surprisal", # md5 fp key; stream joins once on fp, never on w1
+    "sample_dsir_weights",   # no-persist two-map-pass shape (sf100 spill fix)
 })
 
 
@@ -1895,10 +1881,59 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_cosine_lsh", None)
+def _srp_planes_values(n_planes: int = 6, dim: int = 64) -> str:
+    """The SRP hyperplanes as a DuckDB VALUES literal. The planes are
+    a fixed LCG sequence (similarity.py:_deterministic_planes) — pure
+    arithmetic with no engine state — so the oracle can inline the
+    exact same doubles (repr() round-trips) and replay the bucketing
+    bit-for-bit."""
+    from .operators.similarity import _deterministic_planes
+
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in row)}])"
+        for i, row in enumerate(_deterministic_planes(n_planes, dim))
+    )
+    return f"(VALUES {rows})"
+
+
+@register(
+    "ann_cosine_lsh",
+    _DUCK_EMB_CTE
+    + f"""
+    , b AS (
+        SELECT n.vec_id,
+               CAST(sum(CASE WHEN list_sum(list_transform(
+                                  list_zip(n.emb, p.pvec),
+                                  x -> x[1] * CAST(x[2] AS DOUBLE))) >= 0
+                             THEN (CAST(1 AS BIGINT) << p.i)
+                             ELSE 0 END) AS BIGINT) AS bucket
+        FROM n, {_srp_planes_values()} p(i, pvec)
+        GROUP BY n.vec_id
+    ), nb AS (
+        SELECT n.vec_id, n.emb, n.nrm, b.bucket FROM n JOIN b USING (vec_id)
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               list_sum(list_transform(list_zip(q.emb, c.emb), x -> x[1] * x[2]))
+               / (q.nrm * c.nrm) AS cosine
+        FROM nb q JOIN nb c
+          ON q.bucket = c.bucket AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, vec_id, round(cosine, 4) AS cosine_r FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored)
+    WHERE rk <= 10
+    """,
+)
 def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH approximate top-k (recall<1 by design → rows-only; the
-    exact brute-force twin ann_cosine_topk is the oracle-checked one)."""
+    """SRP-LSH approximate top-k, promoted from rows-only to a FULL
+    oracle (round-7 verdict #6): recall < 1 vs brute force is by
+    design, but the computation itself is deterministic — the LCG
+    hyperplanes are engine-independent constants, so the candidate
+    set (same-bucket pairs) and the exact cosine of every emitted
+    pair replay exactly in SQL with the planes inlined as literals.
+    The recall-vs-brute hook (accuracy.py:check_ann_lsh) stays as the
+    quality contract; this oracle pins the VALUES."""
     from .operators.similarity import cosine_topk_lsh
 
     t = load_testdata(spark, sf_dir)
@@ -5680,12 +5715,91 @@ def dedup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_survivors(docs, pairs)
 
 
-@register("ann_mmr_diversified", None)
+def _mmr_oracle_sql(k: int = 10, fetch_k: int = 40, lam: float = 0.7) -> str:
+    """MMR greedy selection replayed in SQL by UNROLLING the k steps
+    as chained CTEs (greedy-order contract, round-7 verdict #6): step
+    t scores every not-yet-selected candidate as
+    lambda*cos(q,d) - (1-lambda)*max(cos(d, selected)) and picks the
+    row_number-1 row (score desc, id asc — the operator's exact
+    tie-break). k is a fixed query parameter, so the unrolled chain
+    is static SQL, no recursion needed. Candidate cosines and the
+    pairwise sims both come from the same exact-dot CTEs the
+    hash-green brute-force oracle uses."""
+    # Every pool/sel is MATERIALIZED: pool{t} references pool{t-1}
+    # multiple times, and un-materialized CTE inlining would expand
+    # the chain exponentially (measured as a file-handle blowup on
+    # the base views at k=10).
+    steps = []
+    for t in range(2, k + 1):
+        steps.append(f"""
+    , sel{t} AS MATERIALIZED (
+        SELECT query_id, vec_id, cosine, {t} AS mmr_rank FROM (
+            SELECT c.query_id, c.vec_id, c.cosine,
+                   -- greatest(..., 0): the operator's max_sim buffer
+                   -- starts at zeros, so anti-similar candidates get
+                   -- a 0 penalty, never a diversity BONUS
+                   {lam!r} * c.cosine
+                   - {1.0 - lam!r} * greatest(max(p.sim), 0) AS mmr
+            FROM cand c
+            JOIN psim p ON p.query_id = c.query_id AND p.va = c.vec_id
+            JOIN pool{t - 1} s
+              ON s.query_id = p.query_id AND s.vec_id = p.vb
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pool{t - 1} x
+                WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+            GROUP BY c.query_id, c.vec_id, c.cosine
+        ) QUALIFY row_number() OVER (PARTITION BY query_id
+                                     ORDER BY mmr DESC, vec_id) = 1
+    ), pool{t} AS MATERIALIZED (
+        SELECT * FROM pool{t - 1} UNION ALL SELECT * FROM sel{t}
+    )""")
+    return (
+        _DUCK_EMB_CTE.replace("WITH e AS (", "WITH e AS MATERIALIZED (")
+        .replace(", n AS (", ", n AS MATERIALIZED (")
+        + f"""
+    , cand AS MATERIALIZED (
+        SELECT query_id, vec_id, cosine FROM (
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   list_sum(list_transform(list_zip(q.emb, c.emb),
+                                           x -> x[1] * x[2]))
+                   / (q.nrm * c.nrm) AS cosine
+            FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+        ) QUALIFY row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) <= {fetch_k}
+    ), psim AS MATERIALIZED (
+        SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+               list_sum(list_transform(list_zip(na.emb, nb.emb),
+                                       x -> x[1] * x[2]))
+               / (na.nrm * nb.nrm) AS sim
+        FROM cand a
+        JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+        JOIN n na ON na.vec_id = a.vec_id
+        JOIN n nb ON nb.vec_id = b.vec_id
+    ), pool1 AS MATERIALIZED (
+        SELECT query_id, vec_id, cosine, 1 AS mmr_rank
+        FROM cand QUALIFY row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, vec_id) = 1
+    )"""
+        + "".join(steps)
+        + f"""
+    SELECT query_id, vec_id, round(cosine, 4) AS cosine_r,
+           CAST(mmr_rank AS INTEGER) AS mmr_rank
+    FROM pool{k}
+    """
+    )
+
+
+@register("ann_mmr_diversified", _mmr_oracle_sql())
 def ann_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MMR-diversified top-k over the embeddings table (rows-only: the
-    greedy selection is inherently iterative, not SQL-expressible;
-    semantics — relevance/diversity trade, determinism, exact-cosine
-    candidates — are pytest-asserted in test_extensions.py)."""
+    """MMR-diversified top-k, promoted from rows-only to a FULL
+    oracle (round-7 verdict #6): the greedy loop is iterative but k
+    is fixed, so the oracle unrolls the k selection steps as chained
+    CTEs with the operator's exact scoring and tie-break — exact
+    candidate cosines, exact pairwise sims, deterministic order. One
+    numeric caveat, shared with every float oracle here: the
+    pairwise sims are BLAS dots on the Spark side and list_sum on
+    the oracle side, so a near-exact MMR score tie could in
+    principle order differently — not observed at oracle SF."""
     from .operators.similarity import mmr_rerank
 
     t = load_testdata(spark, sf_dir)
@@ -6821,8 +6935,10 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional bigram LM quality score
     (operators/lm.py:bigram_surprisal): catches common-words-in-weird-
-    order text that the unigram gate passes. Corpus exploded to bigrams
-    once, collapsed map-side, counts as windows over the pairs."""
+    order text that the unigram gate passes. 16-byte md5 bigram keys,
+    c(w1) derived from the c(w1,w2) table, and ln p attached to the
+    bigram-vocabulary table so the corpus stream joins once, on the
+    fingerprint — never partitioned by the Zipf-hot head word."""
     from .operators.lm import bigram_surprisal
 
     t = load_testdata(spark, sf_dir)
@@ -8287,8 +8403,9 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution (lang='en' documents) vs the raw corpus, add-1
     smoothed over 1024 md5 buckets. Positive = looks like target;
     compose with weighted_hash_sample for the paper's resampling step.
-    One corpus explode, map-side collapse to (doc, bucket, n), bucket
-    table broadcasts back."""
+    Two shuffle-free map passes over the feature explode (bucket
+    stats collapse map-side to bucket-sized; ratio broadcasts onto
+    the per-doc pass) — no persist, no corpus-sized shuffle."""
     from pyspark.sql import functions as F
 
     from .operators.sampling import dsir_importance_weights

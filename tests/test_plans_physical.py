@@ -393,29 +393,23 @@ def test_bloom_filter_applies_before_exchange(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
-def test_dsir_single_corpus_scan_and_broadcast_ratio(spark, sf_dir):
-    """DSIR's bucket-ratio table (1024 rows) must broadcast back onto
-    the collapsed feature table, and the three consumers of the
-    collapse must read the persisted cache — exactly ONE parquet scan
-    of the corpus in the plan (the cache-build lineage), never a
-    replayed explode per consumer."""
+def test_dsir_two_map_passes_no_persist_broadcast_ratio(spark, sf_dir):
+    """DSIR (round-8 shape): the bucket-ratio table (1024 rows) must
+    broadcast onto the per-doc pass, nothing may sort-merge, and
+    there is NO cache — the two consumers are two recomputed
+    shuffle-free map passes over the corpus scan (the round-7
+    persisted (doc, bucket) collapse was corpus x buckets sized and
+    spilled at sf100). The bucket-stats pass runs eagerly at
+    checkpoint time (its 1024-row result appears as Scan
+    ExistingRDD); the visible plan is then ONE corpus FileScan (the
+    per-doc pass) joined to the checkpointed ratio; zero
+    InMemoryRelation."""
     plan = _physical(spark, "sample_dsir_weights", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    assert "InMemoryTableScan" in plan
-    import re
-
-    scans = {
-        re.sub(r"#\d+L?", "#x", l[l.index("FileScan"):])
-        for l in plan.splitlines()
-        if "FileScan parquet" in l
-    }
-    assert len(scans) == 1  # one distinct corpus scan shape (cache build)
-    # Every printed FileScan is a cache-build lineage: one per
-    # InMemoryRelation, with all three consumers on InMemoryTableScan.
-    n_fs = plan.count("FileScan parquet")
-    assert n_fs == plan.count("InMemoryRelation")
-    assert plan.count("InMemoryTableScan") == n_fs
+    assert "InMemoryRelation" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("FileScan parquet") == 1
 
 
 def test_duplicate_spans_no_joins_two_windows(spark, sf_dir):

@@ -166,6 +166,105 @@ def test_unigram_wc_branch_has_no_repartition(spark):
     assert "ReadSchema: struct<text:string>" in plan, plan
 
 
+def test_bigram_surprisal_values_match_definition(spark):
+    """The md5-key / derived-c1 / pre-attached-lnp rewrite is
+    plan-only: values must match -mean(ln(c12/c1)) computed by hand."""
+    import math
+
+    from automotive_translation_pipeline_spark.operators.lm import (
+        bigram_surprisal,
+    )
+
+    rows = [(1, "a b a b"), (2, "b a"), (3, "x")]  # doc 3: no bigrams
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_surprisal)
+        for r in bigram_surprisal(df).collect()
+    }
+    # bigrams: d1: (a,b)x2 (b,a)x1; d2: (b,a)x1
+    # c12: (a,b)=2, (b,a)=2 ; c1: a=2, b=2
+    exp1 = -(2 * math.log(2 / 2) + math.log(2 / 2)) / 3
+    exp2 = -math.log(2 / 2)
+    assert 3 not in got
+    assert got[1] == (3, round(exp1, 4))
+    assert got[2] == (1, round(exp2, 4))
+
+
+def test_bigram_surprisal_stream_joins_once_on_fp(spark):
+    """Plan contract for the sf100 fix: three shuffle-free map passes
+    (stream + c12 + c1 explodes), and the corpus-sized stream joins
+    exactly ONCE — on the md5 fingerprint, never partitioned by the
+    Zipf-hot head word. Concretely: of the exchanges fed by a
+    Generate, none may hash-partition on a bare w1 key alone, and the
+    stream branch (the one carrying doc ids) has exactly one
+    exchange (the fp join), no pre-collapse."""
+    from automotive_translation_pipeline_spark.operators.lm import (
+        bigram_surprisal,
+    )
+
+    docs = load_testdata(spark, SF)["documents"]
+    plan = _plan(bigram_surprisal(docs))
+    assert plan.count("Generate") == 3, plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    assert plan.count("ShuffledHashJoin") == 2, plan  # c12⋈c1, stream⋈lnp
+    # The doc-id stream pays exactly two exchanges: its fp-join
+    # exchange and the final per-doc rollup — not a (doc, fp)
+    # pre-collapse exchange on top.
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
+
+
+def test_dsir_values_match_definition(spark):
+    """The no-persist two-pass DSIR rewrite is plan-only: weights
+    must match the smoothed bucket log-ratio computed directly."""
+    import math
+
+    from automotive_translation_pipeline_spark.operators.sampling import (
+        dsir_importance_weights,
+        hash_bucket,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(1, "good text", True), (2, "bad stuff", False)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, tgt boolean")
+    n_b = 8
+    got = {
+        r.doc_id: (r.n_feats, r.log_weight)
+        for r in dsir_importance_weights(
+            df, F.col("tgt"), n_buckets=n_b
+        ).collect()
+    }
+    # replicate: features = unigrams + bigrams per doc
+    feats = {1: ["good", "text", "good text"], 2: ["bad", "stuff", "bad stuff"]}
+    bkt_rows = df.select(
+        hash_bucket(F.lit("good"), n_b).alias("b1"),
+        hash_bucket(F.lit("text"), n_b).alias("b2"),
+        hash_bucket(F.lit("good text"), n_b).alias("b3"),
+        hash_bucket(F.lit("bad"), n_b).alias("b4"),
+        hash_bucket(F.lit("stuff"), n_b).alias("b5"),
+        hash_bucket(F.lit("bad stuff"), n_b).alias("b6"),
+    ).first()
+    fb = {
+        "good": bkt_rows.b1, "text": bkt_rows.b2, "good text": bkt_rows.b3,
+        "bad": bkt_rows.b4, "stuff": bkt_rows.b5, "bad stuff": bkt_rows.b6,
+    }
+    raw: dict[int, int] = {}
+    tgt: dict[int, int] = {}
+    for d, fs in feats.items():
+        for f_ in fs:
+            raw[fb[f_]] = raw.get(fb[f_], 0) + 1
+            if d == 1:
+                tgt[fb[f_]] = tgt.get(fb[f_], 0) + 1
+    t_raw, t_tgt = 6, 3
+    for d, fs in feats.items():
+        lw = sum(
+            math.log((tgt.get(fb[f_], 0) + 1) / (t_tgt + n_b))
+            - math.log((raw[fb[f_]] + 1) / (t_raw + n_b))
+            for f_ in fs
+        )
+        assert got[d][0] == 3
+        assert abs(got[d][1] - lw) < 1e-3, (d, got[d], lw)
+
+
 def test_unigram_surprisal_values_unchanged(spark):
     """The wc-branch rewrite is plan-only: values must match the
     definition -mean(ln(wc/total)) computed directly."""
