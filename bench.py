@@ -163,6 +163,13 @@ def cpu_probe() -> float:
 # (up to MAX_EXTRA_RUNS extras) until each query has a calm run.
 PROBE_GATE = float(os.environ.get("SPARK_GRAFT_PROBE_GATE", "0.25"))
 MAX_EXTRA_RUNS = int(os.environ.get("SPARK_GRAFT_MAX_EXTRA_RUNS", "4"))
+# Soft deadline for the whole suite: once elapsed wall passes this,
+# calm-hunting retries stop (every query still gets its base N runs) —
+# a storm that outlasts the budget yields an artifact with a long
+# `uncalm` list instead of an unbounded run.
+SUITE_RETRY_DEADLINE_S = float(
+    os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_S", "2400")
+)
 
 
 def cpu_calibration() -> float:
@@ -291,6 +298,7 @@ def main() -> None:
     # steal findings had already discredited — per-run bracketing is
     # what spot_bench.py uses for every SCALE.md ratio, ported here so
     # the committed artifact adjudicates its own noise.
+    suite_t0 = time.time()
     for name in HEADLINE:
         n_runs = N_RUNS_HEAVY if name in heavy else N_RUNS
         times: list[float] = []
@@ -306,7 +314,9 @@ def main() -> None:
                 for i in range(len(times))
                 if max(probes[i], probes[i + 1]) <= PROBE_GATE
             ]
-            if len(times) >= n_runs and calm_i:
+            if len(times) >= n_runs and (
+                calm_i or time.time() - suite_t0 > SUITE_RETRY_DEADLINE_S
+            ):
                 break
         calm_i = [
             i
@@ -332,7 +342,15 @@ def main() -> None:
             per_query_iqr[name] = round(
                 srt[(3 * len(srt)) // 4] - srt[len(srt) // 4], 3
             )
-        if name in base_q and min(pool) > 1.5 * base_q[name] * calib_scale:
+        # Regression flags require CALM evidence: an uncalm query's
+        # numbers are weather by this file's own protocol, and it is
+        # already surfaced in `uncalm` as verdict-less — flagging it
+        # would launder a steal spike into a regression claim.
+        if (
+            name in base_q
+            and calm_i
+            and min(pool) > 1.5 * base_q[name] * calib_scale
+        ):
             regressions[name] = [min(pool), base_q[name]]
 
     # Engine-side throughput of the flagship (the BASELINE.md comparable:
