@@ -198,13 +198,15 @@ def bigram_surprisal(
       skewed exchange that grows super-linearly with data. The w1
       join now happens between two sub-corpus vocabulary tables,
       where AQE's skew handling can still split the hot heads.
-    - c12 and c1 come from their own recomputed map passes (three
-      corpus explodes total, each collapsing map-side before its
-      exchange) rather than deriving c1 from c12: a twice-consumed
-      c12 either duplicates its whole explode+exchange lineage or
-      checkpoints a distinct-bigram-sized table — both measured
-      losers vs a shuffle-free extra scan (SCALE.md round 7,
-      persist-vs-recompute).
+    - TWO corpus passes total: the stream, and the c12 aggregate.
+      c(w1) is derived from the c12 table, which is eager-
+      checkpointed first — sf100 measured the distinct-bigram table
+      at 8M rows against a 270M-row corpus stream (Heaps saturation),
+      so the checkpoint is bucket-table-cheap and saves the third
+      explode+aggregate pass a recomputed c1 would cost. The head
+      key rides as 16 md5 bytes (``__h1``), never the string: the
+      hot 270M-row partial aggregate and the c12⋈c1 join both stay
+      on fixed-width keys.
 
     Hash aggregates + shuffle-hash joins throughout, never windows
     over the pair stream. Raw text never shuffles. Documents under 2
@@ -226,22 +228,19 @@ def bigram_surprisal(
         )
     ).alias("__fp")
     stream = base.select(id_col, bg_cols).select(id_col, fp)
+    h1 = F.unhex(F.md5(F.col("bg.w1").cast("binary"))).alias("__h1")
     c12 = (
         base.select(bg_cols)
-        .select(F.col("bg.w1").alias("w1"), fp)
-        .groupBy("w1", "__fp")
+        .select(h1, fp)
+        .groupBy("__h1", "__fp")
         .agg(F.count(F.lit(1)).alias("__c12"))
+        .localCheckpoint()
     )
-    c1 = (
-        base.select(bg_cols)
-        .select(F.col("bg.w1").alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("__c1"))
-    )
+    c1 = c12.groupBy("__h1").agg(F.sum("__c12").alias("__c1"))
     # Expression mirrors the SQL oracle ulp-for-ulp: ln(c12/c1) with a
     # double division, NOT ln(c12)-ln(c1).
     lnp = (
-        c12.join(c1.hint("shuffle_hash"), "w1")
+        c12.join(c1.hint("shuffle_hash"), "__h1")
         .select(
             "__fp",
             F.log(

@@ -191,20 +191,22 @@ def test_bigram_surprisal_values_match_definition(spark):
 
 
 def test_bigram_surprisal_stream_joins_once_on_fp(spark):
-    """Plan contract for the sf100 fix: three shuffle-free map passes
-    (stream + c12 + c1 explodes), and the corpus-sized stream joins
+    """Plan contract for the sf100 fix: TWO corpus passes (the c12
+    aggregate runs eagerly at checkpoint time; the visible plan has
+    only the stream's Generate), and the corpus-sized stream joins
     exactly ONCE — on the md5 fingerprint, never partitioned by the
-    Zipf-hot head word. Concretely: of the exchanges fed by a
-    Generate, none may hash-partition on a bare w1 key alone, and the
-    stream branch (the one carrying doc ids) has exactly one
-    exchange (the fp join), no pre-collapse."""
+    Zipf-hot head word: no string key anywhere (the head rides as 16
+    md5 bytes on the checkpointed bigram-vocabulary table), and the
+    doc-id stream has exactly one hash exchange beyond the final
+    rollup, with no (doc, fp) pre-collapse."""
     from automotive_translation_pipeline_spark.operators.lm import (
         bigram_surprisal,
     )
 
     docs = load_testdata(spark, SF)["documents"]
     plan = _plan(bigram_surprisal(docs))
-    assert plan.count("Generate") == 3, plan
+    assert plan.count("Generate") == 1, plan  # stream only; c12 checkpointed
+    assert "Scan ExistingRDD" in plan
     assert "SortMergeJoin" not in plan and "Window" not in plan
     assert plan.count("ShuffledHashJoin") == 2, plan  # c12⋈c1, stream⋈lnp
     # The doc-id stream pays exactly two exchanges: its fp-join
