@@ -104,8 +104,41 @@ def check_ann_lsh(spark, sf_dir):
         for r in approx
         if abs(r["cosine"] - exact[(r["query_id"], r["vec_id"])]) > 1e-6
     ]
+    # Diagnostic for the FULL ann_cosine_lsh oracle's one cross-engine
+    # float-exactness dependency: each bucket bit is sign(dot(v, plane))
+    # evaluated independently in Spark (F.aggregate sequential sum) and
+    # DuckDB (list_sum). A summation-order/FMA difference on a
+    # near-zero projection would flip a bit and change the candidate
+    # SET — a hard hash-red. Report the corpus-wide minimum |projection|
+    # margin so a future red is diagnosable as a sign-flip (margin
+    # ~1e-13-ish) rather than a logic bug (margin comfortably large).
+    from .operators.similarity import _deterministic_planes
+
+    dim = len(emb.select("embedding").first()[0])
+    margins = [
+        F.abs(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(x)) for x in p]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        for p in _deterministic_planes(6, dim)
+    ]
+    min_margin = (
+        emb.select(F.least(*margins).alias("__m"))
+        .agg(F.min("__m"))
+        .first()[0]
+    )
     ok = len(qids) == 5 and not bad
-    return ok, f"queries_hit={len(qids)}/5 score_mismatches={len(bad)}"
+    return ok, (
+        f"queries_hit={len(qids)}/5 score_mismatches={len(bad)} "
+        f"min_abs_projection={min_margin:.3e}"
+    )
 
 
 def check_ann_ivf(spark, sf_dir):

@@ -330,6 +330,13 @@ def minhash_lsh_probe(
         idx = lsh_banded_table(
             index_df, text_col, id_col, num_hashes, bands, k, hash_width
         )
+        if max_bucket is not None:
+            # The cap consumes its input twice (over-cap aggregate +
+            # anti-join probe): checkpoint the freshly-built banding so
+            # the scan→shingle→md5→min chain runs ONCE, mirroring the
+            # candidates path. A pre-built index is already a cheap
+            # re-scannable artifact (parquet), so it is not checkpointed.
+            idx = idx.localCheckpoint()
     if max_bucket is not None:
         idx = _drop_over_cap_buckets(idx, max_bucket)
     if {"band", "bucket", id_col} <= set(batch_df.columns):

@@ -180,15 +180,26 @@ def bigram_surprisal(
     the original three-explode / two-stream-join form super-linear
     (7.2x per 3.33x data):
 
-    - The per-doc stream is ``(doc, fp)`` where ``fp`` is the raw 16
-      md5 bytes of "w1 w2" — words contain no spaces
-      post-normalization, so the key is injective, and the fixed
-      16-byte key replaces two corpus-wide string columns in every
-      exchange (the span family measured −18% from the same unhex
-      trick). The stream is deliberately NOT pre-collapsed to
-      (doc, fp, n): the collapse costs its own full exchange, and in
-      natural text within-doc repeat bigrams are few — one Z-row
-      exchange beats two X-row exchanges with Z/X ≈ 1.
+    - The per-doc stream is ``(doc, fp)`` where ``fp`` is the FIRST 8
+      md5 bytes of "w1 w2" (words contain no spaces
+      post-normalization). The fixed 8-byte key replaces two
+      corpus-wide string columns in every exchange (the span family
+      measured −18% from the full-width unhex trick; the round-9
+      halving shaves the incompressible md5 payload of the sf100
+      stream exchange — the measured single-disk spill residual — by
+      another ~25%). 64 bits is not injective IN THEORY
+      (P[collision] ≈ n²/2⁶⁵ ≈ 2e-6 at the sf100 vocabulary of 8M
+      bigrams; a collision merges two bigrams' counts in this scorer
+      but NOT in the word-exact SQL oracle) — verified collision-free
+      on the committed corpora at sf0.001..sf1 (oracle hash-green)
+      and sf100 (distinct fp == distinct bigram count, SCALE.md
+      round 9); at a true 100 TB vocabulary (~10¹⁰ bigrams) the
+      expected handful of collisions is statistically irrelevant to
+      a per-doc mean over thousands of occurrences. The stream is
+      deliberately NOT pre-collapsed to (doc, fp, n): the collapse
+      costs its own full exchange, and in natural text within-doc
+      repeat bigrams are few — one Z-row exchange beats two X-row
+      exchanges with Z/X ≈ 1.
     - Both log-count terms are folded into ``ln p = ln c12 − ln c1``
       ON the bigram-vocabulary table before it ever meets the
       per-doc stream, so the corpus-sized stream joins exactly ONCE,
@@ -204,7 +215,7 @@ def bigram_surprisal(
       at 8M rows against a 270M-row corpus stream (Heaps saturation),
       so the checkpoint is bucket-table-cheap and saves the third
       explode+aggregate pass a recomputed c1 would cost. The head
-      key rides as 16 md5 bytes (``__h1``), never the string: the
+      key rides as 8 md5 bytes (``__h1``), never the string: the
       hot 270M-row partial aggregate and the c12⋈c1 join both stay
       on fixed-width keys.
 
@@ -212,6 +223,13 @@ def bigram_surprisal(
     over the pair stream. Raw text never shuffles. Documents under 2
     words have no bigrams and drop out — identically in the SQL
     oracle.
+
+    SIDE EFFECT — eager, frozen counts: CONSTRUCTING this DataFrame
+    runs the full c12 corpus aggregate (``localCheckpoint`` at
+    build time), unlike the module's lazy operators, and the
+    checkpointed bigram counts are FROZEN — a plan built once and
+    executed later against changed source data keeps the counts from
+    construction time. Rebuild the DataFrame to re-count.
     """
     words = F.split(normalized_text(F.col(text_col)), " ")
     n = F.size(words)
@@ -223,12 +241,20 @@ def bigram_surprisal(
         )
     ).alias("bg")
     fp = F.unhex(
-        F.md5(
-            F.concat_ws(" ", F.col("bg.w1"), F.col("bg.w2")).cast("binary")
+        F.substring(
+            F.md5(
+                F.concat_ws(" ", F.col("bg.w1"), F.col("bg.w2")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            16,
         )
     ).alias("__fp")
     stream = base.select(id_col, bg_cols).select(id_col, fp)
-    h1 = F.unhex(F.md5(F.col("bg.w1").cast("binary"))).alias("__h1")
+    h1 = F.unhex(
+        F.substring(F.md5(F.col("bg.w1").cast("binary")), 1, 16)
+    ).alias("__h1")
     c12 = (
         base.select(bg_cols)
         .select(h1, fp)

@@ -259,6 +259,13 @@ def dsir_importance_weights(
     Output: ``(id, n_feats, log_weight)`` — one row per document,
     ``log_weight`` rounded to ``ndigits`` (same float-portability
     discipline as ``lm.unigram_surprisal``).
+
+    SIDE EFFECT — eager, frozen bucket stats: CONSTRUCTING this
+    DataFrame runs the first corpus pass (the 1024-row bucket table is
+    ``localCheckpoint``-ed at build time), and those counts are
+    FROZEN — executing the plan later against changed source data
+    keeps construction-time bucket statistics. Rebuild the DataFrame
+    to re-count.
     """
     from ..functions.text import normalized_text
 

@@ -1933,7 +1933,20 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (same-bucket pairs) and the exact cosine of every emitted
     pair replay exactly in SQL with the planes inlined as literals.
     The recall-vs-brute hook (accuracy.py:check_ann_lsh) stays as the
-    quality contract; this oracle pins the VALUES."""
+    quality contract; this oracle pins the VALUES.
+
+    KNOWN ASSUMPTION (cross-engine float exactness): each bucket bit
+    is sign(dot(v, plane)) — a float comparison evaluated
+    independently by Spark's F.aggregate (strict sequential sum) and
+    DuckDB's list_sum. Both engines sum left-to-right in double
+    precision today, but this is NOT a guaranteed contract: a
+    summation-order or FMA difference on a near-zero projection flips
+    a bit and changes the candidate SET — a hard hash-red, unlike the
+    round(...,4) tolerance protecting the value columns. If this
+    oracle ever goes red with identical row counts, check the
+    min_abs_projection margin that check_ann_lsh reports before
+    hunting a logic bug: a margin near float epsilon means sign-flip,
+    not regression."""
     from .operators.similarity import cosine_topk_lsh
 
     t = load_testdata(spark, sf_dir)
@@ -5767,10 +5780,17 @@ def _mmr_oracle_sql(k: int = 10, fetch_k: int = 40, lam: float = 0.7) -> str:
         ) QUALIFY row_number() OVER (PARTITION BY query_id
                                      ORDER BY cosine DESC, vec_id) <= {fetch_k}
     ), psim AS MATERIALIZED (
+        -- Zero-norm guard mirrors the operator exactly (mmr_rerank's
+        -- pairwise path does norms[norms == 0.0] = 1.0 before V/norms;
+        -- an unguarded division would yield NULL/Inf sims here where
+        -- the operator computes a finite 0 penalty). The cand CTE stays
+        -- unguarded on purpose: candidate cosines come from
+        -- cosine_topk_bruteforce, which does not guard either.
         SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
                list_sum(list_transform(list_zip(na.emb, nb.emb),
                                        x -> x[1] * x[2]))
-               / (na.nrm * nb.nrm) AS sim
+               / ((CASE WHEN na.nrm = 0 THEN 1.0 ELSE na.nrm END)
+                  * (CASE WHEN nb.nrm = 0 THEN 1.0 ELSE nb.nrm END)) AS sim
         FROM cand a
         JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
         JOIN n na ON na.vec_id = a.vec_id

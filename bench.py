@@ -157,18 +157,73 @@ def cpu_probe() -> float:
     return round(time.time() - t0, 4)
 
 
+# A fixed ~1 MB parquet file for the I/O probe's decode leg — SF-
+# independent so the probe cost never scales with the bench SF.
+_IO_PROBE_PARQUET = "/root/testdata/sf0.01/lineitem.parquet"
+_IO_PROBE_SCRATCH = "/tmp/atp_bench_ioprobe.bin"
+
+
+def io_probe() -> float:
+    """Best-of-3 disk probe bracketing every run alongside cpu_probe:
+    write + fsync 4 MB to the shuffle/spill disk (/tmp — Spark's
+    local dir) and decode a fixed ~1 MB parquet file. Round 8's calm
+    gate was CPU-only and BLIND to I/O contention — the driver's
+    12.06 s tpch_q20 reading passed both CPU probes while a disk
+    storm inflated the query's shuffle spill, laundering weather into
+    a 'calm' regression flag (VERDICT r8 #2a). fsync is what shuffle
+    spill pays, so it senses write-side contention directly; the
+    decode leg senses read-side stalls. Best-of-3 because single
+    shots spike ~10x even on a calm box (measured: median 0.017 s,
+    lone spikes to 0.27 s — fsync latency jitter, not contention); a
+    real storm slows ALL three attempts. Calm best-of-3 on this box:
+    ~0.022 s; gate at IO_GATE (default 0.15 s, ~6x headroom)."""
+    import pyarrow.parquet as pq
+
+    buf = b"\x5a" * (4 << 20)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        with open(_IO_PROBE_SCRATCH, "wb") as fh:
+            fh.write(buf)
+            fh.flush()
+            os.fsync(fh.fileno())
+        if os.path.exists(_IO_PROBE_PARQUET):
+            pq.read_table(_IO_PROBE_PARQUET)
+        best = min(best, time.time() - t0)
+    try:
+        os.remove(_IO_PROBE_SCRATCH)
+    except OSError:
+        pass
+    return round(best, 4)
+
+
+def probe() -> tuple[float, float]:
+    """(cpu_s, io_s) bracket reading — a run is CALM only if BOTH legs
+    of BOTH its brackets pass their gates."""
+    return cpu_probe(), io_probe()
+
+
 # A run counts as CALM iff both probes bracketing it read at or under
 # this (~1.5x the calm-host 0.165 s reading — the strict end of
 # spot_bench's gate, scaled to the quarter probe). Runs keep retrying
 # (up to MAX_EXTRA_RUNS extras) until each query has a calm run.
 PROBE_GATE = float(os.environ.get("SPARK_GRAFT_PROBE_GATE", "0.25"))
+# The I/O leg's gate (io_probe best-of-3; calm floor ~0.022 s on this
+# box, storms read 0.5 s+). Both legs of both brackets must pass for a
+# run to count as calm.
+IO_GATE = float(os.environ.get("SPARK_GRAFT_IO_GATE", "0.15"))
 MAX_EXTRA_RUNS = int(os.environ.get("SPARK_GRAFT_MAX_EXTRA_RUNS", "4"))
 # Soft deadline for the whole suite: once elapsed wall passes this,
-# calm-hunting retries stop (every query still gets its base N runs) —
-# a storm that outlasts the budget yields an artifact with a long
-# `uncalm` list instead of an unbounded run.
+# calm-hunting retries stop (every query still gets its base N runs).
 SUITE_RETRY_DEADLINE_S = float(
     os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_S", "2400")
+)
+# A deadline hit used to ship verdict-less rows (35/99 in BENCH_r08 —
+# VERDICT r8 #2b): after the main loop, a SECOND calm-hunting pass
+# sweeps whatever is still uncalm, bounded by its own budget, so a
+# mid-suite storm costs retries, not a third of the artifact.
+RESCUE_DEADLINE_S = float(
+    os.environ.get("SPARK_GRAFT_BENCH_RESCUE_S", "1500")
 )
 
 
@@ -284,57 +339,88 @@ def main() -> None:
     ) | {"pipeline_rows"}
     per_query: dict[str, float] = {}
     per_query_probe: dict[str, float] = {}
+    per_query_ioprobe: dict[str, float] = {}
     per_query_median: dict[str, float] = {}
     per_query_iqr: dict[str, float] = {}
     per_query_times: dict[str, list[float]] = {}
     regressions: dict[str, list[float]] = {}
     uncalm: list[str] = []
-    # CALM-WINDOW protocol (round 8, VERDICT r7 item 1): every run is
-    # bracketed by cpu_probe() readings (the trailing probe of run i
-    # doubles as the leading probe of run i+1); a run counts only if
-    # both its probes pass PROBE_GATE, and each query retries (up to
-    # MAX_EXTRA_RUNS extras) hunting a calm window. BENCH_r07 carried
-    # 21 regression flags from a single-probe protocol the round's own
-    # steal findings had already discredited — per-run bracketing is
-    # what spot_bench.py uses for every SCALE.md ratio, ported here so
-    # the committed artifact adjudicates its own noise.
-    suite_t0 = time.time()
-    for name in HEADLINE:
-        n_runs = N_RUNS_HEAVY if name in heavy else N_RUNS
-        times: list[float] = []
-        probes: list[float] = [cpu_probe()]
-        while len(times) < n_runs + MAX_EXTRA_RUNS:
+
+    # CALM-WINDOW protocol (round 8, VERDICT r7 item 1; I/O leg added
+    # round 9, VERDICT r8 #2a): every run is bracketed by probe()
+    # readings — a CPU leg gated at PROBE_GATE and a disk leg gated at
+    # IO_GATE (the trailing probe of run i doubles as the leading probe
+    # of run i+1); a run counts as calm only if BOTH legs of BOTH its
+    # brackets pass, and each query retries (up to MAX_EXTRA_RUNS
+    # extras) hunting a calm window. Each run is stored as
+    # (sec, cpu_bracket_max, io_bracket_max) so the rescue pass can
+    # extend any query's chain later without index bookkeeping.
+    def is_calm(rec: tuple[float, float, float]) -> bool:
+        return rec[1] <= PROBE_GATE and rec[2] <= IO_GATE
+
+    def measure_chain(
+        name: str, n_target: int, past_deadline
+    ) -> list[tuple[float, float, float]]:
+        recs: list[tuple[float, float, float]] = []
+        p_prev = probe()
+        while len(recs) < n_target + MAX_EXTRA_RUNS:
             spark.catalog.clearCache()
             t0 = time.time()
-            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            times.append(round(time.time() - t0, 3))
-            probes.append(cpu_probe())
-            calm_i = [
-                i
-                for i in range(len(times))
-                if max(probes[i], probes[i + 1]) <= PROBE_GATE
-            ]
-            if len(times) >= n_runs and (
-                calm_i or time.time() - suite_t0 > SUITE_RETRY_DEADLINE_S
+            qs[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            sec = round(time.time() - t0, 3)
+            p_next = probe()
+            recs.append(
+                (
+                    sec,
+                    round(max(p_prev[0], p_next[0]), 4),
+                    round(max(p_prev[1], p_next[1]), 4),
+                )
+            )
+            p_prev = p_next
+            if len(recs) >= n_target and (
+                any(is_calm(r) for r in recs) or past_deadline()
             ):
                 break
-        calm_i = [
-            i
-            for i in range(len(times))
-            if max(probes[i], probes[i + 1]) <= PROBE_GATE
-        ]
+        return recs
+
+    runs: dict[str, list[tuple[float, float, float]]] = {}
+    suite_t0 = time.time()
+    for name in HEADLINE:
+        runs[name] = measure_chain(
+            name,
+            N_RUNS_HEAVY if name in heavy else N_RUNS,
+            lambda: time.time() - suite_t0 > SUITE_RETRY_DEADLINE_S,
+        )
+
+    # RESCUE pass (VERDICT r8 #2b): the suite deadline used to ship
+    # every post-deadline query verdict-less (35/99 rows in BENCH_r08
+    # were weather). Sweep the still-uncalm set once more under its own
+    # budget — a mid-suite storm now costs rescue retries, not a third
+    # of the artifact.
+    rescue_t0 = time.time()
+    for name in HEADLINE:
+        if any(is_calm(r) for r in runs[name]):
+            continue
+        if time.time() - rescue_t0 > RESCUE_DEADLINE_S:
+            break
+        runs[name] += measure_chain(
+            name, 1, lambda: time.time() - rescue_t0 > RESCUE_DEADLINE_S
+        )
+
+    for name in HEADLINE:
+        recs = runs[name]
+        times = [r[0] for r in recs]
         # All raw times in RUN ORDER (VERDICT r3 item 7): noise
         # adjudication needs the full sample, not just min/median.
-        per_query_times[name] = list(times)
-        pool = [times[i] for i in calm_i] or list(times)
-        best_i = min(
-            (calm_i or range(len(times))), key=lambda i: times[i]
-        )
-        per_query[name] = times[best_i]
-        per_query_probe[name] = round(
-            max(probes[best_i], probes[best_i + 1]), 4
-        )
-        if not calm_i:
+        per_query_times[name] = times
+        calm = [r for r in recs if is_calm(r)]
+        best = min(calm or recs, key=lambda r: r[0])
+        per_query[name] = best[0]
+        per_query_probe[name] = best[1]
+        per_query_ioprobe[name] = best[2]
+        if not calm:
             uncalm.append(name)
         srt = sorted(times)
         per_query_median[name] = srt[len(srt) // 2]
@@ -342,16 +428,17 @@ def main() -> None:
             per_query_iqr[name] = round(
                 srt[(3 * len(srt)) // 4] - srt[len(srt) // 4], 3
             )
-        # Regression flags require CALM evidence: an uncalm query's
-        # numbers are weather by this file's own protocol, and it is
-        # already surfaced in `uncalm` as verdict-less — flagging it
-        # would launder a steal spike into a regression claim.
-        if (
-            name in base_q
-            and calm_i
-            and min(pool) > 1.5 * base_q[name] * calib_scale
-        ):
-            regressions[name] = [min(pool), base_q[name]]
+        # Regression flags require CALM evidence, and BOTH the calm min
+        # AND the calm median must exceed the threshold (VERDICT r8
+        # #2a: a single lucky-or-unlucky calm run is not a verdict —
+        # the 12 s q20 flag came from one I/O-stormed run the CPU
+        # probes couldn't see; min-and-median agreement means the slow
+        # reading reproduced under calm conditions).
+        if name in base_q and calm:
+            cp = sorted(r[0] for r in calm)
+            thr = 1.5 * base_q[name] * calib_scale
+            if cp[0] > thr and cp[len(cp) // 2] > thr:
+                regressions[name] = [cp[0], base_q[name]]
 
     # Engine-side throughput of the flagship (the BASELINE.md comparable:
     # rows through pack→translate→parse→rejoin→flags per second, warm).
@@ -360,12 +447,15 @@ def main() -> None:
     attempts = 0
     while attempts < N_RUNS + MAX_EXTRA_RUNS:
         attempts += 1
-        p0 = cpu_probe()
+        p0 = probe()
         spark.catalog.clearCache()
         t0 = time.time()
         n_rows = qs["pipeline_rows"](spark, SF_DIR).count()
         sec = time.time() - t0
-        calm = max(p0, cpu_probe()) <= PROBE_GATE
+        p1 = probe()
+        calm = (
+            max(p0[0], p1[0]) <= PROBE_GATE and max(p0[1], p1[1]) <= IO_GATE
+        )
         # calm runs only, once one exists — a steal-window min would
         # overstate throughput's denominator (or a lucky fast window
         # during a storm understate it) either way.
@@ -392,6 +482,7 @@ def main() -> None:
         "queries_times": per_query_times,
         "queries_median": per_query_median,
         "queries_probe_s": per_query_probe,
+        "queries_ioprobe_s": per_query_ioprobe,
         "accuracy": accuracy,
         "queries": per_query,
         "queries_iqr_heavy": per_query_iqr,
@@ -402,6 +493,7 @@ def main() -> None:
         "calib_cpu_s": calib,
         "calib_scale_vs_baseline": round(calib_scale, 3),
         "probe_gate_s": PROBE_GATE,
+        "io_gate_s": IO_GATE,
     }
     # Scale evidence: compact pointers to the committed sf1/sf3 runs
     # (same suite + harness, data from tools/gen_testdata.py — see
