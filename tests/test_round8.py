@@ -195,7 +195,7 @@ def test_bigram_surprisal_stream_joins_once_on_fp(spark):
     aggregate runs eagerly at checkpoint time; the visible plan has
     only the stream's Generate), and the corpus-sized stream joins
     exactly ONCE — on the md5 fingerprint, never partitioned by the
-    Zipf-hot head word: no string key anywhere (the head rides as 16
+    Zipf-hot head word: no string key anywhere (the head rides as 8
     md5 bytes on the checkpointed bigram-vocabulary table), and the
     doc-id stream has exactly one hash exchange beyond the final
     rollup, with no (doc, fp) pre-collapse."""
