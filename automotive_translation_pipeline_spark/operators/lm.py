@@ -21,6 +21,8 @@ stream, no driver-side collect.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -164,11 +166,26 @@ def split_word_drift(
     )
 
 
+# Broadcast the vocabulary's ln-p table into the corpus-stream join
+# when the (checkpointed, so cheaply countable) distinct-bigram table
+# is at most this many rows: 16M rows x ~16 B is a ~0.25-0.5 GB build
+# side — comfortably inside a 4 GB+ executor, and it deletes the
+# corpus-sized stream exchange entirely (the measured single-disk
+# spill residual at sf100). Heaps' law keeps real corpora under it for
+# a long time (sf100 = 270M-word corpus = 8.0M distinct bigrams); a
+# true 100 TB vocabulary (~10^10) blows the gate and falls back to the
+# fingerprint-keyed shuffle-hash join, which stays skew-free.
+BIGRAM_BROADCAST_MAX_VOCAB = int(
+    os.environ.get("SPARK_GRAFT_BIGRAM_BCAST_MAX", str(16_000_000))
+)
+
+
 def bigram_surprisal(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     ndigits: int = 4,
+    broadcast_max_vocab: int | None = None,
 ) -> DataFrame:
     """Per-document mean CONDITIONAL surprisal -mean(ln p(w2|w1)) under
     the corpus bigram model, p(w2|w1) = c(w1 w2) / c(w1 as bigram
@@ -180,18 +197,19 @@ def bigram_surprisal(
     the original three-explode / two-stream-join form super-linear
     (7.2x per 3.33x data):
 
-    - The per-doc stream is ``(doc, fp)`` where ``fp`` is the FIRST 8
-      md5 bytes of "w1 w2" (words contain no spaces
-      post-normalization). The fixed 8-byte key replaces two
-      corpus-wide string columns in every exchange (the span family
-      measured −18% from the full-width unhex trick; the round-9
-      halving shaves the incompressible md5 payload of the sf100
-      stream exchange — the measured single-disk spill residual — by
-      another ~25%). 64 bits is not injective IN THEORY
+    - The per-doc stream is ``(doc, fp)`` where ``fp`` is
+      ``xxhash64(w1, w2)`` — a primitive BIGINT key, computed once at
+      the map side and the ONLY thing the corpus stream ever carries
+      besides the doc id. The round-8 key was 16 md5 bytes, round 9's
+      first cut 8 md5 bytes; xxhash64 keeps the 8-byte width but (a)
+      swaps a cryptographic hash + hex substring + unhex chain for
+      one non-crypto JVM intrinsic on the 2x270M-row hot path and
+      (b) rides Tungsten as an inline primitive instead of a
+      length-prefixed binary. 64 bits is not injective IN THEORY
       (P[collision] ≈ n²/2⁶⁵ ≈ 2e-6 at the sf100 vocabulary of 8M
       bigrams; a collision merges two bigrams' counts in this scorer
       but NOT in the word-exact SQL oracle) — verified collision-free
-      on the committed corpora at sf0.001..sf1 (oracle hash-green)
+      on the committed corpora at sf0.001..sf0.1 (oracle hash-green)
       and sf100 (distinct fp == distinct bigram count, SCALE.md
       round 9); at a true 100 TB vocabulary (~10¹⁰ bigrams) the
       expected handful of collisions is statistically irrelevant to
@@ -209,20 +227,31 @@ def bigram_surprisal(
       skewed exchange that grows super-linearly with data. The w1
       join now happens between two sub-corpus vocabulary tables,
       where AQE's skew handling can still split the hot heads.
+    - The stream⋈lnp join BROADCASTS the vocabulary side whenever the
+      checkpointed c12 table is small enough
+      (``broadcast_max_vocab``, default
+      :data:`BIGRAM_BROADCAST_MAX_VOCAB` = 16M rows ≈ 0.25-0.5 GB):
+      Heaps' law saturates the distinct-bigram table (8.0M rows
+      against a 270M-word corpus at sf100), and broadcasting it
+      deletes the corpus-sized fp exchange — the measured
+      single-disk shuffle-spill residual that kept this operator
+      super-linear (4.6-4.9x per 3.33x at sf100, VERDICT r8 #4). The
+      corpus stream then pays exactly ONE exchange end-to-end: the
+      per-doc rollup, which partial-aggregates to doc-count size
+      map-side first. Above the gate (a true 100 TB vocabulary) it
+      falls back to the fingerprint-keyed shuffle-hash join, which
+      is uniform by construction.
     - TWO corpus passes total: the stream, and the c12 aggregate.
       c(w1) is derived from the c12 table, which is eager-
-      checkpointed first — sf100 measured the distinct-bigram table
-      at 8M rows against a 270M-row corpus stream (Heaps saturation),
-      so the checkpoint is bucket-table-cheap and saves the third
-      explode+aggregate pass a recomputed c1 would cost. The head
-      key rides as 8 md5 bytes (``__h1``), never the string: the
-      hot 270M-row partial aggregate and the c12⋈c1 join both stay
-      on fixed-width keys.
+      checkpointed first — so the checkpoint is bucket-table-cheap
+      and saves the third explode+aggregate pass a recomputed c1
+      would cost. The head key rides as ``xxhash64(w1)`` (``__h1``),
+      never the string: the hot 270M-row partial aggregate and the
+      c12⋈c1 join both stay on fixed-width primitive keys.
 
-    Hash aggregates + shuffle-hash joins throughout, never windows
-    over the pair stream. Raw text never shuffles. Documents under 2
-    words have no bigrams and drop out — identically in the SQL
-    oracle.
+    Hash aggregates + hash joins throughout, never windows over the
+    pair stream. Raw text never shuffles. Documents under 2 words
+    have no bigrams and drop out — identically in the SQL oracle.
 
     SIDE EFFECT — eager, frozen counts: CONSTRUCTING this DataFrame
     runs the full c12 corpus aggregate (``localCheckpoint`` at
@@ -231,6 +260,8 @@ def bigram_surprisal(
     executed later against changed source data keeps the counts from
     construction time. Rebuild the DataFrame to re-count.
     """
+    if broadcast_max_vocab is None:
+        broadcast_max_vocab = BIGRAM_BROADCAST_MAX_VOCAB
     words = F.split(normalized_text(F.col(text_col)), " ")
     n = F.size(words)
     base = df.select(F.col(id_col), words.alias("__w")).filter(n >= 2)
@@ -240,21 +271,9 @@ def bigram_surprisal(
             F.slice("__w", 2, F.size("__w") - 1).alias("w2"),
         )
     ).alias("bg")
-    fp = F.unhex(
-        F.substring(
-            F.md5(
-                F.concat_ws(" ", F.col("bg.w1"), F.col("bg.w2")).cast(
-                    "binary"
-                )
-            ),
-            1,
-            16,
-        )
-    ).alias("__fp")
+    fp = F.xxhash64(F.col("bg.w1"), F.col("bg.w2")).alias("__fp")
     stream = base.select(id_col, bg_cols).select(id_col, fp)
-    h1 = F.unhex(
-        F.substring(F.md5(F.col("bg.w1").cast("binary")), 1, 16)
-    ).alias("__h1")
+    h1 = F.xxhash64(F.col("bg.w1")).alias("__h1")
     c12 = (
         base.select(bg_cols)
         .select(h1, fp)
@@ -274,8 +293,14 @@ def bigram_surprisal(
             ).alias("__lnp"),
         )
     )
+    # c12 is already materialized (checkpoint above), so the vocab
+    # size is known for free — pick the join strategy on it.
+    if c12.count() <= broadcast_max_vocab:
+        joined = stream.join(F.broadcast(lnp), "__fp")
+    else:
+        joined = stream.join(lnp.hint("shuffle_hash"), "__fp")
     return (
-        stream.join(lnp.hint("shuffle_hash"), "__fp")
+        joined
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

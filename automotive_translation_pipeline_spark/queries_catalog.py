@@ -87,6 +87,7 @@ _CHANGED_THIS_ROUND = frozenset({
     "sample_dsir_weights",   # no-persist two-map-pass shape (sf100 spill fix)
     # round 9 edits:
     "embedding_pca_recon",   # promoted rows-only -> bounded-error oracle (trace identity)
+    # (text_bigram_surprisal re-edited round 9: xxhash64 keys + gated broadcast)
 })
 
 
@@ -6957,10 +6958,12 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional bigram LM quality score
     (operators/lm.py:bigram_surprisal): catches common-words-in-weird-
-    order text that the unigram gate passes. 16-byte md5 bigram keys,
-    c(w1) derived from the c(w1,w2) table, and ln p attached to the
-    bigram-vocabulary table so the corpus stream joins once, on the
-    fingerprint — never partitioned by the Zipf-hot head word."""
+    order text that the unigram gate passes. Primitive xxhash64 bigram
+    keys, c(w1) derived from the c(w1,w2) table, and ln p attached to
+    the (Heaps-saturated, size-gate-broadcast) bigram-vocabulary table
+    so the corpus stream joins once, on the fingerprint — never
+    partitioned by the Zipf-hot head word — and, under the broadcast
+    gate, never exchanges at all before the per-doc rollup."""
     from .operators.lm import bigram_surprisal
 
     t = load_testdata(spark, sf_dir)

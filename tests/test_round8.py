@@ -193,12 +193,12 @@ def test_bigram_surprisal_values_match_definition(spark):
 def test_bigram_surprisal_stream_joins_once_on_fp(spark):
     """Plan contract for the sf100 fix: TWO corpus passes (the c12
     aggregate runs eagerly at checkpoint time; the visible plan has
-    only the stream's Generate), and the corpus-sized stream joins
-    exactly ONCE — on the md5 fingerprint, never partitioned by the
-    Zipf-hot head word: no string key anywhere (the head rides as 8
-    md5 bytes on the checkpointed bigram-vocabulary table), and the
-    doc-id stream has exactly one hash exchange beyond the final
-    rollup, with no (doc, fp) pre-collapse."""
+    only the stream's Generate), and under the vocabulary-size gate
+    the corpus-sized stream NEVER exchanges before the per-doc
+    rollup: the ln-p table (keyed by the primitive xxhash64
+    fingerprint, never the Zipf-hot head word) is broadcast into the
+    stream join, so the only hash exchange on the doc-id stream is
+    the final rollup."""
     from automotive_translation_pipeline_spark.operators.lm import (
         bigram_surprisal,
     )
@@ -208,11 +208,37 @@ def test_bigram_surprisal_stream_joins_once_on_fp(spark):
     assert plan.count("Generate") == 1, plan  # stream only; c12 checkpointed
     assert "Scan ExistingRDD" in plan
     assert "SortMergeJoin" not in plan and "Window" not in plan
-    assert plan.count("ShuffledHashJoin") == 2, plan  # c12⋈c1, stream⋈lnp
-    # The doc-id stream pays exactly two exchanges: its fp-join
-    # exchange and the final per-doc rollup — not a (doc, fp)
-    # pre-collapse exchange on top.
+    assert plan.count("BroadcastHashJoin") == 1, plan  # stream⋈lnp
+    assert plan.count("ShuffledHashJoin") == 1, plan  # c12⋈c1 (vocab-sized)
+    # The doc-id stream pays exactly ONE exchange: the final per-doc
+    # rollup — no fp-join exchange, no (doc, fp) pre-collapse.
     assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
+    assert "Exchange hashpartitioning(__fp" not in plan, plan
+
+
+def test_bigram_surprisal_fallback_keeps_fp_shuffle_hash(spark):
+    """Above the vocabulary gate (a true 100 TB vocabulary) the
+    stream⋈lnp join must fall back to the fingerprint-keyed
+    shuffle-hash join — uniform by construction — and produce the
+    exact same values as the broadcast path."""
+    from automotive_translation_pipeline_spark.operators.lm import (
+        bigram_surprisal,
+    )
+
+    rows = [(1, "a b a b c"), (2, "b a"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    wide = bigram_surprisal(df, broadcast_max_vocab=0)
+    plan = _plan(wide)
+    assert plan.count("ShuffledHashJoin") == 2, plan  # c12⋈c1, stream⋈lnp
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    got_wide = {r.doc_id: (r.n_bigrams, r.avg_surprisal)
+                for r in wide.collect()}
+    got_bcast = {
+        r.doc_id: (r.n_bigrams, r.avg_surprisal)
+        for r in bigram_surprisal(df, broadcast_max_vocab=10**9).collect()
+    }
+    assert got_wide == got_bcast and 1 in got_wide and 3 not in got_wide
 
 
 def test_dsir_values_match_definition(spark):

@@ -17,6 +17,13 @@ a run only counts as CALM if max(before, after) <= --calib-gate
 per-query calibration so SCALE.md ratios can cite like-for-like
 conditions.
 
+Round 9 adds the I/O leg bench.py got in round 8 (VERDICT r8 #2a: a
+disk storm is invisible to a CPU probe, and shuffle spill is exactly
+what a SPOT-family heavy query pays): every run is also bracketed by
+bench.io_probe() (best-of-3 write+fsync+parquet-decode), and CALM now
+requires BOTH legs — calib <= --calib-gate AND io <= --io-gate. The
+artifact carries queries_io so a ratio table can cite disk evidence.
+
     python tools/spot_bench.py --sf .testdata/sf10 \
         --only dedup_ngram_jaccard,dedup_winnow_pairs --n 2
 
@@ -45,6 +52,9 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--calib-gate", type=float, default=1.0,
                     help="max cpu_calibration() secs for a calm run")
+    ap.add_argument("--io-gate", type=float, default=None,
+                    help="max io_probe() secs for a calm run "
+                    "(default: bench.IO_GATE)")
     ap.add_argument("--max-extra", type=int, default=4,
                     help="extra retries per query hunting a calm window")
     ap.add_argument("--isolate", action="store_true",
@@ -62,7 +72,8 @@ def main() -> None:
         merged: dict[str, dict] = {
             "sf_dir": args.sf, "n": args.n, "cpus": args.cpus,
             "calib_gate": args.calib_gate, "queries": {},
-            "queries_calib": {}, "queries_median": {}, "uncalm": [],
+            "queries_calib": {}, "queries_io": {},
+            "queries_median": {}, "uncalm": [],
         }
         for name in [q.strip() for q in args.only.split(",") if q.strip()]:
             cmd = [
@@ -72,6 +83,8 @@ def main() -> None:
                 "--calib-gate", str(args.calib_gate),
                 "--max-extra", str(args.max_extra),
             ]
+            if args.io_gate is not None:
+                cmd += ["--io-gate", str(args.io_gate)]
             out = subprocess.run(
                 cmd, capture_output=True, text=True
             )
@@ -82,56 +95,69 @@ def main() -> None:
             except (ValueError, IndexError):
                 print(f"  {name}: subprocess failed", file=sys.stderr)
                 continue
-            for k in ("queries", "queries_calib", "queries_median"):
+            for k in ("queries", "queries_calib", "queries_io",
+                      "queries_median"):
                 merged[k].update(row.get(k, {}))
             merged["uncalm"] += row.get("uncalm", [])
         print(json.dumps(merged))
         return
 
-    from bench import cpu_calibration
+    from bench import IO_GATE, cpu_calibration, io_probe
 
     from automotive_translation_pipeline_spark import queries_catalog as qc
     from automotive_translation_pipeline_spark.session import get_spark
 
+    io_gate = args.io_gate if args.io_gate is not None else IO_GATE
     spark = get_spark(app_name="atp_spot_bench", cpus=args.cpus)
     qs = qc.queries()
     names = [n.strip() for n in args.only.split(",") if n.strip()]
     mins: dict[str, float] = {}
     min_calib: dict[str, float] = {}
+    min_io: dict[str, float] = {}
     medians: dict[str, float] = {}
     uncalm: list[str] = []
     for name in names:
-        runs: list[tuple[float, float]] = []  # (sec, max calib around it)
+        # (sec, max cpu-calib around it, max io-probe around it)
+        runs: list[tuple[float, float, float]] = []
         attempts = 0
+
+        def _calm(rs):
+            return [
+                r for r in rs
+                if r[1] <= args.calib_gate and r[2] <= io_gate
+            ]
+
         while attempts < args.n + args.max_extra:
             attempts += 1
-            c0 = cpu_calibration()
+            c0, i0 = cpu_calibration(), io_probe()
             spark.catalog.clearCache()
             t0 = time.time()
             qs[name](spark, args.sf).write.format("noop").mode(
                 "overwrite"
             ).save()
             sec = time.time() - t0
-            c1 = cpu_calibration()
-            calib = max(c0, c1)
-            runs.append((sec, calib))
+            c1, i1 = cpu_calibration(), io_probe()
+            calib, io = max(c0, c1), max(i0, i1)
+            runs.append((sec, calib, io))
             print(
-                f"  {name} run{attempts}: {sec:.1f}s calib={calib:.2f}",
+                f"  {name} run{attempts}: {sec:.1f}s calib={calib:.2f} "
+                f"io={io:.3f}",
                 file=sys.stderr,
             )
-            calm = [r for r in runs if r[1] <= args.calib_gate]
-            if attempts >= args.n and calm:
+            if attempts >= args.n and _calm(runs):
                 break
-        calm = [r for r in runs if r[1] <= args.calib_gate]
+        calm = _calm(runs)
         pool = calm or runs
         best = min(pool, key=lambda r: r[0])
         mins[name] = round(best[0], 3)
         min_calib[name] = round(best[1], 3)
+        min_io[name] = round(best[2], 4)
         medians[name] = round(statistics.median(r[0] for r in runs), 3)
         if not calm:
             uncalm.append(name)
         print(
-            f"  {name}: min={mins[name]} (calib {min_calib[name]}) "
+            f"  {name}: min={mins[name]} (calib {min_calib[name]} "
+            f"io {min_io[name]}) "
             f"median={medians[name]}{'' if calm else '  [UNCALM]'}",
             file=sys.stderr,
         )
@@ -140,8 +166,10 @@ def main() -> None:
         "n": args.n,
         "cpus": args.cpus,
         "calib_gate": args.calib_gate,
+        "io_gate": io_gate,
         "queries": mins,
         "queries_calib": min_calib,
+        "queries_io": min_io,
         "queries_median": medians,
         "uncalm": uncalm,
     }))
