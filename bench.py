@@ -399,12 +399,41 @@ def main() -> None:
     # were weather). Sweep the still-uncalm set once more under its own
     # budget — a mid-suite storm now costs rescue retries, not a third
     # of the artifact.
+    #
+    # Round-9 hardening, from a validation run whose storm spanned the
+    # whole rescue window (37 uncalm rows; the retries all burned
+    # INSIDE the storm): (a) before each rescue chain, WAIT for the
+    # probes to read calm (cheap ~1 s polling, bounded) instead of
+    # spending full measured runs during contention; (b) rescue also
+    # covers queries with exactly ONE calm run whose single reading
+    # would flag as a regression — a 1-sample min==median is not
+    # reproduction, so the flag rule below demands >=2 calm runs and
+    # the rescue pass is what affords them.
+    def rescue_worthy(name: str) -> bool:
+        calm = [r for r in runs[name] if is_calm(r)]
+        if not calm:
+            return True
+        if name in base_q and len(calm) == 1:
+            thr = 1.5 * base_q[name] * calib_scale
+            return calm[0][0] > thr
+        return False
+
+    def wait_for_calm(budget_s: float) -> None:
+        t0 = time.time()
+        while time.time() - t0 < budget_s:
+            c, i = probe()
+            if c <= PROBE_GATE and i <= IO_GATE:
+                return
+            time.sleep(15)
+
     rescue_t0 = time.time()
     for name in HEADLINE:
-        if any(is_calm(r) for r in runs[name]):
+        if not rescue_worthy(name):
             continue
-        if time.time() - rescue_t0 > RESCUE_DEADLINE_S:
+        remaining = RESCUE_DEADLINE_S - (time.time() - rescue_t0)
+        if remaining <= 0:
             break
+        wait_for_calm(min(180.0, remaining))
         runs[name] += measure_chain(
             name, 1, lambda: time.time() - rescue_t0 > RESCUE_DEADLINE_S
         )
@@ -433,8 +462,16 @@ def main() -> None:
         # #2a: a single lucky-or-unlucky calm run is not a verdict —
         # the 12 s q20 flag came from one I/O-stormed run the CPU
         # probes couldn't see; min-and-median agreement means the slow
-        # reading reproduced under calm conditions).
-        if name in base_q and calm:
+        # reading reproduced under calm conditions). Round 9: at least
+        # TWO calm runs — min and median of a 1-element set agree with
+        # themselves, which re-opened the single-reading hole (a
+        # validation run flagged q7 at 6.5 s off one calm-bracketed
+        # run whose siblings read 1.96 s; brackets can't see a burst
+        # that starts after the leading probe and ends before the
+        # trailing one, so reproduction across runs is the evidence).
+        # The rescue pass grants would-flag queries their second calm
+        # run, so a real regression still gets flagged.
+        if name in base_q and len(calm) >= 2:
             cp = sorted(r[0] for r in calm)
             thr = 1.5 * base_q[name] * calib_scale
             if cp[0] > thr and cp[len(cp) // 2] > thr:
