@@ -29,11 +29,23 @@ from pyspark.sql import functions as F
 from ..functions.text import normalized_text
 
 
+# Same gate as BIGRAM_BROADCAST_MAX_VOCAB, for the word vocabulary —
+# which Heaps' law keeps orders of magnitude smaller still (the sf100
+# corpus has 8.0M distinct bigrams but far fewer distinct words), so
+# real corpora sit under it at any scale this engine will ever see;
+# the fallback keeps the fp-keyed shuffle-hash join for pathological
+# vocabularies.
+UNIGRAM_BROADCAST_MAX_VOCAB = int(
+    os.environ.get("SPARK_GRAFT_UNIGRAM_BCAST_MAX", str(16_000_000))
+)
+
+
 def unigram_surprisal(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     ndigits: int = 4,
+    broadcast_max_vocab: int | None = None,
 ) -> DataFrame:
     """Per-document mean unigram surprisal, -mean(ln p(word)), under
     the corpus's own unigram distribution.
@@ -43,7 +55,16 @@ def unigram_surprisal(
     score higher. Empty documents normalize to a single empty-string
     token and participate like any other word (identical on the oracle
     side).
+
+    SIDE EFFECT — eager, frozen counts (round 9): CONSTRUCTING this
+    DataFrame runs the corpus word-count aggregate (``localCheckpoint``
+    at build time, vocabulary-sized result) so the join strategy can
+    be picked from the known vocabulary size; the counts are FROZEN —
+    rebuild the DataFrame to re-count (same contract as
+    :func:`bigram_surprisal` and DSIR).
     """
+    if broadcast_max_vocab is None:
+        broadcast_max_vocab = UNIGRAM_BROADCAST_MAX_VOCAB
     base = df.select(F.col(id_col), F.col(text_col))
     exploded = F.explode(
         F.split(normalized_text(F.col(text_col)), " ")
@@ -62,14 +83,25 @@ def unigram_surprisal(
     # shared repartition; SCALE.md round-7 continuation). From the scan,
     # map-side partial aggregation collapses to vocabulary size before
     # the only exchange — a genuinely shuffle-free second map pass.
-    # shuffle_hash keeps the vocab side as the build side; with
-    # Heaps-law vocabularies the build table is tiny at any corpus
-    # size, and the probe exchange on `word` is the same exchange the
-    # window form paid before sorting.
+    # Round 9: the vocab table is checkpointed (vocabulary-sized, so
+    # the checkpoint is bucket-table-cheap) and BROADCAST into the
+    # pairs join under the size gate — the same shape that made
+    # bigram_surprisal sublinear. Under broadcast the pairs stream
+    # keeps the hashpartitioning(id) it got from the explicit
+    # repartition, so groupBy(word,id), the wc probe, AND the final
+    # groupBy(id) all run exchange-free: the per-doc side pays exactly
+    # ONE exchange end-to-end (the raw-doc repartition). The old
+    # shuffle_hash probe re-exchanged the pairs stream BY WORD — the
+    # Zipf-hot key — and then exchanged again for the doc rollup.
+    # Above the gate it falls back to that shuffle-hash join, which is
+    # the scale-safe shape for a pathological vocabulary.
     wc = base.select(exploded).groupBy("word").agg(
         F.count(F.lit(1)).alias("__wc")
-    )
-    with_wc = pairs.join(wc.hint("shuffle_hash"), "word")
+    ).localCheckpoint()
+    if wc.count() <= broadcast_max_vocab:
+        with_wc = pairs.join(F.broadcast(wc), "word")
+    else:
+        with_wc = pairs.join(wc.hint("shuffle_hash"), "word")
     # -mean(ln(wc/total)) = ln(total) - mean(ln(wc)): factoring the
     # global total OUT of the per-word term lets the whole corpus-side
     # computation finish in one pass, leaving total as a 1-row reduce

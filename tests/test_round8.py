@@ -138,11 +138,13 @@ def test_remove_segments_packed_ids_escape_hatch(spark):
 
 def test_unigram_wc_branch_has_no_repartition(spark):
     """The corpus word-count branch must come from the raw scan, not
-    the repartition(id) plan — AQE does not dedupe a shared
-    repartition, so a wc built on it re-exchanges raw text for a
-    groupBy(word) that cannot use the partitioning. The plan should
-    show exactly ONE round-robin/id repartition exchange feeding the
-    pairs branch."""
+    the repartition(id) plan (AQE does not dedupe a shared
+    repartition) — since round 9 the wc aggregate runs eagerly at
+    checkpoint time off the raw scan, so the visible plan shows it as
+    Scan ExistingRDD. Under the vocabulary broadcast gate the per-doc
+    side pays exactly ONE exchange end-to-end: the explicit
+    repartition(id); groupBy(word,id), the broadcast wc probe, and the
+    final groupBy(id) all reuse that partitioning."""
     from automotive_translation_pipeline_spark.operators.lm import (
         unigram_surprisal,
     )
@@ -161,9 +163,36 @@ def test_unigram_wc_branch_has_no_repartition(spark):
         )
     }
     assert len(repart_ids) <= 1, plan
-    # and the wc branch reads text straight off the scan: a scan that
-    # needs no doc_id proves no repartition(id) sits under it.
-    assert "ReadSchema: struct<text:string>" in plan, plan
+    # checkpointed wc branch: visible as an RDD scan, not a re-scan
+    assert "Scan ExistingRDD" in plan, plan
+    # the wc probe is a broadcast join at test vocabulary sizes
+    assert "BroadcastHashJoin" in plan, plan
+    # and the ONLY hash exchange anywhere is the explicit repartition:
+    # every Exchange hashpartitioning line must be the REPARTITION one
+    # (no pairs-by-word exchange, no doc-rollup exchange).
+    for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
+        assert "REPARTITION_BY" in m.group(0), m.group(0)
+
+
+def test_unigram_fallback_keeps_shuffle_hash(spark):
+    """Above the vocabulary gate the wc probe must fall back to the
+    shuffle-hash join and produce identical values."""
+    from automotive_translation_pipeline_spark.operators.lm import (
+        unigram_surprisal,
+    )
+
+    rows = [(1, "a a b"), (2, "b c")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    wide = unigram_surprisal(df, broadcast_max_vocab=0)
+    plan = _plan(wide)
+    assert "ShuffledHashJoin" in plan, plan
+    got_wide = {r.doc_id: (r.n_words, r.avg_surprisal)
+                for r in wide.collect()}
+    got_bcast = {
+        r.doc_id: (r.n_words, r.avg_surprisal)
+        for r in unigram_surprisal(df, broadcast_max_vocab=10**9).collect()
+    }
+    assert got_wide == got_bcast and got_wide[1][0] == 3
 
 
 def test_bigram_surprisal_values_match_definition(spark):
