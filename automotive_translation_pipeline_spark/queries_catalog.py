@@ -88,6 +88,8 @@ _CHANGED_THIS_ROUND = frozenset({
     # round 9 edits:
     "embedding_pca_recon",   # promoted rows-only -> bounded-error oracle (trace identity)
     # (text_bigram_surprisal re-edited round 9: xxhash64 keys + gated broadcast)
+    "text_unigram_surprisal",  # checkpointed wc broadcast; one exchange end-to-end
+    "text_perplexity_buckets", # inherits the unigram broadcast (results unchanged)
 })
 
 
@@ -6120,9 +6122,10 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality score, unigram form: per-document mean
     -ln p(word) under the corpus unigram distribution
     (operators/lm.py:unigram_surprisal). Low = boilerplate, high = rare
-    vocabulary/noise; both tails gate. Single corpus scan collapsed to
-    (word, doc, count) pairs map-side; frequency window + broadcast
-    total + weighted rollup all run over the pre-aggregated pairs."""
+    vocabulary/noise; both tails gate. Round 9: the checkpointed
+    word-count table broadcasts into the pairs join under a vocabulary
+    size gate, so the per-doc side pays exactly one exchange
+    end-to-end (the explicit repartition); results unchanged."""
     from .operators.lm import unigram_surprisal
 
     t = load_testdata(spark, sf_dir)
@@ -6170,6 +6173,9 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. 2020): per-language
     terciles of the LM quality score — head = lowest surprisal (closest
     to the LM), tail = noisiest; downstream mixes sample head-heavy.
+    (Round 9: the underlying unigram surprisal broadcasts its
+    checkpointed word-count table — see text_unigram_surprisal;
+    results unchanged.)
     Stand-in LM is the corpus unigram distribution
     (operators/lm.py:unigram_surprisal); a trained KenLM drops into the
     same plan as a per-doc score column. Bucketing is an exact per-lang
