@@ -29,14 +29,26 @@ from pyspark.sql import functions as F
 from ..functions.text import normalized_text
 
 
-# Same gate as BIGRAM_BROADCAST_MAX_VOCAB, for the word vocabulary —
-# which Heaps' law keeps orders of magnitude smaller still (the sf100
-# corpus has 8.0M distinct bigrams but far fewer distinct words), so
-# real corpora sit under it at any scale this engine will ever see;
-# the fallback keeps the fp-keyed shuffle-hash join for pathological
-# vocabularies.
+# Same row gate as BIGRAM_BROADCAST_MAX_VOCAB, for the word
+# vocabulary — which Heaps' law keeps orders of magnitude smaller
+# still (the sf100 corpus has 8.0M distinct bigrams but far fewer
+# distinct words), so real corpora sit under it at any scale this
+# engine will ever see; the fallback keeps the fp-keyed shuffle-hash
+# join for pathological vocabularies.
 UNIGRAM_BROADCAST_MAX_VOCAB = int(
     os.environ.get("SPARK_GRAFT_UNIGRAM_BCAST_MAX", str(16_000_000))
+)
+# Byte gate beside the row gate (ADVICE r9): unlike the bigram table's
+# fixed 16-byte (bigint,bigint) rows, the wc build side carries
+# variable-length word STRINGS — a noisy web corpus near the row gate
+# could broadcast 1 GB+ per executor. Estimated bytes = rows ×
+# (2 × avg word chars + ~48 B row overhead), both read off the
+# already-checkpointed wc in one aggregate; default 512 MB keeps the
+# relation comfortably inside executor memory.
+UNIGRAM_BROADCAST_MAX_BYTES = int(
+    os.environ.get(
+        "SPARK_GRAFT_UNIGRAM_BCAST_MAX_BYTES", str(512 * 1024 * 1024)
+    )
 )
 
 
@@ -61,7 +73,13 @@ def unigram_surprisal(
     at build time, vocabulary-sized result) so the join strategy can
     be picked from the known vocabulary size; the counts are FROZEN —
     rebuild the DataFrame to re-count (same contract as
-    :func:`bigram_surprisal` and DSIR).
+    :func:`bigram_surprisal` and DSIR). The freeze is stronger than
+    stale probabilities: the pairs side re-reads the LIVE source at
+    execution while wc stays frozen, and the inner pairs⋈wc join
+    silently DROPS any word absent from the frozen vocabulary — so a
+    source mutated between build and execution changes ``n_words`` and
+    the per-doc mean, not just p(word). Rebuild after any source
+    change.
     """
     if broadcast_max_vocab is None:
         broadcast_max_vocab = UNIGRAM_BROADCAST_MAX_VOCAB
@@ -98,7 +116,20 @@ def unigram_surprisal(
     wc = base.select(exploded).groupBy("word").agg(
         F.count(F.lit(1)).alias("__wc")
     ).localCheckpoint()
-    if wc.count() <= broadcast_max_vocab:
+    # Both gate legs in ONE aggregate over the checkpointed wc (the
+    # checkpoint makes this bucket-table-cheap): the row gate bounds
+    # driver/executor hash-table entries, the byte gate bounds the
+    # actual relation size for variable-length words (ADVICE r9 — a
+    # 16M-row vocabulary of long tokens is not 16M × 16 B).
+    stats = wc.agg(
+        F.count(F.lit(1)).alias("__rows"),
+        F.coalesce(F.sum(F.length("word")), F.lit(0)).alias("__chars"),
+    ).first()
+    est_bytes = stats["__chars"] * 2 + stats["__rows"] * 48
+    if (
+        stats["__rows"] <= broadcast_max_vocab
+        and est_bytes <= UNIGRAM_BROADCAST_MAX_BYTES
+    ):
         with_wc = pairs.join(F.broadcast(wc), "word")
     else:
         with_wc = pairs.join(wc.hint("shuffle_hash"), "word")
@@ -212,6 +243,17 @@ BIGRAM_BROADCAST_MAX_VOCAB = int(
 )
 
 
+def _bigram_fp_check_enabled() -> bool:
+    """xxhash64 keys are non-injective in theory; this opt-in guard
+    (``SPARK_GRAFT_BIGRAM_FP_CHECK=1``, read per call so tests can
+    toggle it) pays one extra corpus pass to verify the hashed
+    vocabulary is collision-free on THIS corpus — outside the flag,
+    an oracle hash-red is the only detection path (ADVICE r9)."""
+    return os.environ.get("SPARK_GRAFT_BIGRAM_FP_CHECK", "") in (
+        "1", "true", "yes",
+    )
+
+
 def bigram_surprisal(
     df: DataFrame,
     text_col: str = "text",
@@ -313,6 +355,25 @@ def bigram_surprisal(
         .agg(F.count(F.lit(1)).alias("__c12"))
         .localCheckpoint()
     )
+    if _bigram_fp_check_enabled():
+        # One extra corpus pass: exact distinct (w1,w2) and w1 counts
+        # must equal the hashed table's — an __fp collision merges two
+        # bigram rows (count shortfall), an __h1 collision merges two
+        # heads.
+        exact = base.select(bg_cols).agg(
+            F.countDistinct("bg.w1", "bg.w2").alias("__nbg"),
+            F.countDistinct("bg.w1").alias("__nw1"),
+        ).first()
+        got_bg = c12.count()
+        got_w1 = c12.select("__h1").distinct().count()
+        if got_bg != exact["__nbg"] or got_w1 != exact["__nw1"]:
+            raise ValueError(
+                "bigram_surprisal: xxhash64 collision on this corpus "
+                f"(distinct bigrams exact={exact['__nbg']} "
+                f"hashed={got_bg}; heads exact={exact['__nw1']} "
+                f"hashed={got_w1}) — counts would silently merge; "
+                "use a wider key for this corpus"
+            )
     c1 = c12.groupBy("__h1").agg(F.sum("__c12").alias("__c1"))
     # Expression mirrors the SQL oracle ulp-for-ulp: ln(c12/c1) with a
     # double division, NOT ln(c12)-ln(c1).
