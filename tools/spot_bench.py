@@ -30,6 +30,24 @@ artifact carries queries_io so a ratio table can cite disk evidence.
 Prints one JSON line: {"sf_dir": ..., "queries": {name: min_calm_sec},
 "queries_calib": {name: calib_of_min}, "queries_median": {...},
 "uncalm": [names...]}.
+
+Paired alternation (round 10, VERDICT r9 #3): bracket calm-gating is
+structurally unsound for multi-minute queries — a storm that starts
+after the leading probe and ends before the trailing one is invisible.
+``--paired`` adjudicates by ALTERNATION instead: each round runs leg A
+(current env) then leg B (env overrides from the flag's
+``K=V,K2=V2`` argument) back-to-back in fresh JVMs, so both legs see
+the same weather and the per-round ratio is storm-robust (this is how
+the round-9 unigram rewrite was proven: 155.6 vs 287.9 s under
+identical brackets). With an EMPTY override string the legs are
+identical and the instrument degenerates to a stability
+certification: adjacent same-plan runs agreeing within ~10% certify
+that neither was storm-inflated — reproduction, not brackets, is the
+evidence for a multi-minute committed number.
+
+    python tools/spot_bench.py --sf .testdata/sf100 \
+        --only text_bigram_surprisal \
+        --paired SPARK_GRAFT_BIGRAM_BCAST_MAX=0 --rounds 3
 """
 
 from __future__ import annotations
@@ -57,6 +75,16 @@ def main() -> None:
                     "(default: bench.IO_GATE)")
     ap.add_argument("--max-extra", type=int, default=4,
                     help="extra retries per query hunting a calm window")
+    ap.add_argument("--paired", default=None, nargs="?", const="",
+                    help="paired-alternation mode: run leg A (current "
+                    "env) then leg B (comma list of K=V env overrides; "
+                    "empty = identical legs, a stability "
+                    "certification) back-to-back per round, fresh JVM "
+                    "per leg; report per-round secs + B/A ratio")
+    ap.add_argument("--rounds", type=int, default=3,
+                    help="paired mode: number of A/B rounds")
+    ap.add_argument("--one-run", action="store_true",
+                    help=argparse.SUPPRESS)
     ap.add_argument("--isolate", action="store_true",
                     help="one subprocess (fresh JVM) per query: heavy "
                     "queries leak localCheckpoint blocks that slow "
@@ -65,6 +93,119 @@ def main() -> None:
                     "ran after the pre-fix ngram blowup); isolation "
                     "makes every number a solo number")
     args = ap.parse_args()
+
+    if args.one_run:
+        # Hidden worker for paired mode: execute each query exactly
+        # once, no calm gating (pairing, not brackets, adjudicates),
+        # print one JSON line with the probe readings for the record.
+        from bench import cpu_calibration, io_probe
+
+        from automotive_translation_pipeline_spark import (
+            queries_catalog as qc,
+        )
+        from automotive_translation_pipeline_spark.session import get_spark
+
+        spark = get_spark(app_name="atp_spot_paired", cpus=args.cpus)
+        qs = qc.queries()
+        out = {}
+        for name in [q.strip() for q in args.only.split(",") if q.strip()]:
+            c0, i0 = cpu_calibration(), io_probe()
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qs[name](spark, args.sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            sec = time.time() - t0
+            c1, i1 = cpu_calibration(), io_probe()
+            out[name] = {
+                "sec": round(sec, 3),
+                "calib": round(max(c0, c1), 3),
+                "io": round(max(i0, i1), 4),
+            }
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    if args.paired is not None:
+        import statistics as st
+        import subprocess
+
+        overrides = dict(
+            kv.split("=", 1)
+            for kv in args.paired.split(",")
+            if kv.strip()
+        )
+        names = [q.strip() for q in args.only.split(",") if q.strip()]
+
+        def _leg(name: str, env_over: dict[str, str]) -> dict:
+            env = dict(os.environ)
+            env.update(env_over)
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--sf", args.sf, "--only", name, "--one-run",
+                "--cpus", str(args.cpus),
+            ]
+            out = subprocess.run(
+                cmd, env=env, capture_output=True, text=True
+            )
+            try:
+                return json.loads(
+                    out.stdout.strip().splitlines()[-1]
+                )[name]
+            except (ValueError, IndexError, KeyError):
+                tail = (out.stderr or "").strip().splitlines()[-3:]
+                raise SystemExit(
+                    f"paired leg failed for {name}: {tail}"
+                )
+
+        paired: dict[str, dict] = {}
+        for name in names:
+            rounds = []
+            for r in range(args.rounds):
+                a = _leg(name, {})
+                b = _leg(name, overrides)
+                ratio = round(b["sec"] / max(a["sec"], 1e-9), 3)
+                rounds.append({
+                    "a_sec": a["sec"], "b_sec": b["sec"],
+                    "ratio_b_over_a": ratio,
+                    "a_calib": a["calib"], "b_calib": b["calib"],
+                    "a_io": a["io"], "b_io": b["io"],
+                })
+                print(
+                    f"  {name} round{r + 1}: A={a['sec']}s "
+                    f"B={b['sec']}s ratio={ratio}",
+                    file=sys.stderr,
+                )
+            a_secs = [r["a_sec"] for r in rounds]
+            b_secs = [r["b_sec"] for r in rounds]
+            ratios = [r["ratio_b_over_a"] for r in rounds]
+            paired[name] = {
+                "rounds": rounds,
+                "a_min": min(a_secs), "b_min": min(b_secs),
+                "a_median": round(st.median(a_secs), 3),
+                "b_median": round(st.median(b_secs), 3),
+                "ratio_median": round(st.median(ratios), 3),
+                "b_wins": sum(1 for r in ratios if r < 1.0),
+                # Self-paired stability: fraction of rounds whose two
+                # identical-plan legs agree within 10% — ~1.0 means no
+                # storm touched the measurements.
+                "agree_frac": round(
+                    sum(
+                        1 for r in rounds
+                        if max(r["a_sec"], r["b_sec"])
+                        <= 1.1 * min(r["a_sec"], r["b_sec"])
+                    ) / len(rounds), 3,
+                ) if not overrides else None,
+            }
+        print(json.dumps({
+            "sf_dir": args.sf,
+            "mode": "paired",
+            "rounds": args.rounds,
+            "cpus": args.cpus,
+            "overrides": overrides,
+            "paired": paired,
+        }))
+        return
 
     if args.isolate:
         import subprocess
