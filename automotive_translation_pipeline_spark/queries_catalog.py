@@ -92,6 +92,7 @@ _CHANGED_THIS_ROUND = frozenset({
     "text_perplexity_buckets", # inherits the unigram broadcast (results unchanged)
     # round 10 edits:
     "ann_cosine_pq",  # promoted rows-only -> full oracle (frozen codebook literals)
+    "search_rrf_hybrid",  # one shared bm25_candidates table for both k1 legs
 })
 
 
@@ -7225,15 +7226,22 @@ def search_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/search.py:rrf_fuse): the tf-weighted BM25 ranking fused
     with the pure-IDF (k1=0, binary-occurrence) ranking of the same
     query set — rank-based fusion needs no score calibration. Each
-    system's top-20 fuses into a per-query top-10."""
-    from .operators.search import bm25_topk, rrf_fuse
+    system's top-20 fuses into a per-query top-10.
+
+    Both rankings score the SAME k1-independent candidate table
+    (operators/search.py:bm25_candidates, localCheckpoint'd — it is
+    candidate-sized, a few terms' postings), so the hybrid pays one
+    corpus pass instead of one per parameterization (round 10; the
+    old form ran the full bm25_topk pipeline twice)."""
+    from .operators.search import bm25_candidates, bm25_score_topk, rrf_fuse
 
     t = load_testdata(spark, sf_dir)
+    cand = bm25_candidates(
+        spark, t["documents"], _BM25_QUERIES
+    ).localCheckpoint()
 
     def ranked(k1: float) -> DataFrame:
-        scored = bm25_topk(
-            spark, t["documents"], _BM25_QUERIES, k=20, k1=k1
-        )
+        scored = bm25_score_topk(cand, k=20, k1=k1)
         w = Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("doc_id")
         )
