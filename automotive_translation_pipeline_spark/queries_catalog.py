@@ -93,6 +93,7 @@ _CHANGED_THIS_ROUND = frozenset({
     # round 10 edits:
     "ann_cosine_pq",  # promoted rows-only -> full oracle (frozen codebook literals)
     "search_rrf_hybrid",  # one shared bm25_candidates table for both k1 legs
+    "profile_psi_drift",  # one bucket-count pass + conditional-agg pivot
 })
 
 
@@ -7643,47 +7644,58 @@ def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_testdata(spark, sf_dir)
     ev = t["events"]
     rng = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    b = ev.select(
+    bk = ev.crossJoin(F.broadcast(rng)).select(
         "event_type",
         F.when(
             F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "a"
         ).otherwise("b").alias("period"),
-        "value",
-    ).crossJoin(F.broadcast(rng))
-    bk = b.select(
-        "event_type", "period",
         F.least(
             F.lit(9),
             F.floor((F.col("value") - F.col("lo")) * 10.0
                     / (F.col("hi") - F.col("lo"))),
         ).cast("long").alias("bucket"),
     )
-    c = bk.groupBy("event_type", "period", "bucket").agg(
-        F.count(F.lit(1)).alias("n")
+    # ONE corpus bucket-count pass (map-side combined), checkpointed:
+    # the tiny (type x period x bucket) table feeds the type list AND
+    # the dense-grid join. The round-1 form filtered the SHARE table
+    # per period and self-joined — duplicating the whole corpus
+    # subtree (scan, range agg, distinct, window) into each branch: 6
+    # corpus scans where 2 suffice (plan evidence in plans/r10).
+    c = (
+        bk.groupBy("event_type", "period", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
-    types = ev.select("event_type").distinct()
-    grid = (
-        types.crossJoin(spark.range(0, 10).select(F.col("id").alias("bucket")))
-        .crossJoin(
-            spark.createDataFrame([("a",), ("b",)], ["period"])
+    # Every event type appears in the count table (each type has >= 1
+    # event, whatever its bucket/period), so the grid's type list is a
+    # post-aggregate distinct — no second corpus scan.
+    types = c.select("event_type").distinct()
+    grid = types.crossJoin(
+        spark.range(0, 10).select(F.col("id").alias("bucket"))
+    )
+    # Pivot the two periods to columns with conditional aggregates over
+    # the left join (NULL period rows — absent (type, bucket, period)
+    # combinations — fall to the add-one floor via coalesce). n_s stays
+    # an exact integer, so the per-(type, period) totals and shares are
+    # bit-identical to the long-form window the old plan computed.
+    f = (
+        grid.join(c, ["event_type", "bucket"], "left")
+        .groupBy("event_type", "bucket")
+        .agg(
+            (F.coalesce(
+                F.max(F.when(F.col("period") == "a", F.col("n"))), F.lit(0)
+            ) + 1).alias("na_s"),
+            (F.coalesce(
+                F.max(F.when(F.col("period") == "b", F.col("n"))), F.lit(0)
+            ) + 1).alias("nb_s"),
         )
     )
-    f = grid.join(c, ["event_type", "period", "bucket"], "left").select(
-        "event_type", "period", "bucket",
-        (F.coalesce(F.col("n"), F.lit(0)) + 1).alias("n_s"),
+    wt = Window.partitionBy("event_type")
+    piv = f.select(
+        "event_type", "bucket",
+        (F.col("na_s") / F.sum("na_s").over(wt).cast("double")).alias("pa"),
+        (F.col("nb_s") / F.sum("nb_s").over(wt).cast("double")).alias("pb"),
     )
-    w = Window.partitionBy("event_type", "period")
-    sh = f.select(
-        "event_type", "bucket", "period",
-        (F.col("n_s") / F.sum("n_s").over(w).cast("double")).alias("share"),
-    )
-    a = sh.filter(F.col("period") == "a").select(
-        "event_type", "bucket", F.col("share").alias("pa")
-    )
-    b2 = sh.filter(F.col("period") == "b").select(
-        "event_type", "bucket", F.col("share").alias("pb")
-    )
-    piv = a.join(b2, ["event_type", "bucket"])
     return piv.groupBy("event_type").agg(
         (
             F.floor(
