@@ -159,6 +159,7 @@ def pca_fit(
     df: DataFrame,
     vec_col: str = "embedding",
     k: int = 16,
+    with_total: bool = False,
 ):
     """Fit a k-component PCA on the embedding column — the standard
     dimensionality-reduction step in front of IVF/PQ retrieval (OPQ's
@@ -176,7 +177,12 @@ def pca_fit(
     Returns ``(mean, components, explained)``: numpy (d,), (k, d)
     orthonormal rows (deterministic up to sign for a fixed corpus;
     every consumer below is sign-invariant), and the fraction of total
-    variance captured per component.
+    variance captured per component. With ``with_total=True`` a fourth
+    element is appended: the total population variance (trace of the
+    covariance == sum of all d eigenvalues == sum over dims of
+    var_pop, exactly — the trace identity), so consumers that need the
+    corpus total variance don't pay a second full pass to recompute
+    what the scatter already holds.
 
     NOTE: fitting is EAGER by contract (a ``first()`` to probe the
     dimension and the partial-reduce collect) — this is a model-fit
@@ -222,7 +228,69 @@ def pca_fit(
     order = np.argsort(evals)[::-1]
     evals, evecs = evals[order], evecs[:, order]
     total = float(evals.sum()) or 1.0
+    if with_total:
+        return mean, evecs[:, :k].T, (evals[:k] / total), float(np.trace(cov))
     return mean, evecs[:, :k].T, (evals[:k] / total)
+
+
+def pca_reconstruction_multi(
+    df: DataFrame,
+    fit: tuple,
+    ks: tuple[int, ...],
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group reconstruction MSE for SEVERAL truncation ranks in ONE
+    corpus pass: ``(group_col, n_vecs, mse_k<k> for each k in ks)``.
+
+    ``fit`` is a ``pca_fit`` result prefix ``(mean, comps)`` with
+    ``comps`` of rank >= max(ks); each k's reconstruction slices the
+    leading-k rows and runs the SAME two GEMMs the single-k report
+    runs (``(x - mean) @ comps[:k].T`` then ``@ comps[:k]``), so the
+    per-row MSEs are bit-identical to k separate
+    ``pca_reconstruction_report`` passes — without re-fitting the
+    scatter or re-reading the corpus once per k (the round-9 catalog
+    entry paid 3 scatter fits + 2 full reconstruction passes; this
+    form is 1 + 1)."""
+    import numpy as np
+    import pandas as pd
+
+    mean, comps = fit[0], fit[1]
+    ks = tuple(ks)
+
+    def recon_mses(frames):
+        for pdf in frames:
+            x = np.stack(pdf["v"].to_numpy()).astype("float64")
+            out = {"g": pdf["g"]}
+            xm = x - mean
+            for k in ks:
+                ck = comps[:k]
+                c = xm @ ck.T
+                xr = c @ ck + mean
+                out[f"mse_k{k}"] = ((x - xr) ** 2).mean(axis=1)
+            yield pd.DataFrame(out)
+
+    g_type = df.schema[group_col].dataType.simpleString()
+    schema = f"g {g_type}, " + ", ".join(f"mse_k{k} double" for k in ks)
+    scored = df.select(
+        F.col(group_col).alias("g"), F.col(vec_col).alias("v")
+    ).mapInPandas(recon_mses, schema=schema)
+    return (
+        scored.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            *[
+                F.round(F.avg(f"mse_k{k}"), ndigits).alias(f"mse_k{k}")
+                for k in ks
+            ],
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_vecs",
+            *[f"mse_k{k}" for k in ks],
+        )
+    )
 
 
 def pca_reconstruction_report(

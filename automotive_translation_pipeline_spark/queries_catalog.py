@@ -94,6 +94,7 @@ _CHANGED_THIS_ROUND = frozenset({
     "ann_cosine_pq",  # promoted rows-only -> full oracle (frozen codebook literals)
     "search_rrf_hybrid",  # one shared bm25_candidates table for both k1 legs
     "profile_psi_drift",  # one bucket-count pass + conditional-agg pivot
+    "embedding_pca_recon",  # one scatter fit + fused two-rank recon pass
 })
 
 
@@ -8843,47 +8844,52 @@ def embedding_pca_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-label MSE detail remains available via the
     ``pca_reconstruction_report`` API; the in-sweep accuracy hook
     (accuracy.py:check_pca_recon) keeps the monotone-in-k bound."""
-    from .operators.embeddings import pca_fit, pca_reconstruction_report
+    from .operators.embeddings import pca_fit, pca_reconstruction_multi
 
     t = load_testdata(spark, sf_dir)
     emb = t["embeddings"]
-    mean, comps, explained = pca_fit(emb, vec_col="embedding", k=64)
+    # Round 10 (guide §1.2 "don't compute things you throw away"): the
+    # round-9 form ran the d x d scatter fit THREE times (once here,
+    # once inside each weighted_mse's pca_reconstruction_report), two
+    # separate full reconstruction passes, and a dedicated posexplode/
+    # var_pop pass for tv — 7 corpus passes. Now: ONE scatter fit
+    # (with_total=True hands back tv as the covariance trace — equal to
+    # the var_pop sum by the same trace identity the oracle checks;
+    # measured equal after round-4 at all committed SFs with >= 1e-5
+    # rounding margin vs ~1e-16 float-path difference), ONE fused
+    # two-rank reconstruction pass (bit-identical per-row math, see
+    # pca_reconstruction_multi), and the final per-label count — 3
+    # corpus passes total.
+    mean, comps, explained, tv = pca_fit(
+        emb, vec_col="embedding", k=64, with_total=True
+    )
     d = len(mean)
     e8 = float(explained[:8].sum())
     e32 = float(explained[:32].sum())
     efull = float(explained.sum())
 
-    def weighted_mse(k: int):
-        rep = pca_reconstruction_report(
-            emb, vec_col="embedding", group_col="label", k=k, ndigits=9
-        )
-        return rep.agg(
-            (
-                F.sum(F.col("mean_recon_mse") * F.col("n_vecs"))
-                / F.sum("n_vecs")
-            ).alias("m")
-        )
-
-    m8 = weighted_mse(8).first()["m"]
-    mfull = weighted_mse(d).first()["m"]
-    tv = (
-        emb.select(F.posexplode("embedding").alias("__i", "__v"))
-        .groupBy("__i")
-        .agg(F.var_pop(F.col("__v").cast("double")).alias("__vv"))
-        .agg(F.sum("__vv").alias("tv"))
+    rep = pca_reconstruction_multi(
+        emb, (mean, comps), ks=(8, d), vec_col="embedding",
+        group_col="label", ndigits=9,
     )
+    row = rep.agg(
+        (F.sum(F.col("mse_k8") * F.col("n_vecs")) / F.sum("n_vecs")).alias("m8"),
+        (F.sum(F.col(f"mse_k{d}") * F.col("n_vecs")) / F.sum("n_vecs")).alias(
+            "mf"
+        ),
+    ).first()
+    m8, mfull = row["m8"], row["mf"]
     return (
         emb.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
-        .crossJoin(F.broadcast(tv))
         .select(
             "label",
             "n_vecs",
-            F.round("tv", 4).alias("total_variance_r"),
+            F.round(F.lit(tv), 4).alias("total_variance_r"),
             F.lit(bool(mfull < 1e-9)).alias("full_rank_exact_ok"),
-            (
-                F.abs(F.lit(m8) - F.col("tv") * (1.0 - e8) / d) <= 1e-5
-            ).alias("recon_identity_ok"),
+            F.lit(bool(abs(m8 - tv * (1.0 - e8) / d) <= 1e-5)).alias(
+                "recon_identity_ok"
+            ),
             F.lit(
                 bool(0.0 < e8 <= e32 <= efull <= 1.0 + 1e-9)
             ).alias("expl_ordered_ok"),
