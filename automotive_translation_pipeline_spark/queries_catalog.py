@@ -95,6 +95,7 @@ _CHANGED_THIS_ROUND = frozenset({
     "search_rrf_hybrid",  # one shared bm25_candidates table for both k1 legs
     "profile_psi_drift",  # one bucket-count pass + conditional-agg pivot
     "embedding_pca_recon",  # one scatter fit + fused two-rank recon pass
+    "basket_brand_lift",  # row-local pair generation; self-join removed
 })
 
 
@@ -8940,19 +8941,40 @@ def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select("l_orderkey", "p_brand")
-        .distinct()
-        # Four consumers (total, supports, both self-join sides):
-        # persist the distinct basket table or the lineitem join
-        # replays per consumer — same lesson as dsir's collapse.
+    )
+    # Round 10 (guide §2.4 / §8 "decide with small rows"): the old form
+    # shuffled the basket table THREE times (the distinct, then both
+    # sides of a basket-keyed self-join — the cached layout could not
+    # be reused because a persisted/checkpointed plan reports unknown
+    # partitioning under AQE). Baskets are <= 13 lines by data
+    # contract, so the pair work fits in a ROW: collapse each order to
+    # its sorted distinct-brand array in ONE map-side-combined
+    # exchange (collect_set dedups exactly like the old distinct), and
+    # every consumer — ordered pairs, per-brand supports, order total —
+    # derives map-side from the tiny persisted basket table. The
+    # self-join is gone entirely.
+    baskets = (
+        bl.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
         .persist()
     )
-    tot = bl.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    sup = bl.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
-    a = bl.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
-    b = bl.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    sup = (
+        baskets.select(F.explode("brands").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # (brand_a, brand_b) with brand_a < brand_b: positions j > i of the
+    # sorted array — generated inside the row, no join, no second
+    # shuffle of basket rows.
+    pair_arr = F.expr(
+        "flatten(transform(brands, (x, i) -> "
+        "transform(slice(brands, i + 2, size(brands)), y -> "
+        "struct(x AS brand_a, y AS brand_b))))"
+    )
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        baskets.select(F.explode(pair_arr).alias("__p"))
+        .select("__p.brand_a", "__p.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .filter(F.col("n_pairs") >= 10)
