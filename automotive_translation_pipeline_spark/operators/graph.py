@@ -55,21 +55,35 @@ def pagerank(
     scale-invariant form (1.0 == the uniform-rank baseline), stable to
     report at any corpus size.
     """
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("__outdeg"))
+    # Round 10 (guide §2.4): the degree table and the edge list are
+    # loop INVARIANTS — the old form re-joined deg into the contrib
+    # stream EVERY round (two shuffle joins per iteration) and re-ran
+    # the upstream edge pipeline per consumer. Both are now staged
+    # once behind lazy localCheckpoints (materialized by the first
+    # action, reused by every round), and __outdeg rides the edge row,
+    # so each iteration is ONE join + one keyed rollup — the minimal
+    # power-iteration step. r/__outdeg stays a division (not a
+    # precomputed reciprocal) so per-edge float math is unchanged.
+    deg = (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("__outdeg"))
+        .localCheckpoint(eager=False)
+    )
     n = deg.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    ew = (
+        edges.join(deg, "u")
+        .select("u", "v", "__outdeg")
+        .localCheckpoint(eager=False)
+    )
     ranks = (
         deg.select(F.col("u").alias("node"))
         .crossJoin(F.broadcast(n))
         .select("node", (F.lit(1.0) / F.col("__n")).alias("r"))
     )
     for _ in range(iterations):
-        contrib = (
-            edges.join(ranks, edges["u"] == ranks["node"])
-            .join(deg, "u")
-            .select(
-                F.col("v").alias("node"),
-                (F.col("r") / F.col("__outdeg")).alias("__c"),
-            )
+        contrib = ew.join(ranks, ew["u"] == ranks["node"]).select(
+            F.col("v").alias("node"),
+            (F.col("r") / F.col("__outdeg")).alias("__c"),
         )
         ranks = (
             contrib.groupBy("node")
