@@ -377,54 +377,57 @@ def connected_components(
     {A,B,C} cluster with one keeper.
 
     Min-label propagation: each round every node adopts the smallest
-    label among itself and its neighbors — one shuffle-join + one
-    grouped min per round, converging in O(cluster diameter) rounds.
-    Near-dup clusters are dense and shallow (diameter ≤ ~4), so this
-    beats the O(log n) large-star/small-star algorithm (Kiveris et
-    al.) in practice; swap that in if the edge graph ever grows long
-    chains. Each round is ``localCheckpoint``-ed: iterative self-joins
-    otherwise stack lineage until planning dominates. Convergence is
-    detected by a changed-label count, so the driver loop runs
-    diameter+1 jobs, each over |nodes| rows only — never the fact.
+    label among itself and its neighbors, converging in O(cluster
+    diameter) rounds. Near-dup clusters are dense and shallow
+    (diameter ≤ ~4), so this beats the O(log n) large-star/small-star
+    algorithm (Kiveris et al.) in practice; swap that in if the edge
+    graph ever grows long chains. Each round is ``localCheckpoint``-ed:
+    iterative self-joins otherwise stack lineage until planning
+    dominates.
+
+    Round 10 (guide §2.4): SELF-LOOP rows (node, node) ride the
+    persisted edge table, so the per-node grouped MIN covers the
+    node's own label and each round is exactly ONE shuffle join + one
+    keyed min — the old second join (labels left-joined against the
+    neighbor mins) is gone. Convergence detection no longer joins new
+    vs old labels either: the self-loop row carries the node's OLD
+    label into the same aggregate (min over rows where nbr == node),
+    so "changed" is a plain filter+count over the round's checkpoint —
+    a local scan replaces a shuffle join + count per round, and the
+    detector stays type-generic (ids may be strings).
+    min-over-{self ∪ neighbors} of exact values is the identical
+    recurrence, so labels (and round count) are bit-identical to the
+    two-join form.
     """
-    sym = (
-        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
-        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
-        .persist()
+    sym = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).union(
+        edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
     )
     labels = sym.select("node").distinct().withColumn("label", F.col("node"))
     labels = labels.localCheckpoint()
+    looped = sym.union(
+        labels.select("node", F.col("node").alias("nbr"))
+    ).persist()
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(
+        labels = (
+            looped.join(
                 labels.select(
                     F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
                 ),
                 "nbr",
             )
             .groupBy("node")
-            .agg(F.min("nbr_label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr_min, "node", "left_outer")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+            .agg(
+                F.min("nbr_label").alias("label"),
+                F.min(
+                    F.when(F.col("nbr") == F.col("node"), F.col("nbr_label"))
+                ).alias("__old"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.select("node", F.col("label").alias("new"))
-            .join(labels.select("node", F.col("label").alias("old")), "node")
-            .filter(F.col("new") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = labels.filter(F.col("label") != F.col("__old")).count()
         if changed == 0:
             break
-    sym.unpersist()
+    looped.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
 
