@@ -385,9 +385,9 @@ def connected_components(
     iterative self-joins otherwise stack lineage until planning
     dominates.
 
-    Round 10 (guide §2.4): SELF-LOOP rows (node, node) ride the
-    persisted edge table, so the per-node grouped MIN covers the
-    node's own label and each round is exactly ONE shuffle join + one
+    Round 10 (guide §2.4): SELF-LOOP rows (node, node) union into the
+    cached symmetric edge table, so the per-node grouped MIN covers
+    the node's own label and each round is exactly ONE shuffle join + one
     keyed min — the old second join (labels left-joined against the
     neighbor mins) is gone. Convergence detection no longer joins new
     vs old labels either: the self-loop row carries the node's OLD
@@ -399,14 +399,22 @@ def connected_components(
     recurrence, so labels (and round count) are bit-identical to the
     two-join form.
     """
-    sym = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).union(
-        edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
-    )
+    # ONE pass over the (possibly expensive) upstream edge pipeline:
+    # both directions explode out of a single scan, and the symmetric
+    # table is cached — the old two-select union re-ran the upstream
+    # per leg. The self-loop rows union in from the labels CHECKPOINT,
+    # so materializing `looped` costs no extra upstream run.
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("node"), F.col(dst).alias("nbr")),
+                F.struct(F.col(dst).alias("node"), F.col(src).alias("nbr")),
+            )
+        ).alias("__e")
+    ).select("__e.node", "__e.nbr").persist()
     labels = sym.select("node").distinct().withColumn("label", F.col("node"))
     labels = labels.localCheckpoint()
-    looped = sym.union(
-        labels.select("node", F.col("node").alias("nbr"))
-    ).persist()
+    looped = sym.union(labels.select("node", F.col("node").alias("nbr")))
     for _ in range(max_iter):
         labels = (
             looped.join(
@@ -427,7 +435,7 @@ def connected_components(
         changed = labels.filter(F.col("label") != F.col("__old")).count()
         if changed == 0:
             break
-    looped.unpersist()
+    sym.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -1202,7 +1210,6 @@ def semantic_dedup(
     # negated election key derives from the scored column.
     scored = assigned.join(F.broadcast(cent_df), "__cell").select(
         F.col(id_col),
-        F.col(vec_col),
         F.col("__cell"),
         (dot / (norm_v * norm_c)).alias("centroid_cos"),
     ).withColumn("__neg_ccos", -F.col("centroid_cos"))
@@ -1210,20 +1217,29 @@ def semantic_dedup(
         assigned.select(id_col, vec_col, "__cell"),
         id_col=id_col, vec_col=vec_col, threshold=threshold,
     )
-    out = canonical_survivors(
-        scored.select(id_col, "__cell", "centroid_cos", "__neg_ccos"),
-        pairs.select("id_a", "id_b"),
-        id_col=id_col,
-        prefer_col="__neg_ccos",
+    # Round 10 (guide §1.2/§2.4): election inlined instead of routed
+    # through canonical_survivors — the generic helper projects the
+    # carry columns away, which forced a second full pass over
+    # `scored` (the interpreted ArrayAggregate centroid cosine is the
+    # expensive per-row work) plus a corpus-wide re-join to get
+    # cell/centroid_cos back. Same component labeling, same
+    # (__neg_ccos DESC, id ASC) window election — `is_canonical` is
+    # bit-identical — but scored is computed once and never re-joined.
+    comp = connected_components(pairs.select("id_a", "id_b")).withColumnRenamed(
+        "node", id_col
     )
-    result = out.join(
-        scored.select(id_col, "__cell", "centroid_cos"), id_col
-    ).select(
+    labeled = scored.select(id_col, "__cell", "centroid_cos", "__neg_ccos").join(
+        comp, id_col, "left"
+    ).withColumn("component", F.coalesce("component", F.col(id_col)))
+    w = Window.partitionBy("component").orderBy(
+        F.col("__neg_ccos").desc(), F.col(id_col)
+    )
+    result = labeled.select(
         id_col,
         F.col("__cell").alias("cell"),
         "component",
         "centroid_cos",
-        "is_canonical",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
     )
     # Materialize BEFORE dropping the assignment cache: the returned
     # plan references `assigned` in two branches, and unpersisting a
