@@ -141,28 +141,44 @@ def grouped_quantiles_disc(
     interpolation, hence bit-identical on every engine (the lesson
     from mad_outliers applied as a reusable primitive).
 
-    One keyed shuffle (rank + count windows share the group exchange);
-    the rank-selected rows collapse to one row per (group, q).
+    Round 10 (guide §2.3/§2.4): rank selection over the VALUE
+    HISTOGRAM, not a row_number sort of the stream. The value at rank
+    ceil(q*n) of a sorted multiset is the smallest v whose cumulative
+    count reaches the rank — computed from a map-side-combined
+    ``groupBy(group, value).count()`` plus one cumulative window over
+    DISTINCT (group, value) rows (~hundreds for integer metrics,
+    never more than the stream for continuous ones). The old form
+    sorted the whole stream per group — a 5-group corpus sort with
+    5-way parallelism — and its per-q union branches re-ran that sort
+    (ReuseExchange dedups only the exchange, not the WindowExec above
+    it: 3 qs = 3 full sorts). All qs now resolve in ONE pass via an
+    array filter; a row can satisfy several qs (tiny groups) and
+    yields one output row per matching q, exactly like the old
+    per-q selects. ``tiebreak_cols`` is retained for API
+    compatibility but unused: tie order among equal values can never
+    change the value at a rank, and only values are returned.
     Returns group_cols + (q, value).
     """
-    order = [F.col(value_col), *[F.col(c) for c in (tiebreak_cols or [])]]
-    w_rank = Window.partitionBy(*group_cols).orderBy(*order)
-    w_grp = Window.partitionBy(*group_cols)
-    ranked = df.withColumn("__rn", F.row_number().over(w_rank)).withColumn(
-        "__cnt", F.count(F.lit(1)).over(w_grp)
+    del tiebreak_cols
+    hist = df.groupBy(
+        *group_cols, F.col(value_col).alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cond = None
-    for q in qs:
-        c = F.col("__rn") == F.ceil(F.lit(q) * F.col("__cnt"))
-        cond = c if cond is None else (cond | c)
-    hits = ranked.filter(cond)
-    out = None
-    for q in qs:
-        sel = hits.filter(
-            F.col("__rn") == F.ceil(F.lit(q) * F.col("__cnt"))
-        ).select(
-            *group_cols, F.lit(q).alias("q"),
-            F.col(value_col).alias("value"),
-        )
-        out = sel if out is None else out.unionAll(sel)
-    return out
+    w_grp = Window.partitionBy(*group_cols)
+    cum = hist.withColumn("__cum", F.sum("__c").over(w_cum)).withColumn(
+        "__tot", F.sum("__c").over(w_grp)
+    )
+    q_arr = F.array(*[F.lit(float(q)) for q in qs])
+    hit = lambda q: (  # noqa: E731 — rank lands inside this value's run
+        (F.col("__cum") >= F.ceil(q * F.col("__tot")))
+        & ((F.col("__cum") - F.col("__c")) < F.ceil(q * F.col("__tot")))
+    )
+    return cum.select(
+        *group_cols,
+        F.explode(F.filter(q_arr, hit)).alias("q"),
+        F.col("__v").alias("value"),
+    )
