@@ -1012,39 +1012,38 @@ def prefix_filter_jaccard_pairs(
         toks = F.array_distinct(
             F.split(normalized_text(F.col(text_col)), " ")
         )
-    # Round 10 (guide §2.4): the round-9 form stacked THREE windows
-    # over the exploded token stream — count() OVER (PARTITION BY
-    # word), count() OVER (PARTITION BY doc), and the rank window —
-    # i.e. two corpus-stream shuffle+sorts beyond the one the rank
-    # genuinely needs, and the whole tower was duplicated into BOTH
-    # sides of the candidate self-join (6 stream sorts in the plan).
-    # Now: __size rides the row from the un-exploded array (same
-    # value — dw has exactly one row per distinct token), the global
-    # frequency is a hash aggregate joined back sort-free
-    # (first_occurrence_table's trick; the hint keeps the planner off
-    # SortMergeJoin), and only the per-doc rarest-first rank window
-    # remains. The tiny prefix table is localCheckpoint'd so the
-    # self-join's two sides read it instead of re-running the stream
-    # (the lsh_banded_table rule: lazy persist feeds racing concurrent
-    # stages).
+    # Round 10: examined, deliberately left in the 3-window form. The
+    # "sort-free" rewrites that won elsewhere all LOSE here, measured
+    # at sf1 against this form (2.8-3.6 s): (a) global frequency as
+    # groupBy(word)+join-back — 3.7-4.6 s, because shingle keys are
+    # mostly unique so the joined-back table is stream-sized (the
+    # agg+join trick only pays when the joined-back set is filtered
+    # small, as in dup_fps / segment stats); (b) a localCheckpoint of
+    # the prefix table — another +30-40% (a blocking materialization
+    # of ~40% of the shingle stream, vs the self-join's two duplicated
+    # subtrees whose exchanges ReuseExchange dedups and whose sorts
+    # overlap as concurrent stages); (c) even moving __size out of its
+    # window onto the un-exploded array measured slower in the same
+    # A/B. The windows here ride ReuseExchange-deduped exchanges and
+    # per-doc/per-token sorts that stay sub-dominant through sf1.
     dw = docs.select(
-        F.col(id_col).alias("doc"), toks.alias("__toks")
-    ).select(
-        "doc",
-        F.size("__toks").alias("__size"),
-        F.explode("__toks").alias("word"),
+        F.col(id_col).alias("doc"),
+        F.explode(toks).alias("word"),
     )
-    freq = dw.groupBy("word").agg(F.count(F.lit(1)).alias("__freq"))
-    ranked = dw.join(freq.hint("shuffle_hash"), "word").withColumn(
-        "__rank",
-        F.row_number().over(
-            Window.partitionBy("doc").orderBy("__freq", "word")
-        ),
+    ranked = (
+        dw.withColumn("__freq", F.count(F.lit(1)).over(Window.partitionBy("word")))
+        .withColumn("__size", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+        .withColumn(
+            "__rank",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy("__freq", "word")
+            ),
+        )
     )
     prefix = ranked.filter(
         F.col("__rank")
         <= F.col("__size") - F.ceil(F.lit(threshold) * F.col("__size")) + 1
-    ).select("doc", "word").localCheckpoint()
+    ).select("doc", "word")
 
     cand = (
         prefix.alias("a")
