@@ -8953,10 +8953,18 @@ def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every consumer — ordered pairs, per-brand supports, order total —
     # derives map-side from the tiny persisted basket table. The
     # self-join is gone entirely.
+    # EAGER localCheckpoint, not a lazy persist: tot and sup feed
+    # BROADCAST subtrees, and broadcast-build jobs race the pairs
+    # stage at first action — with a lazy cache each racer re-ran the
+    # lineitem join + collect_set shuffle before the cache landed
+    # (the triangle_counts trap; measured BIMODAL 5.9 vs 44.8 s at
+    # sf1, calm both times). One blocking basket materialization
+    # (one narrow row per order) pins every consumer to the same
+    # bytes.
     baskets = (
         bl.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
-        .persist()
+        .localCheckpoint()
     )
     tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     sup = (
