@@ -193,13 +193,26 @@ def doc_fingerprint(c: Column) -> Column:
 def word_shingles(c: Column, k: int = 3) -> Column:
     """k-word shingles of the normalized text (for Jaccard / MinHash).
 
+    See :func:`word_shingles_of`. NOTE (round 10): this convenience
+    form inlines ``split(normalized_text(c))`` into every reference the
+    shingle expression makes (k slices + size() uses), and the zip /
+    transform higher-order functions are CodegenFallback — interpreted
+    evaluation re-runs the regex+split per reference, per row. Hot
+    call sites should stage the word array in its own projection and
+    call ``word_shingles_of`` on the staged column instead.
+    """
+    return word_shingles_of(F.split(normalized_text(c), " "), k)
+
+
+def word_shingles_of(words: Column, k: int = 3) -> Column:
+    """k-word shingles of a pre-split word-array column.
+
     Built from k shifted copies of the word array zipped together —
     linear work and shuffle-free, unlike the naive per-index ``slice``
     (quadratic copying; measured 1.5-3x slower) or a posexplode+lead
     window (faster locally but shuffles the full exploded word table,
     which is the wrong trade at 100 TB).
     """
-    words = F.split(normalized_text(c), " ")
     n = F.size(words)
     shifted = [
         words

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import normalized_text, word_shingles
+from ..functions.text import normalized_text, word_shingles, word_shingles_of
 
 
 def chunk_documents(
@@ -248,9 +248,16 @@ def segment_dup_stats(
     ex = (
         df.select(F.col(id_col), F.col(text_col))
         .repartition(F.col(id_col))
+        # Round 10 (guide §4.2): word array staged as a real column so
+        # the interpreted shingle expression does not re-run
+        # split(regexp) per reference per row (see lsh_banded_table).
         .select(
             F.col(id_col),
-            F.explode(word_shingles(F.col(text_col), k)).alias("seg"),
+            F.split(normalized_text(F.col(text_col)), " ").alias("__wrds"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles_of(F.col("__wrds"), k)).alias("seg"),
         )
         .select(
             id_col, F.unhex(F.md5(F.col("seg").cast("binary"))).alias("__fp")

@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import doc_fingerprint, normalized_text, word_shingles
+from ..functions.text import (
+    doc_fingerprint,
+    normalized_text,
+    word_shingles,
+    word_shingles_of,
+)
 
 
 def anti_join_dedup(
@@ -135,11 +140,24 @@ def lsh_banded_table(
     # shuffle moves only (id, text) — smaller than the hashed rows —
     # and the groupBy(id) below reuses the partitioning, so the plan's
     # total exchange count does not grow.
+    # Round 10 (guide §4.2 — per-task work): stage the split word array
+    # as a real column before the shingle expression. The inline
+    # word_shingles(text) form re-evaluates split(regexp_replace(...))
+    # once per reference (k slices + size() uses) per row, because the
+    # zip/transform higher-order functions are CodegenFallback and the
+    # interpreted path has no common-subexpression elimination —
+    # measured 6x slower than the staged form on the sf0.1 corpus with
+    # bit-identical output (same shingle count + crc checksum).
     shingled = df.select(F.col(id_col), F.col(text_col)).repartition(
         F.col(id_col)
     ).select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("__sh"),
+        F.split(normalized_text(F.col(text_col)), " ").alias("__wrds"),
+    ).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles_of(F.col("__wrds"), k))
+        ).alias("__sh"),
     )
     if hash_width == "affine":
         # One digest per instance; the per-seed values are cheap
@@ -505,8 +523,14 @@ def ngram_jaccard_pairs(
             df.join(ids, id_col, "left_semi")
             .select(
                 F.col(id_col),
+                F.split(normalized_text(F.col(text_col)), " ").alias(
+                    "__wrds"
+                ),
+            )
+            .select(
+                F.col(id_col),
                 F.array_distinct(
-                    word_shingles(F.col(text_col), k)
+                    word_shingles_of(F.col("__wrds"), k)
                 ).alias("__sh"),
             )
             .filter(F.size("__sh") > 0)
@@ -592,7 +616,13 @@ def ngram_jaccard_pairs_exhaustive(
     shingled = df.select(F.col(id_col), F.col(text_col)).repartition(
         F.col(id_col)
     ).select(
-        F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh")
+        F.col(id_col),
+        F.split(normalized_text(F.col(text_col)), " ").alias("__wrds"),
+    ).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles_of(F.col("__wrds"), k))
+        ).alias("sh"),
     ).persist()
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     # Hot-shingle guard: a shingle shared by a large fraction of docs
@@ -700,7 +730,10 @@ def simhash_table(
     nbits = 60 if portable else 63
     shingled = df.select(
         F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), k)).alias("__sh"),
+        F.split(normalized_text(F.col(text_col)), " ").alias("__wrds"),
+    ).select(
+        F.col(id_col),
+        F.explode(word_shingles_of(F.col("__wrds"), k)).alias("__sh"),
     )
     if portable:
         h = F.conv(F.substring(F.md5(F.col("__sh")), 1, 15), 16, 10).cast(
@@ -861,8 +894,11 @@ def decontaminate(
     """
     ev = (
         eval_df.select(
+            F.split(normalized_text(F.col(text_col)), " ").alias("__wrds")
+        )
+        .select(
             F.explode(
-                F.array_distinct(word_shingles(F.col(text_col), k))
+                F.array_distinct(word_shingles_of(F.col("__wrds"), k))
             ).alias("__s")
         )
         .distinct()
@@ -871,9 +907,12 @@ def decontaminate(
         ev = F.broadcast(ev)
     tr = train.select(
         id_col,
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias(
-            "__s"
-        ),
+        F.split(normalized_text(F.col(text_col)), " ").alias("__wrds"),
+    ).select(
+        id_col,
+        F.explode(
+            F.array_distinct(word_shingles_of(F.col("__wrds"), k))
+        ).alias("__s"),
     )
     hits = (
         tr.join(ev, "__s")
@@ -1006,12 +1045,18 @@ def prefix_filter_jaccard_pairs(
     # prefixes actually prune. shingle_k=None falls back to words for
     # large-vocabulary corpora. Docs shorter than k words have no
     # tokens and drop out (identically in the oracle).
+    # Round 10 (guide §4.2): the word array is staged as a real column
+    # (__wrds) so the interpreted higher-order shingle expression reads
+    # an attribute instead of re-running split(regexp) per reference
+    # per row — same staging as lsh_banded_table, output-identical.
+    staged = docs.select(
+        F.col(id_col).alias("doc"),
+        F.split(normalized_text(F.col(text_col)), " ").alias("__wrds"),
+    )
     if shingle_k:
-        toks = F.array_distinct(word_shingles(F.col(text_col), shingle_k))
+        toks = F.array_distinct(word_shingles_of(F.col("__wrds"), shingle_k))
     else:
-        toks = F.array_distinct(
-            F.split(normalized_text(F.col(text_col)), " ")
-        )
+        toks = F.array_distinct(F.col("__wrds"))
     # Round 10: examined, deliberately left in the 3-window form. The
     # "sort-free" rewrites that won elsewhere all LOSE here, measured
     # at sf1 against this form (2.8-3.6 s): (a) global frequency as
@@ -1026,8 +1071,8 @@ def prefix_filter_jaccard_pairs(
     # window onto the un-exploded array measured slower in the same
     # A/B. The windows here ride ReuseExchange-deduped exchanges and
     # per-doc/per-token sorts that stay sub-dominant through sf1.
-    dw = docs.select(
-        F.col(id_col).alias("doc"),
+    dw = staged.select(
+        "doc",
         F.explode(toks).alias("word"),
     )
     ranked = (
@@ -1055,8 +1100,8 @@ def prefix_filter_jaccard_pairs(
         .distinct()
     )
 
-    sets = docs.select(
-        F.col(id_col).alias("doc"), F.array_sort(toks).alias("words")
+    sets = staged.select(
+        "doc", F.array_sort(toks).alias("words")
     ).filter(F.size("words") > 0)
     verified = (
         cand.join(sets.withColumnRenamed("words", "__wa"), cand["id_a"] == sets["doc"])
@@ -1668,11 +1713,14 @@ def winnow_fingerprint_pairs(
     pair stream is bounded by ``max_df`` per fingerprint. Raw text
     never shuffles.
 
-    Cache lifetime: the selected-fingerprint set is ``persist()``-ed
-    because two consumers (the frequency count and the pair join) would
-    otherwise each replay the gram explode + window-min. Per the repo's
-    multi-consumer convention the cache belongs to the returned plan's
-    lifetime — callers running many operators in one long session own
+    Cache lifetime: the selected-fingerprint set is eagerly
+    ``localCheckpoint``-ed (round 10 — was a lazy persist, which the
+    concurrent broadcast-build consumers raced, replaying the gram
+    explode + window-min per racer) because two consumers (the
+    frequency count and the pair join) need it. SIDE EFFECT: the
+    winnowing pass runs at CONSTRUCTION time and the fingerprint set is
+    frozen — rebuild the DataFrame to re-fingerprint changed source
+    data. Callers running many operators in one long session own cache
     cleanup (``spark.catalog.clearCache()`` between suites, as bench.py
     does between fresh sessions).
     """
@@ -1706,14 +1754,23 @@ def winnow_fingerprint_pairs(
         .select(id_col, "__h")
         .distinct()
         # The winnowed set feeds the frequency count AND the pair
-        # join; persist it or the gram explode + window-min replays
-        # per consumer (same multi-consumer rule as dsir / basket).
-        .persist()
+        # join. Round 10: EAGER localCheckpoint, not lazy persist —
+        # the downstream consumers materialize as broadcast-build
+        # jobs (df_count and the whole b-side each broadcast), and
+        # concurrent build jobs racing a lazy cache each re-ran the
+        # gram explode + window-min before the cache landed (the same
+        # bimodal trap basket_brand_lift measured). One blocking
+        # materialization of the ~2/(w+1)-winnowed narrow set removes
+        # the race entirely.
+        .localCheckpoint()
     )
     df_count = fps.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    # kept feeds BOTH sides of the pair self-join; checkpoint it too
+    # (bounded by the fps set) so the frequency join runs once, not
+    # once per side.
     kept = fps.join(
         df_count.filter(F.col("__df") <= max_df).select("__h"), "__h"
-    )
+    ).localCheckpoint()
     a = kept.select(F.col(id_col).alias("id_a"), "__h")
     b = kept.select(F.col(id_col).alias("id_b"), "__h")
     return (

@@ -119,8 +119,21 @@ def cosine_topk_int8(
             F.col("q").alias(f"__{out_id}_q"),
         )
 
-    corpus = codes(df, "vec_id")
-    qry = codes(queries, "query_id")
+    sq = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    # Round 10 (guide §4.2): norms are PER-ROW scalars — computed
+    # before the crossJoin each row's norm is evaluated once, where the
+    # old per-pair form re-ran the interpreted array aggregate
+    # |queries| times per corpus row (and once per pair on the query
+    # side). Same integer sums, same sqrt, same multiply order —
+    # bit-identical scores.
+    corpus = codes(df, "vec_id").withColumn("__vn", sq("__vec_id_q"))
+    qry = codes(queries, "query_id").withColumn("__qn", sq("__query_id_q"))
     joined = corpus.crossJoin(F.broadcast(qry)).filter(
         F.col("vec_id") != F.col("query_id")
     )
@@ -132,17 +145,10 @@ def cosine_topk_int8(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     ).cast("double")
-    sq = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: (x * x).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).cast("double")
-    )
     scored = joined.select(
         "query_id",
         "vec_id",
-        (dot / (sq("__vec_id_q") * sq("__query_id_q"))).alias("cosine"),
+        (dot / (F.col("__vn") * F.col("__qn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")

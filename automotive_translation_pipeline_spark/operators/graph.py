@@ -146,18 +146,27 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     a_first = (F.col("__da") < F.col("__db")) | (
         (F.col("__da") == F.col("__db")) & (F.col("id_a") < F.col("id_b"))
     )
+    # Round 10 (guide §2.4 — duplicated subtrees): the oriented edge
+    # list feeds the THREE wedge-join aliases; left as a plain
+    # projection each alias re-ran the deg aggregate + both degree
+    # joins (the before plan carried the deg Union x18 and the
+    # orientation joins x9 — 86 Exchange prints for one triangle
+    # count). One more edge-sized eager checkpoint makes e1/e2/e3
+    # cheap scans. Same bound as `e` itself: |edges| narrow rows.
     fwd = ed.select(
         F.when(a_first, F.col("id_a")).otherwise(F.col("id_b")).alias("u"),
         F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias("v"),
-    )
+    ).localCheckpoint()
     e1 = fwd.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = fwd.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = fwd.select(F.col("u").alias("a"), F.col("v").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    per_corner = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+    # Per-corner counts via ONE explode pass over the wedge-join
+    # output — the union-of-three-projections form re-ran the whole
+    # tri join once per corner (3x the O(m^1.5) wedge work). Same
+    # multiset of (node) rows, so counts are identical.
+    per_corner = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
     )
     return per_corner.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")

@@ -628,16 +628,24 @@ def bpe_train_merges(
 
 
 def _bpe_loop(
-    words: DataFrame, n_merges: int
+    words: DataFrame, n_merges: int, counted: bool = False
 ) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
     """The BPE training loop body: returns the FINAL (word, symbols,
     wf) vocabulary after ``n_merges`` rounds plus the merge list. The
     word column rides along untouched so callers can map corpus words
-    to their learned segmentation (``bpe_tokenize_stats``)."""
+    to their learned segmentation (``bpe_tokenize_stats``).
+
+    ``counted=True`` means ``words`` is already the aggregated
+    (word, wf) table — callers that need per-group counts anyway
+    (``bpe_tokenize_stats``) derive the training frequencies from
+    their own rollup instead of paying a second corpus explode."""
+    counts = (
+        words
+        if counted
+        else words.groupBy("word").agg(F.count(F.lit(1)).alias("wf"))
+    )
     vocab = (
-        words.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("wf"))
-        .filter(F.col("word").rlike("^\\w+$"))
+        counts.filter(F.col("word").rlike("^\\w+$"))
         .select(
             "word",
             # Spark's split keeps a trailing "" (the (?!^) lookahead
@@ -714,17 +722,29 @@ def bpe_tokenize_stats(
     picks broadcast when it fits).
 
     Words outside the trained ``\\w+`` vocabulary are excluded on both
-    sides (identically in the oracle)."""
+    sides (identically in the oracle).
+
+    Round 10 (guide §1.2): ONE corpus explode, not two — the corpus
+    collapses once to the per-group (group, word, n) table (map-side
+    combined, checkpointed at vocabulary size), and the training
+    frequencies are its word-level rollup (sum of per-group counts ==
+    the old direct count, exact integers), fed to ``_bpe_loop`` as a
+    pre-counted vocabulary. SIDE EFFECT: like every _bpe_loop caller,
+    the corpus pass runs at construction and the counts are frozen.
+    """
     words = df.select(
         F.col(group_col),
         F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias(
             "word"
         ),
     ).filter(F.col("word").rlike("^\\w+$"))
-    vocab, _ = _bpe_loop(words.select("word"), n_merges)
-    counts = words.groupBy(group_col, "word").agg(
-        F.count(F.lit(1)).alias("__n")
+    counts = (
+        words.groupBy(group_col, "word")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint()
     )
+    wordfreq = counts.groupBy("word").agg(F.sum("__n").alias("wf"))
+    vocab, _ = _bpe_loop(wordfreq, n_merges, counted=True)
     joined = counts.join(
         vocab.select("word", F.size("symbols").alias("__n_tok")), "word"
     )

@@ -269,22 +269,36 @@ def dsir_importance_weights(
     """
     from ..functions.text import normalized_text
 
-    words = F.split(normalized_text(F.col(text_col)), " ")
-    n = F.size(words)
+    # Round 10 (guide §4.2 / §1.2): stage the split word ARRAY as a
+    # real column before building the feature expression. The inline
+    # form referenced `split(regexp_replace(lower(text)))` FIVE times
+    # inside the explode's generator (the array itself, two slices,
+    # and size() twice), and zip_with is a CodegenFallback
+    # higher-order function — interpreted evaluation re-ran the
+    # regex+split per reference, per row. With the array staged in its
+    # own projection the generator sees a plain attribute; the
+    # normalize+split runs once per row per pass.
+    staged = df.select(
+        F.col(id_col),
+        target_pred.alias("__tgt"),
+        F.split(normalized_text(F.col(text_col)), " ").alias("__ws"),
+    )
+    wcol = F.col("__ws")
+    n = F.size(wcol)
     feats = F.concat(
-        words,
+        wcol,
         F.when(
             n >= 2,
             F.zip_with(
-                F.slice(words, 1, n - 1),
-                F.slice(words, 2, n - 1),
+                F.slice(wcol, 1, n - 1),
+                F.slice(wcol, 2, n - 1),
                 lambda a, b: F.concat_ws(" ", a, b),
             ),
         ).otherwise(F.array().cast("array<string>")),
     )
-    exploded = df.select(
+    exploded = staged.select(
         F.col(id_col),
-        target_pred.alias("__tgt"),
+        "__tgt",
         F.explode(feats).alias("__feat"),
     ).select(
         id_col,

@@ -10,16 +10,17 @@ poison a mean/stddev gate.
 Scale shape: OLS per group is ONE partially-aggregated groupBy — the
 `regr_*` aggregates are plain moment sums under the hood, so the map
 side combines and only (groups) rows shuffle. The MAD path is built
-from RANK-BASED medians (row_number + count windows + an explicit
-(a+b)/2 of the middle elements) rather than the engines' median()
-aggregates: the built-ins interpolate with engine-specific arithmetic
-((a+b)/2 vs a+(b-a)/2 — a 1-ulp difference that, amplified through
-(v - med)/mad, flipped a 4-decimal rounding boundary on 1 row in a
-million at sf1), while the explicit form is the same IEEE expression
-tree on every engine and therefore bit-identical. Cost: keyed-window
-shuffles on the same group key, which Catalyst plans as one exchange
-reused across the windows; exact medians over a skewed group cost that
-group's partition.
+from RANK-BASED medians (explicit avg of the rank-selected middle
+elements) rather than the engines' median() aggregates: the built-ins
+interpolate with engine-specific arithmetic ((a+b)/2 vs a+(b-a)/2 — a
+1-ulp difference that, amplified through (v - med)/mad, flipped a
+4-decimal rounding boundary on 1 row in a million at sf1), while the
+explicit form is the same IEEE expression tree on every engine and
+therefore bit-identical. Round 10: rank selection runs over the VALUE
+HISTOGRAM (the grouped_quantiles_disc construction) — a
+map-side-combined (group, value) count plus one cumulative window over
+distinct values — so no corpus-wide sort exists anywhere in the MAD
+plan; a skewed group costs its distinct-value count, not its row count.
 """
 
 from __future__ import annotations
@@ -51,30 +52,50 @@ def grouped_ols(
     )
 
 
-def _with_rank_median(
+def _hist_median(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
     out_col: str,
-    order_extra: list[str],
 ) -> DataFrame:
-    """Attach the group's exact median as an EXPLICIT (a+b)/2 over the
-    rank-selected middle elements (a == b for odd counts). avg() over
-    the <= 2 middle rows is sum/count with IEEE-commutative addition —
-    deterministic and engine-portable, unlike built-in median()'s
-    interpolation arithmetic. One keyed shuffle (rank + count windows
-    share the group exchange) plus a broadcast-sized per-group join."""
-    w_rank = Window.partitionBy(*group_cols).orderBy(value_col, *order_extra)
+    """Exact per-group median as an EXPLICIT avg over the rank-selected
+    middle element(s) (one row selected for odd counts, two for even —
+    twice the same value when both middle ranks land in one value run),
+    computed by RANK SELECTION OVER THE VALUE HISTOGRAM (round 10 —
+    the grouped_quantiles_disc trick applied to the median): a
+    map-side-combined ``groupBy(group, value).count()`` plus one
+    cumulative window over DISTINCT (group, value) rows replaces the
+    row_number sort of the whole stream. The value at rank r of the
+    sorted multiset is the unique v whose cumulative count reaches r
+    while the previous cumulative stayed below it — identical element,
+    and avg() over the selected value rows is the same IEEE expression
+    the old row-selected form evaluated, hence bit-identical.
+    Returns one (group_cols..., out_col) row per group."""
+    hist = df.groupBy(
+        *group_cols, F.col(value_col).alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     w_grp = Window.partitionBy(*group_cols)
-    ranked = df.withColumn("__rn", F.row_number().over(w_rank)).withColumn(
-        "__cnt", F.count(F.lit(1)).over(w_grp)
+    cum = hist.withColumn("__cum", F.sum("__c").over(w_cum)).withColumn(
+        "__tot", F.sum("__c").over(w_grp)
     )
-    mid = ranked.filter(
-        (F.col("__rn") == F.floor((F.col("__cnt") + 1) / 2))
-        | (F.col("__rn") == F.floor(F.col("__cnt") / 2) + 1)
+    # The same two middle ranks the row_number form selected; for odd
+    # counts they coincide — array_distinct keeps ONE selected row then,
+    # exactly like `rn = r1 OR rn = r2` matched one row.
+    r1 = F.floor((F.col("__tot") + 1) / 2)
+    r2 = F.floor(F.col("__tot") / 2) + 1
+    ranks = F.array_distinct(F.array(r1, r2))
+    hit = lambda r: (  # noqa: E731 — rank lands inside this value's run
+        (F.col("__cum") >= r) & ((F.col("__cum") - F.col("__c")) < r)
     )
-    med = mid.groupBy(*group_cols).agg(F.avg(value_col).alias(out_col))
-    return ranked.drop("__rn", "__cnt").join(F.broadcast(med), group_cols)
+    sel = cum.select(
+        *group_cols, F.explode(F.filter(ranks, hit)).alias("__r"), "__v"
+    )
+    return sel.groupBy(*group_cols).agg(F.avg("__v").alias(out_col))
 
 
 def mad_outliers(
@@ -93,16 +114,25 @@ def mad_outliers(
     MAD == 0 (constant-majority group) yields NULL z and no flag —
     every value equals the median or is infinitely far by this metric;
     surfacing NULL beats inventing a scale.
+
+    Round 10 (guide §2.4): both medians now come from histogram rank
+    selection (``_hist_median``) instead of row_number windows — the
+    old plan carried THREE corpus-wide sort+window towers (the median
+    subtree was duplicated into the MAD branch because each broadcast
+    build re-derived it). Now: one histogram aggregate per median
+    (map-side combined to distinct (group, value) rows), the tiny
+    per-group median table eagerly checkpointed so the deviation pass
+    and the final join both read it, zero corpus sorts. The deviation
+    ordering used (dev, value); dev is a pure function of value within
+    a group, so the dev at any rank — the only thing the MAD needs —
+    is unchanged by the tiebreak.
     """
-    with_med = _with_rank_median(
-        df, group_cols, value_col, "__med", order_extra=[]
-    )
-    with_dev = with_med.withColumn(
+    med = _hist_median(df, group_cols, value_col, "__med").localCheckpoint()
+    with_dev = df.join(F.broadcast(med), group_cols).withColumn(
         "__dev", F.abs(F.col(value_col) - F.col("__med"))
     )
-    with_mad = _with_rank_median(
-        with_dev, group_cols, "__dev", "__mad", order_extra=[value_col]
-    )
+    mad = _hist_median(with_dev, group_cols, "__dev", "__mad")
+    with_mad = with_dev.join(F.broadcast(mad), group_cols)
     # Quantize with explicit floor arithmetic rather than round():
     # engines implement round-half differently (Spark: exact BigDecimal
     # HALF_UP; DuckDB: float-scaled nearbyint), so the same raw double

@@ -127,3 +127,125 @@ def test_pq_frozen_codebook_skips_training(spark, sf_dir, monkeypatch):
         codebook=frozen_pq_codebook(),
     )
     assert out.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Session 3: per-task-work staging + materialization changes
+# ---------------------------------------------------------------------------
+
+
+def test_hist_median_matches_window_median(spark):
+    """_hist_median (histogram rank-select) must reproduce the old
+    row_number-window median exactly: odd and even group sizes,
+    duplicated middle values, negatives."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from automotive_translation_pipeline_spark.operators.stats import (
+        _hist_median,
+    )
+
+    rows = [
+        ("a", v) for v in [5.0, 1.0, 3.0]                    # odd
+    ] + [
+        ("b", v) for v in [2.0, 2.0, 8.0, 4.0]               # even, dup mid
+    ] + [
+        ("c", v) for v in [-1.0, -5.0, -3.0, -3.0, 7.0, 7.0] # even, ties
+    ] + [
+        ("d", v) for v in [9.0]                              # singleton
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    got = {r.g: r.med for r in _hist_median(df, ["g"], "v", "med").collect()}
+
+    w_rank = Window.partitionBy("g").orderBy("v")
+    w_grp = Window.partitionBy("g")
+    ranked = df.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "cnt", F.count(F.lit(1)).over(w_grp)
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        | (F.col("rn") == F.floor(F.col("cnt") / 2) + 1)
+    )
+    want = {
+        r.g: r.med
+        for r in mid.groupBy("g").agg(F.avg("v").alias("med")).collect()
+    }
+    assert got == want
+
+
+def test_word_shingles_of_staged_parity(spark):
+    """The staged word-array shingle form must yield exactly the
+    inline word_shingles output (the round-10 per-task-work staging
+    must be a pure evaluation-strategy change)."""
+    from pyspark.sql import functions as F
+
+    from automotive_translation_pipeline_spark.functions.text import (
+        normalized_text,
+        word_shingles,
+        word_shingles_of,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "The  quick brown Fox jumps  over the lazy dog"),
+            (2, "short one"),
+            (3, "exactly three words"),
+            (4, ""),
+        ],
+        "id long, text string",
+    )
+    inline = df.select(
+        "id", word_shingles(F.col("text"), 3).alias("sh")
+    ).collect()
+    staged = (
+        df.select(
+            "id", F.split(normalized_text(F.col("text")), " ").alias("w")
+        )
+        .select("id", word_shingles_of(F.col("w"), 3).alias("sh"))
+        .collect()
+    )
+    assert sorted((r.id, tuple(r.sh)) for r in inline) == sorted(
+        (r.id, tuple(r.sh)) for r in staged
+    )
+
+
+def test_bpe_loop_counted_parity(spark):
+    """_bpe_loop must learn identical merges from raw words and from a
+    pre-counted (word, wf) vocabulary (the bpe_tokenize_stats
+    single-corpus-pass path)."""
+    from pyspark.sql import functions as F
+
+    from automotive_translation_pipeline_spark.operators.lm import _bpe_loop
+
+    words = spark.createDataFrame(
+        [("low",)] * 5 + [("lower",)] * 2 + [("newest",)] * 6
+        + [("widest",)] * 3 + [("??",)] * 4,   # non-\w+ filtered out
+        "word string",
+    )
+    _, merges_raw = _bpe_loop(words, 3)
+    counted = words.groupBy("word").agg(F.count(F.lit(1)).alias("wf"))
+    _, merges_counted = _bpe_loop(counted, 3, counted=True)
+    assert merges_raw == merges_counted
+    assert len(merges_raw) == 3
+
+
+def test_global_index_materialize_parity(spark, sf_dir):
+    """materialize=True must number identically to the lazy form."""
+    from automotive_translation_pipeline_spark.operators.indexing import (
+        with_global_index,
+    )
+    from automotive_translation_pipeline_spark.sources import load_testdata
+
+    docs = load_testdata(spark, sf_dir)["documents"].select("doc_id")
+    lazy = {
+        (r.doc_id, r.global_index)
+        for r in with_global_index(docs, order_by=["doc_id"]).collect()
+    }
+    mat = {
+        (r.doc_id, r.global_index)
+        for r in with_global_index(
+            docs, order_by=["doc_id"], materialize=True
+        ).collect()
+    }
+    assert lazy == mat
