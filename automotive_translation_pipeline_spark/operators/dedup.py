@@ -1720,9 +1720,16 @@ def winnow_fingerprint_pairs(
     frequency count and the pair join) need it. SIDE EFFECT: the
     winnowing pass runs at CONSTRUCTION time and the fingerprint set is
     frozen — rebuild the DataFrame to re-fingerprint changed source
-    data. Callers running many operators in one long session own cache
-    cleanup (``spark.catalog.clearCache()`` between suites, as bench.py
-    does between fresh sessions).
+    data. TWO near-identical copies are pinned (``fps`` and its
+    frequency-filtered subset ``kept`` — the second checkpoint buys
+    the pair join one fewer frequency-join replay at the cost of a
+    doubled footprint, both bounded by the ~2/(w+1) winnowed set), and
+    localCheckpoint RDD blocks are NOT released by
+    ``spark.catalog.clearCache()`` (that clears only the SQL relation
+    cache): they are freed when the DataFrame is garbage-collected or
+    its underlying RDD is unpersisted. Long-lived sessions should drop
+    references to the returned DataFrame when done; fresh-session
+    callers (as bench.py uses) are unaffected.
     """
     words = F.split(normalized_text(F.col(text_col)), " ")
     base = df.select(

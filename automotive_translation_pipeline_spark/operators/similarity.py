@@ -143,15 +143,21 @@ def cosine_topk_lsh(
     same-bucket pairs. Recall < 1.0 by design; the scale path when the
     corpus is too big to brute-force per query."""
     planes = _deterministic_planes(n_planes, dim)
+    # Round 11 (guide §4.2): both norms staged per ROW before the
+    # bucket join — the inline form re-evaluated the interpreted
+    # ArrayAggregate norm once per candidate pair. Identical op order,
+    # bit-identical cosines.
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qvec"),
         srp_bucket(F.col(vec_col), planes).alias("__bucket"),
+        _norm(F.col(vec_col)).alias("__qnorm"),
     )
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("__cvec"),
         srp_bucket(F.col(vec_col), planes).alias("__bucket"),
+        _norm(F.col(vec_col)).alias("__cnorm"),
     )
     scored = (
         c.join(F.broadcast(q), "__bucket")
@@ -159,7 +165,7 @@ def cosine_topk_lsh(
         .withColumn(
             "cosine",
             _dot(F.col("__qvec"), F.col("__cvec"))
-            / (_norm(F.col("__qvec")) * _norm(F.col("__cvec"))),
+            / (F.col("__qnorm") * F.col("__cnorm")),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
@@ -181,7 +187,14 @@ def _probe_and_score(
     query_id_col: str,
 ) -> DataFrame:
     """Shared IVF tail: pick each query's ``n_probe`` nearest cells,
-    score exactly within them, window top-k."""
+    score exactly within them, window top-k.
+
+    Round 11 (guide §4.2, the ann_cosine_int8 lesson): the corpus-side
+    norm is staged as a per-row column BEFORE the probe join —
+    ``_norm`` is an interpreted ArrayAggregate (CodegenFallback, no
+    CSE), so the inline form re-ran it once per (cell-match × query)
+    pair. Same integer/float sums, same sqrt, same multiply order ⇒
+    bit-identical cosines."""
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qvec"),
@@ -202,12 +215,13 @@ def _probe_and_score(
         .select(query_id_col, "__cell", "__qvec", "__qnorm")
     )
     scored = (
-        assigned.join(F.broadcast(probes), "__cell")
+        assigned.withColumn("__cnorm", _norm(F.col(vec_col)))
+        .join(F.broadcast(probes), "__cell")
         .filter(F.col(query_id_col) != F.col(id_col))
         .withColumn(
             "cosine",
             _dot(F.col("__qvec"), F.col(vec_col))
-            / (F.col("__qnorm") * _norm(F.col(vec_col))),
+            / (F.col("__qnorm") * F.col("__cnorm")),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
@@ -494,7 +508,12 @@ def cosine_topk_pq(
             ),
         )
         .withColumn("__tables", tables)
-        .drop("__qn", "__qnorm0")
+        # __qnorm0 is kept and ridden through to the exact re-rank
+        # (round 11): recomputing the interpreted-aggregate norm per
+        # candidate row is the per-pair waste §4.2 warns about, and
+        # this is the same expression → bit-identical.
+        .withColumnRenamed("__qnorm0", "__qnorm")
+        .drop("__qn")
     )
     approx = (
         codes.crossJoin(F.broadcast(q))
@@ -518,7 +537,7 @@ def cosine_topk_pq(
     candidates = (
         approx.withColumn("__rk", F.row_number().over(w_a))
         .filter(F.col("__rk") <= rerank)
-        .select(query_id_col, id_col, "__qvec")
+        .select(query_id_col, id_col, "__qvec", "__qnorm")
     )
     # Exact re-rank: fetch true vectors for the survivors only.
     cvec = corpus.select(
@@ -528,7 +547,7 @@ def cosine_topk_pq(
     rescored = candidates.join(cvec, id_col).withColumn(
         "cosine",
         _dot(F.col("__qvec"), F.col("__cvec"))
-        / (_norm(F.col("__qvec")) * F.col("__cnorm")),
+        / (F.col("__qnorm") * F.col("__cnorm")),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (

@@ -126,6 +126,14 @@ def mad_outliers(
     ordering used (dev, value); dev is a pure function of value within
     a group, so the dev at any rank — the only thing the MAD needs —
     is unchanged by the tiebreak.
+
+    Group-cardinality assumption (ADVICE r10): the per-group median and
+    MAD tables are explicitly ``F.broadcast()`` into the stream joins —
+    one narrow row per group, the right shape for the grouping columns
+    this engine uses (event types, sources: thousands at most). With
+    millions of groups those relations approach broadcast/driver
+    limits; drop the hints there and let AQE pick the strategy (the
+    rest of the plan is unchanged).
     """
     med = _hist_median(df, group_cols, value_col, "__med").localCheckpoint()
     with_dev = df.join(F.broadcast(med), group_cols).withColumn(
@@ -184,11 +192,22 @@ def grouped_quantiles_disc(
     it: 3 qs = 3 full sorts). All qs now resolve in ONE pass via an
     array filter; a row can satisfy several qs (tiny groups) and
     yields one output row per matching q, exactly like the old
-    per-q selects. ``tiebreak_cols`` is retained for API
-    compatibility but unused: tie order among equal values can never
-    change the value at a rank, and only values are returned.
+    per-q selects. ``tiebreak_cols`` is DEPRECATED and ignored (a
+    DeprecationWarning is raised when passed): tie order among equal
+    values can never change the value at a rank, and only values are
+    returned — it existed for the pre-round-10 row_number form.
     Returns group_cols + (q, value).
     """
+    if tiebreak_cols is not None:
+        import warnings
+
+        warnings.warn(
+            "grouped_quantiles_disc(tiebreak_cols=...) is deprecated and "
+            "ignored: rank selection over the value histogram returns "
+            "values only, so tie order cannot affect the result",
+            DeprecationWarning,
+            stacklevel=2,
+        )
     del tiebreak_cols
     hist = df.groupBy(
         *group_cols, F.col(value_col).alias("__v")

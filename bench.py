@@ -536,18 +536,43 @@ def main() -> None:
 
     total = round(sum(per_query.values()), 3)
     sf = sf_tag(SF_DIR)
-    # KEY ORDER IS A CONTRACT: the driver records only the trailing
-    # ~2000 chars of this line, so the big per-query blobs go FIRST and
-    # every summary metric goes LAST (round 4's tail-truncated artifact
-    # kept only an attachment and lost the headline numbers).
-    payload = {
+    # ONE-LINE DIET (round 11, VERDICT r10 #2/next-#3): the driver
+    # captures only the trailing ~2000 chars of this line, and the
+    # round-9 artifact became unparseable because queries_times /
+    # probe maps tripled the line length. The printed line now carries
+    # only the contract keys (queries + headline summary, ~4.5 KB);
+    # the full per-run detail (all raw times in run order, per-query
+    # probe brackets, accuracy detail strings, heavy-query IQRs) is
+    # written to a SIDECAR file next to bench.py so nothing is lost —
+    # it is the same data, relocated. KEY ORDER IS STILL A CONTRACT:
+    # the big queries map goes FIRST and every summary metric LAST, so
+    # a tail truncation keeps the headline numbers.
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_file = f"BENCH_detail_sf{sf}.json"
+    detail = {
         "queries_times": per_query_times,
         "queries_median": per_query_median,
         "queries_probe_s": per_query_probe,
         "queries_ioprobe_s": per_query_ioprobe,
         "accuracy": accuracy,
-        "queries": per_query,
         "queries_iqr_heavy": per_query_iqr,
+        "queries": per_query,
+        "sf": sf,
+        "cpus": CPUS,
+        "calib_cpu_s": calib,
+    }
+    try:
+        with open(os.path.join(here, detail_file), "w") as fh:
+            json.dump(detail, fh)
+    except OSError:
+        detail_file = None  # read-only checkout: line stays complete
+    payload = {
+        "queries_median": per_query_median,
+        "queries": per_query,
+        "accuracy_verdicts": {
+            k: v["verdict"] for k, v in accuracy.items()
+        },
+        "detail_file": detail_file,
         "runs_per_query": N_RUNS,
         "runs_per_query_heavy": N_RUNS_HEAVY,
         "max_extra_runs": MAX_EXTRA_RUNS,
@@ -561,7 +586,6 @@ def main() -> None:
     # (same suite + harness, data from tools/gen_testdata.py — see
     # SCALE.md "Measured scale-up"); per-query numbers live in the
     # committed files themselves.
-    here = os.path.dirname(os.path.abspath(__file__))
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     for committed_sf, fname in ((1.0, "BENCH_sf1.json"),
                                 (3.0, "BENCH_sf3.json")):
